@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Static testdata-table catalog (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Column lists are compile-time constants because the DuckDB oracle SQL
+  * (graft.engine.OracleGen) is generated without a SparkSession; a ScalaTest
+  * spec asserts they match the live parquet footers, so drift fails CI rather
+  * than silently corrupting the oracle.
+  */
+object Tables {
+  val columns: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey", "r_name"),
+    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    ),
+    "lineitem" -> Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"
+    ),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label")
+  )
+
+  /** Tables whose profile is declared against the DuckDB oracle. `embeddings`
+    * is excluded: its list<float> column's string rendering is
+    * engine-specific, so it gets a rows-only check instead.
+    */
+  val oracleProfiled: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents"
+  )
+
+  /** Load a testdata table.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot
+    * represent (its TimestampType is microsecond). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the scan succeeds; the
+    * loader converts the nanos-long back to a microsecond timestamp
+    * (exact integer division — testdata values are µs-aligned) so downstream
+    * semantics (distinct counts, string rendering, windowing) agree with
+    * engines that read the column natively.
+    */
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+}

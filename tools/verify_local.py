@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs each oracle SQL in DuckDB over the same parquet tables and compares with
+the parquet output of `graft.Verify` (run separately via sbt). Comparison:
+sort columns by name, sort rows by all columns, compare schema-ish dtypes and
+values (exact for ints/strings/bools, bit-exact for floats).
+
+Usage:
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/verify_local.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = canon(con.sql(sql).df())
+            got = canon(duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if list(expected.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(expected.columns)}")
+            failures += 1
+            continue
+        if len(expected) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
+            failures += 1
+            continue
+        mismatched = []
+        for c in expected.columns:
+            e, g = expected[c], got[c]
+            if e.dtype.kind == "f" or g.dtype.kind == "f":
+                ok = (e.astype(float).fillna(-1e308) == g.astype(float).fillna(-1e308)).all()
+            else:
+                ok = (e.astype(str) == g.astype(str)).all()
+            if not ok:
+                mismatched.append(c)
+        if mismatched:
+            print(f"FAIL {name}: value mismatch in columns {mismatched}")
+            for c in mismatched[:3]:
+                diff = expected[c] != got[c]
+                idx = diff[diff].index[:5]
+                for i in idx:
+                    print(f"   row {i}: duckdb={expected[c][i]!r} spark={got[c][i]!r}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
+          f"({len(oracle)} oracle queries)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,186 @@
+package graft.hybrid
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ai.AiClassifier
+import graft.model._
+import graft.pattern.PatternRules
+import graft.stats.StatsPass
+
+/** Hybrid classifier configuration (reference `HybridClassifier.__init__`,
+  * `hybrid_classifier.py:31-63`).
+  */
+final case class HybridConfig(
+    enableAi: Boolean = true,
+    aiConfidenceThreshold: Double = 0.8,
+    patternConfidenceThreshold: Double = 0.7
+)
+
+/** Counters mirroring `hybrid_stats` (`hybrid_classifier.py:55-61`). */
+final case class HybridStats(
+    patternOnly: Long = 0,
+    aiEnhanced: Long = 0,
+    aiOverride: Long = 0,
+    consensusAgreement: Long = 0,
+    consensusDisagreement: Long = 0
+) {
+  def total: Long = patternOnly + aiEnhanced + aiOverride + consensusAgreement
+  def asMap: Map[String, Long] = Map(
+    "pattern_only"           -> patternOnly,
+    "ai_enhanced"            -> aiEnhanced,
+    "ai_override"            -> aiOverride,
+    "consensus_agreement"    -> consensusAgreement,
+    "consensus_disagreement" -> consensusDisagreement
+  )
+}
+
+/** Hybrid pattern+AI classification (reference: `HybridClassifier`,
+  * `hybrid_classifier.py:20-284`).
+  *
+  * Pattern analysis always runs; AI runs only when enabled AND a non-noop
+  * provider is wired (the reference additionally gates on the presence of
+  * ANTHROPIC_API_KEY / GOOGLE_AI_API_KEY / OPENAI_API_KEY env vars,
+  * `hybrid_classifier.py:65-87` — [[HybridEngine.envKeysPresent]] exposes
+  * that check; the zero-egress build has no bundled HTTP provider to gate).
+  *
+  * Merge semantics (`_merge_classifications`, `hybrid_classifier.py:148-199`)
+  * are ported exactly, except PII merging uses ordinal severity max
+  * (NONE < LOW < MEDIUM < HIGH) instead of the reference's alphabetical
+  * string max under which "none" outranks "high" — the commented intent,
+  * documented divergence (SURVEY.md §0.2(4)).
+  */
+final class HybridEngine(
+    val config: HybridConfig = HybridConfig(),
+    val ai: Option[AiClassifier] = None,
+    statsConfig: StatsPass.Config = StatsPass.Config(withSamples = true, sampleK = 10)
+) {
+
+  @volatile private var stats = HybridStats()
+  @volatile private var aiEnabledFlag: Boolean =
+    config.enableAi && ai.exists(_.hasProviders)
+
+  def aiEnabled: Boolean = aiEnabledFlag
+  def hybridStats: HybridStats = stats
+
+  /** `set_ai_enabled` (`hybrid_classifier.py:276-284`): enabling without a
+    * provider-backed classifier is refused.
+    */
+  def setAiEnabled(enabled: Boolean): Boolean = {
+    if (enabled && !ai.exists(_.hasProviders)) false
+    else { aiEnabledFlag = enabled; true }
+  }
+
+  /** `_merge_classifications` — pure given both inputs. */
+  def merge(pattern: ColumnProfile, aiProfile: Option[ColumnProfile]): ColumnProfile =
+    aiProfile match {
+      case None =>
+        stats = stats.copy(patternOnly = stats.patternOnly + 1)
+        val meaning =
+          if (pattern.businessMeaning.nonEmpty) pattern.businessMeaning
+          else s"Pattern-classified ${pattern.dataType.value}"
+        pattern.copy(
+          businessMeaning = meaning,
+          dataQualityNotes = "Pattern-based classification only"
+        )
+
+      case Some(aiP) if aiP.dataType == pattern.dataType =>
+        stats = stats.copy(consensusAgreement = stats.consensusAgreement + 1)
+        consensusProfile(pattern, aiP).copy(
+          confidenceScore =
+            math.min(0.95, (pattern.confidenceScore + aiP.confidenceScore) / 2 + 0.1),
+          dataQualityNotes = "Pattern and AI consensus"
+        )
+
+      case Some(aiP) =>
+        stats = stats.copy(consensusDisagreement = stats.consensusDisagreement + 1)
+        if (aiP.confidenceScore >= config.aiConfidenceThreshold) {
+          stats = stats.copy(aiOverride = stats.aiOverride + 1)
+          enhanceWithAi(pattern, aiP, useAiClassification = true).copy(
+            dataQualityNotes = f"AI override (confidence: ${aiP.confidenceScore}%.2f)"
+          )
+        } else if (pattern.confidenceScore >= config.patternConfidenceThreshold) {
+          stats = stats.copy(aiEnhanced = stats.aiEnhanced + 1)
+          enhanceWithAi(pattern, aiP, useAiClassification = false).copy(
+            dataQualityNotes = "Pattern classification, AI enhanced"
+          )
+        } else {
+          stats = stats.copy(aiEnhanced = stats.aiEnhanced + 1)
+          enhanceWithAi(pattern, aiP, useAiClassification = false).copy(
+            confidenceScore = (pattern.confidenceScore + aiP.confidenceScore) / 2,
+            dataQualityNotes = "Hybrid result: pattern type, AI insights"
+          )
+        }
+    }
+
+  /** `_create_consensus_profile` (`hybrid_classifier.py:201-221`). */
+  private def consensusProfile(p: ColumnProfile, a: ColumnProfile): ColumnProfile =
+    p.copy(
+      isPrimaryKey = p.isPrimaryKey || a.isPrimaryKey,
+      isBusinessKey = p.isBusinessKey || a.isBusinessKey,
+      piiLevel = Seq(p.piiLevel, a.piiLevel).max, // ordinal, not string max
+      businessMeaning = if (a.businessMeaning.nonEmpty) a.businessMeaning else p.businessMeaning,
+      suggestedImprovements = a.suggestedImprovements
+    )
+
+  /** `_enhance_with_ai` (`hybrid_classifier.py:223-245`). */
+  private def enhanceWithAi(
+      p: ColumnProfile,
+      a: ColumnProfile,
+      useAiClassification: Boolean
+  ): ColumnProfile =
+    p.copy(
+      dataType = if (useAiClassification) a.dataType else p.dataType,
+      isPrimaryKey = p.isPrimaryKey || a.isPrimaryKey,
+      isBusinessKey = p.isBusinessKey || a.isBusinessKey,
+      piiLevel = Seq(p.piiLevel, a.piiLevel).max,
+      confidenceScore = if (useAiClassification) a.confidenceScore else p.confidenceScore,
+      businessMeaning = if (a.businessMeaning.nonEmpty) a.businessMeaning else p.businessMeaning,
+      dataQualityNotes = a.dataQualityNotes,
+      suggestedImprovements = a.suggestedImprovements
+    )
+
+  /** `analyze_dataframe` (`hybrid_classifier.py:112-146`): one stats pass
+    * feeds both the pattern cascade and the AI prompts.
+    */
+  def analyzeDataFrame(df: DataFrame): ClassificationResult = {
+    val start = System.nanoTime()
+    val allStats = StatsPass.compute(df, statsConfig)
+    val profiles = allStats.map { s =>
+      val patternProfile = PatternRules.profileColumn(s)
+      val aiProfile =
+        if (aiEnabledFlag) ai.flatMap(_.verdictFor(s).map { case (_, v) =>
+          ai.get.profileFromVerdict(s, v)
+        })
+        else None
+      merge(patternProfile, aiProfile)
+    }
+    val elapsed = (System.nanoTime() - start) / 1e9
+    ClassificationResult(
+      columnProfiles = profiles,
+      processingTime = elapsed,
+      aiProviderUsed = if (aiEnabledFlag) Some("hybrid") else None,
+      classificationMethod = if (aiEnabledFlag) "hybrid_ai" else "hybrid_pattern_only",
+      overallConfidence =
+        if (profiles.nonEmpty) profiles.map(_.confidenceScore).sum / profiles.size else 0.0
+    )
+  }
+}
+
+object HybridEngine {
+
+  /** The reference's env-var gate (`hybrid_classifier.py:69-74`). */
+  def envKeysPresent(env: Map[String, String] = sys.env): Boolean =
+    Seq("ANTHROPIC_API_KEY", "GOOGLE_AI_API_KEY", "OPENAI_API_KEY")
+      .exists(k => env.get(k).exists(_.nonEmpty))
+
+  /** `get_hybrid_stats` percentage breakdown (`hybrid_classifier.py:258-274`). */
+  def statsWithPercentages(s: HybridStats): Map[String, Any] = {
+    val total = s.asMap.values.sum
+    val base = Map[String, Any]("total_processed" -> total, "breakdown" -> s.asMap)
+    if (total > 0)
+      base + ("percentages" -> s.asMap.map { case (k, v) =>
+        k -> math.round(v.toDouble / total * 1000.0) / 10.0
+      })
+    else base
+  }
+}

@@ -28,6 +28,16 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label")
   )
 
+  /** MAP-typed columns per table. Spark cannot hash/compare MapType in
+    * aggregates, so the stats pass distinct-counts the string rendering
+    * (StatsPass.distinctAggFor); the oracle mirrors the deviation with
+    * count(DISTINCT CAST(c AS VARCHAR)) — both sides count distinct
+    * renderings (injective for these fixtures), keeping the declared query
+    * symmetric rather than silently comparing different measurements.
+    */
+  def mapColumns(table: String): Set[String] =
+    if (table == "events") Set("props") else Set.empty
+
   /** Tables whose profile is declared against the DuckDB oracle. `embeddings`
     * is excluded: its list<float> column's string rendering is
     * engine-specific, so it gets a rows-only check instead.

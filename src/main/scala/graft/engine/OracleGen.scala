@@ -34,15 +34,18 @@ object OracleGen {
   /** Stats CTE for one column: total/non-null/distinct plus one match count
     * per measured pattern. Mirror of `graft.stats.StatsPass.aggsFor`.
     */
-  private def statsSelect(table: String, colName: String): String = {
+  private def statsSelect(table: String, colName: String, isMap: Boolean): String = {
     val c = qid(colName)
+    // MAP columns: distinct-count the VARCHAR rendering, mirroring the Spark
+    // side's MapType deviation (Tables.mapColumns scaladoc).
+    val distinctTarget = if (isMap) s"CAST($c AS VARCHAR)" else c
     val matchCounts = measuredPatterns.map { p =>
       s"count(*) FILTER (WHERE regexp_matches(CAST($c AS VARCHAR), ${qstr(p.regex)})) AS m_${p.key}"
     }
     (Seq(
       s"count(*) AS total_rows",
       s"count($c) AS nn",
-      s"count(DISTINCT $c) AS uniq"
+      s"count(DISTINCT $distinctTarget) AS uniq"
     ) ++ matchCounts).mkString(s"SELECT ", ", ", s" FROM $table")
   }
 
@@ -84,7 +87,7 @@ object OracleGen {
   /** Full profile row for one column — the outer SELECT over the derived
     * stats. Mirror of `PatternRules.profileColumn`.
     */
-  private def profileSelect(table: String, colName: String): String = {
+  private def profileSelect(table: String, colName: String, isMap: Boolean): String = {
     val lower = colName.toLowerCase
     val hasPkName  = PatternRules.primaryKeyNameKeywords.exists(lower.contains)
     val hasBizName = PatternRules.businessKeyNameKeywords.exists(lower.contains)
@@ -128,35 +131,46 @@ object OracleGen {
        |  SELECT *,
        |    (CASE WHEN total_rows > 0 THEN CAST(uniq AS DOUBLE) / total_rows ELSE 0.0 END) AS unique_ratio,
        |    ${dataTypeCase(colName)} AS data_type
-       |  FROM (${statsSelect(table, colName)})
+       |  FROM (${statsSelect(table, colName, isMap)})
        |)""".stripMargin
   }
 
-  private def profileUnion(table: String, columns: Seq[String]): String =
-    columns.map(profileSelect(table, _)).mkString("\nUNION ALL\n")
+  private def profileUnion(table: String, columns: Seq[String], mapCols: Set[String]): String =
+    columns.map(c => profileSelect(table, c, mapCols.contains(c))).mkString("\nUNION ALL\n")
 
   /** Q-PROFILE(t): full profile table, one row per column, ordered by
     * column_name.
     */
-  def profileSql(table: String, columns: Seq[String]): String =
-    profileUnion(table, columns) + "\nORDER BY column_name"
+  def profileSql(table: String, columns: Seq[String], mapCols: Set[String] = Set.empty): String =
+    profileUnion(table, columns, mapCols) + "\nORDER BY column_name"
 
   /** Q-SUMMARY(t): data_type breakdown of the profile. */
-  def summarySql(table: String, columns: Seq[String]): String =
+  def summarySql(table: String, columns: Seq[String], mapCols: Set[String] = Set.empty): String =
     s"""SELECT data_type, count(*) AS n_columns FROM (
-       |${profileUnion(table, columns)}
+       |${profileUnion(table, columns, mapCols)}
        |) GROUP BY data_type ORDER BY data_type""".stripMargin
 
+  /** Q-SUMMARY-PII(t): pii_level breakdown + average confidence — the other
+    * half of S4 `get_summary` (`base.py:92-99`). avg(confidence_score) is an
+    * average over the constant pattern confidence, hence summation-order
+    * independent and bit-portable across engines.
+    */
+  def piiSummarySql(table: String, columns: Seq[String], mapCols: Set[String] = Set.empty): String =
+    s"""SELECT pii_level, count(*) AS n_columns, avg(confidence_score) AS avg_confidence FROM (
+       |${profileUnion(table, columns, mapCols)}
+       |) GROUP BY pii_level ORDER BY pii_level""".stripMargin
+
   /** Q-STATS(t): raw S1 statistics per column (`base.py:140-152`). */
-  def statsSql(table: String, columns: Seq[String]): String = {
+  def statsSql(table: String, columns: Seq[String], mapCols: Set[String] = Set.empty): String = {
     val selects = columns.map { colName =>
       val c = qid(colName)
+      val d = if (mapCols.contains(colName)) s"CAST($c AS VARCHAR)" else c
       s"""SELECT ${qstr(colName)} AS column_name,
          |  count(*) AS total_rows,
          |  count(*) - count($c) AS null_count,
-         |  count(DISTINCT $c) AS unique_count,
+         |  count(DISTINCT $d) AS unique_count,
          |  (CASE WHEN count(*) > 0 THEN CAST(count(*) - count($c) AS DOUBLE) / count(*) ELSE 0.0 END) AS null_ratio,
-         |  (CASE WHEN count(*) > 0 THEN CAST(count(DISTINCT $c) AS DOUBLE) / count(*) ELSE 0.0 END) AS unique_ratio
+         |  (CASE WHEN count(*) > 0 THEN CAST(count(DISTINCT $d) AS DOUBLE) / count(*) ELSE 0.0 END) AS unique_ratio
          |FROM $table""".stripMargin
     }
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")

@@ -7,30 +7,51 @@ import org.apache.spark.sql.types.{MapType, StructField}
 import graft.model.ColumnStats
 import graft.pattern.PatternRules
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import scala.util.{Failure, Success, Try}
 
 /** The distributed measurement layer of the profiler.
   *
   * The reference profiles column-at-a-time with a sequential pandas loop
   * (`pattern_classifier.py:116-123`); the Spark-native inversion computes all
-  * per-column measurements as ONE multi-aggregate pass over the table: a
-  * single `Aggregate` node (partial per-partition aggregation → 1-row
-  * exchange → final aggregation, whole-stage codegen), so 100 TB are scanned
-  * once, no data rows ever reach the driver — only one row of aggregate
+  * per-column measurements as a small number of multi-aggregate passes over
+  * the table (partial per-partition aggregation → 1-row exchange → final
+  * aggregation, whole-stage codegen), so 100 TB are scanned a bounded number
+  * of times and no data rows ever reach the driver — only rows of aggregate
   * buffers.
   *
-  * Per column we measure: non-null count, distinct count, and for each of the
-  * anchored regexes in [[PatternRules.measuredPatterns]] the number of
-  * matching non-null stringified values. All counts are exact longs; the
-  * decision cascade derives ratios deterministically.
+  * Physical-plan shape (deliberate, round-2 redesign):
   *
-  * Scale note (exact vs approx distinct): many exact `count(DISTINCT c)`
-  * aggregates in one pass plan through `Expand` (one projection per distinct
-  * column — a (C+1)× row blow-up before partial aggregation). Fine at
-  * benchmark scale; at the 100 TB design point set `exactDistinct = false`
-  * to use `approx_count_distinct` (HyperLogLog++, no Expand, single pass).
-  * Exact mode is the default because the DuckDB oracle hash-checks distinct
-  * counts.
+  *  1. '''Regex job(s)''' — `count(1)` + per-column non-null counts + one
+  *     `sum(when(rlike))` per measured pattern. NO distinct aggregates here:
+  *     mixing exact `count(DISTINCT c1..cN)` with other aggregates plans
+  *     through `Expand` (an (N+1)× row multiplication) and would multiply the
+  *     regex work by the column count. Columns are batched so each job stays
+  *     under [[Config.maxAggExprsPerJob]] aggregate expressions — beyond that
+  *     the generated `WholeStageCodegen` method exceeds the JVM 8 KB JIT /
+  *     64 KB method limits and Spark silently falls back to interpreted
+  *     evaluation (observed as "Broadcasting large task binary" + a 10×+
+  *     slowdown).
+  *  2. '''Distinct job(s)''' — exact `count(DISTINCT c)` batched
+  *     [[Config.maxDistinctPerJob]] columns at a time, so the unavoidable
+  *     Expand multiplies only cheap counting (never the regex work) and is
+  *     bounded. At the 100 TB design point set `exactDistinct = false`:
+  *     `approx_count_distinct` (HyperLogLog++) needs no Expand at all and
+  *     collapses this to one extra aggregate in pass 1's shape.
+  *
+  * All batch jobs are submitted concurrently (Spark's scheduler interleaves
+  * their stages across the executor pool), so wall-clock ≈ the slowest batch,
+  * not the sum.
+  *
+  * Small-input parallelism: a table that arrives as fewer scan partitions
+  * than the cluster has cores (e.g. one parquet row group — row-group
+  * granularity caps split-based parallelism no matter what
+  * `maxPartitionBytes` says) would run the whole regex workload in one task.
+  * [[Config.autoRepartition]] round-robins such inputs to
+  * `defaultParallelism` partitions first; the pre-aggregation shuffle is a
+  * few MB and buys full-width execution. Inputs that already have enough
+  * partitions (any real at-scale table) are left untouched — no shuffle.
   */
 object StatsPass {
 
@@ -42,10 +63,19 @@ object StatsPass {
       withSamples: Boolean = false,
       sampleK: Int = 5,
       /** rows scanned (from the head of the table) for the sample capture */
-      sampleScanRows: Int = 1000
+      sampleScanRows: Int = 1000,
+      /** repartition inputs narrower than defaultParallelism (see scaladoc) */
+      autoRepartition: Boolean = true,
+      /** aggregate-expression cap per regex job (whole-stage-codegen budget) */
+      maxAggExprsPerJob: Int = 80,
+      /** exact-distinct columns per job (bounds the Expand multiplier) */
+      maxDistinctPerJob: Int = 8
   )
 
-  /** Measure every column of `df` in one aggregate pass.
+  /** Measure every column of `df`: non-null count, distinct count, and for
+    * each anchored regex in [[PatternRules.measuredPatterns]] the number of
+    * matching non-null stringified values. All counts are exact longs; the
+    * decision cascade derives ratios deterministically.
     *
     * Columns whose aggregate expressions fail to build are skipped (the
     * reference's per-column error isolation, `pattern_classifier.py:117-123`);
@@ -55,37 +85,63 @@ object StatsPass {
     val fields: Seq[StructField] = df.schema.fields.toSeq
     if (fields.isEmpty) return Seq.empty
 
-    // Build the aggregate bundle per column; Try isolates bad columns
-    // (per-column error isolation, `pattern_classifier.py:117-123`). The
-    // positional index i keys the aliases so arbitrary column names never
-    // collide with alias syntax.
-    val perColumn: Seq[(StructField, Int, Seq[Column])] =
+    // Try isolates bad columns; positional index i keys the aliases so
+    // arbitrary column names never collide with alias syntax.
+    val perColumn: Seq[(StructField, Int)] =
       fields.zipWithIndex.flatMap { case (f, i) =>
-        Try(aggsFor(f, i, config)) match {
-          case Success(aggs) => Some((f, i, aggs))
-          case Failure(_)    => None
+        Try(patternAggsFor(f, i)) match {
+          case Success(_) => Some((f, i))
+          case Failure(_) => None
         }
       }
     if (perColumn.isEmpty) return Seq.empty
 
-    val aggExprs: Seq[Column] = count(lit(1)).as("__total") +: perColumn.flatMap(_._3)
-    val row: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val data = maybeRepartition(df, config)
 
-    val total = row.getAs[Long]("__total")
+    // --- job set A: counts + regex sums, batched under the codegen budget --
+    val exprsPerColumn = 1 + PatternRules.measuredPatterns.size // nn + patterns
+    val colsPerBatch   = math.max(1, config.maxAggExprsPerJob / exprsPerColumn)
+    val regexBatches: Seq[Seq[(StructField, Int)]] = perColumn.grouped(colsPerBatch).toSeq
+
+    // --- job set B: distinct counts only, batched to bound Expand ----------
+    val distinctBatches: Seq[Seq[(StructField, Int)]] =
+      if (config.exactDistinct) perColumn.grouped(config.maxDistinctPerJob).toSeq
+      else Seq(perColumn) // approx_count_distinct: no Expand, one job is fine
+
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val regexF = Future.traverse(regexBatches) { batch =>
+      Future {
+        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i) }
+        data.agg(aggs.head, aggs.tail: _*).collect()(0)
+      }
+    }
+    val distinctF = Future.traverse(distinctBatches) { batch =>
+      Future {
+        val aggs = batch.map { case (f, i) => distinctAggFor(f, i, config) }
+        data.agg(aggs.head, aggs.tail: _*).collect()(0)
+      }
+    }
+    val regexRows    = Await.result(regexF, Duration.Inf)
+    val distinctRows = Await.result(distinctF, Duration.Inf)
+
+    val total = regexRows.head.getAs[Long]("__total")
     val patternKeys = PatternRules.measuredPatterns.map(_.key)
+
+    // index the per-batch rows by alias
+    def lookup(rows: Seq[Row], name: String): Long = {
+      rows.iterator.flatMap { r =>
+        Try(r.fieldIndex(name)).toOption.map(idx => if (r.isNullAt(idx)) 0L else r.getLong(idx))
+      }.next()
+    }
 
     val samples: Map[String, Seq[String]] =
       if (config.withSamples) sampleValues(df, perColumn.map(_._1.name), config)
       else Map.empty
 
-    perColumn.map { case (f, i, _) =>
-      val nn   = row.getAs[Long](s"c${i}__nn")
-      // sum(when) on an empty/all-null column yields null; treat as 0.
-      val uniq = row.getAs[Long](s"c${i}__uniq")
-      val matches = patternKeys.map { k =>
-        val idx = row.fieldIndex(s"c${i}__$k")
-        k -> (if (row.isNullAt(idx)) 0L else row.getLong(idx))
-      }.toMap
+    perColumn.map { case (f, i) =>
+      val nn   = lookup(regexRows, s"c${i}__nn")
+      val uniq = lookup(distinctRows, s"c${i}__uniq")
+      val matches = patternKeys.map(k => k -> lookup(regexRows, s"c${i}__$k")).toMap
       ColumnStats(
         name = f.name,
         totalRows = total,
@@ -97,31 +153,92 @@ object StatsPass {
     }
   }
 
-  /** Aggregate expressions for one column, aliased by position (`c{i}__*`). */
-  private def aggsFor(f: StructField, i: Int, config: Config): Seq[Column] = {
-    val raw = col(s"`${f.name.replace("`", "``")}`")
-    val s   = raw.cast("string")
-    // MapType is not comparable/hashable in Spark aggregates; distinct-count
-    // its string rendering instead (documented deviation for exotic columns).
-    val distinctTarget = f.dataType match {
-      case _: MapType => s
-      case _          => raw
+  /** Counts-only measurement: total / non-null / distinct per column, NO
+    * regex work. This is the S1 `calculate_basic_stats` surface
+    * (`base.py:140-152`) — an order of magnitude cheaper than [[compute]]
+    * and the right pass when the caller needs raw statistics, not
+    * classification. patternMatches is empty in the result.
+    */
+  def computeBasic(df: DataFrame, config: Config = Config()): Seq[ColumnStats] = {
+    val fields: Seq[StructField] = df.schema.fields.toSeq
+    if (fields.isEmpty) return Seq.empty
+    val perColumn = fields.zipWithIndex
+    val data = maybeRepartition(df, config)
+
+    val batches = perColumn.grouped(config.maxDistinctPerJob).toSeq
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rowsF = Future.traverse(batches) { batch =>
+      Future {
+        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) =>
+          Seq(count(rawCol(f)).as(s"c${i}__nn"), distinctAggFor(f, i, config))
+        }
+        data.agg(aggs.head, aggs.tail: _*).collect()(0)
+      }
     }
-    val nn = count(raw).as(s"c${i}__nn")
-    val uniq =
-      if (config.exactDistinct) count_distinct(distinctTarget).as(s"c${i}__uniq")
-      else approx_count_distinct(distinctTarget, config.approxRsd).as(s"c${i}__uniq")
+    val rows = Await.result(rowsF, Duration.Inf)
+    val total = rows.head.getAs[Long]("__total")
+    def lookup(name: String): Long =
+      rows.iterator.flatMap { r =>
+        Try(r.fieldIndex(name)).toOption.map(idx => if (r.isNullAt(idx)) 0L else r.getLong(idx))
+      }.next()
+
+    perColumn.map { case (f, i) =>
+      ColumnStats(
+        name = f.name,
+        totalRows = total,
+        nonNullCount = lookup(s"c${i}__nn"),
+        uniqueCount = lookup(s"c${i}__uniq"),
+        patternMatches = Map.empty,
+        sampleValues = Seq.empty
+      )
+    }
+  }
+
+  /** Round-robin small inputs out to cluster width (no-op for wide inputs —
+    * see object scaladoc).
+    */
+  private def maybeRepartition(df: DataFrame, config: Config): DataFrame = {
+    if (!config.autoRepartition) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  private def rawCol(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
+
+  /** nn + one regex-match count per measured pattern for one column, aliased
+    * by position (`c{i}__*`).
+    */
+  private def patternAggsFor(f: StructField, i: Int): Seq[Column] = {
+    val raw = rawCol(f)
+    val s   = raw.cast("string")
+    val nn  = count(raw).as(s"c${i}__nn")
     val matches = PatternRules.measuredPatterns.map { p =>
       sum(when(s.rlike(p.regex), 1L).otherwise(0L)).as(s"c${i}__${p.key}")
     }
-    nn +: uniq +: matches
+    nn +: matches
+  }
+
+  /** Exact or approximate distinct-count aggregate for one column.
+    * MapType is not comparable/hashable in Spark aggregates; distinct-count
+    * its string rendering instead (documented deviation for exotic columns,
+    * mirrored in OracleGen).
+    */
+  private def distinctAggFor(f: StructField, i: Int, config: Config): Column = {
+    val raw = rawCol(f)
+    val distinctTarget = f.dataType match {
+      case _: MapType => raw.cast("string")
+      case _          => raw
+    }
+    if (config.exactDistinct) count_distinct(distinctTarget).as(s"c${i}__uniq")
+    else approx_count_distinct(distinctTarget, config.approxRsd).as(s"c${i}__uniq")
   }
 
   /** First-K non-null stringified values per column in stable (file) order,
     * captured from a bounded head scan. Reported for inspection only —
     * excluded from oracle hashes (SURVEY.md §2.1 S3: the reference's
     * "first 5 of a seeded shuffle" is not portable; we declare first-K in
-    * table order instead).
+    * table order instead). Reads the ORIGINAL df (not the repartitioned
+    * one) so "table order" survives.
     */
   private def sampleValues(
       df: DataFrame,

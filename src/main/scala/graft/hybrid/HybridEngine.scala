@@ -55,12 +55,27 @@ final class HybridEngine(
     statsConfig: StatsPass.Config = StatsPass.Config(withSamples = true, sampleK = 10)
 ) {
 
-  @volatile private var stats = HybridStats()
+  // Atomic counters (not copy-on-write of an immutable snapshot): merge() may
+  // be mapped over columns in parallel, and a read-copy-update of a @volatile
+  // case class would lose increments under contention (ADVICE r1).
+  import java.util.concurrent.atomic.AtomicLong
+  private val nPatternOnly           = new AtomicLong
+  private val nAiEnhanced            = new AtomicLong
+  private val nAiOverride            = new AtomicLong
+  private val nConsensusAgreement    = new AtomicLong
+  private val nConsensusDisagreement = new AtomicLong
+
   @volatile private var aiEnabledFlag: Boolean =
     config.enableAi && ai.exists(_.hasProviders)
 
   def aiEnabled: Boolean = aiEnabledFlag
-  def hybridStats: HybridStats = stats
+  def hybridStats: HybridStats = HybridStats(
+    patternOnly = nPatternOnly.get,
+    aiEnhanced = nAiEnhanced.get,
+    aiOverride = nAiOverride.get,
+    consensusAgreement = nConsensusAgreement.get,
+    consensusDisagreement = nConsensusDisagreement.get
+  )
 
   /** `set_ai_enabled` (`hybrid_classifier.py:276-284`): enabling without a
     * provider-backed classifier is refused.
@@ -74,7 +89,7 @@ final class HybridEngine(
   def merge(pattern: ColumnProfile, aiProfile: Option[ColumnProfile]): ColumnProfile =
     aiProfile match {
       case None =>
-        stats = stats.copy(patternOnly = stats.patternOnly + 1)
+        nPatternOnly.incrementAndGet()
         val meaning =
           if (pattern.businessMeaning.nonEmpty) pattern.businessMeaning
           else s"Pattern-classified ${pattern.dataType.value}"
@@ -84,7 +99,7 @@ final class HybridEngine(
         )
 
       case Some(aiP) if aiP.dataType == pattern.dataType =>
-        stats = stats.copy(consensusAgreement = stats.consensusAgreement + 1)
+        nConsensusAgreement.incrementAndGet()
         consensusProfile(pattern, aiP).copy(
           confidenceScore =
             math.min(0.95, (pattern.confidenceScore + aiP.confidenceScore) / 2 + 0.1),
@@ -92,19 +107,19 @@ final class HybridEngine(
         )
 
       case Some(aiP) =>
-        stats = stats.copy(consensusDisagreement = stats.consensusDisagreement + 1)
+        nConsensusDisagreement.incrementAndGet()
         if (aiP.confidenceScore >= config.aiConfidenceThreshold) {
-          stats = stats.copy(aiOverride = stats.aiOverride + 1)
+          nAiOverride.incrementAndGet()
           enhanceWithAi(pattern, aiP, useAiClassification = true).copy(
             dataQualityNotes = f"AI override (confidence: ${aiP.confidenceScore}%.2f)"
           )
         } else if (pattern.confidenceScore >= config.patternConfidenceThreshold) {
-          stats = stats.copy(aiEnhanced = stats.aiEnhanced + 1)
+          nAiEnhanced.incrementAndGet()
           enhanceWithAi(pattern, aiP, useAiClassification = false).copy(
             dataQualityNotes = "Pattern classification, AI enhanced"
           )
         } else {
-          stats = stats.copy(aiEnhanced = stats.aiEnhanced + 1)
+          nAiEnhanced.incrementAndGet()
           enhanceWithAi(pattern, aiP, useAiClassification = false).copy(
             confidenceScore = (pattern.confidenceScore + aiP.confidenceScore) / 2,
             dataQualityNotes = "Hybrid result: pattern type, AI insights"
@@ -173,9 +188,19 @@ object HybridEngine {
     Seq("ANTHROPIC_API_KEY", "GOOGLE_AI_API_KEY", "OPENAI_API_KEY")
       .exists(k => env.get(k).exists(_.nonEmpty))
 
-  /** `get_hybrid_stats` percentage breakdown (`hybrid_classifier.py:258-274`). */
+  /** `get_hybrid_stats` percentage breakdown (`hybrid_classifier.py:258-274`).
+    *
+    * Divergence (documented, §0.2-style): the reference sums
+    * `hybrid_stats.values()` for the denominator, double-counting
+    * disagreement columns (each consensus_disagreement also increments
+    * ai_override or ai_enhanced), so its percentages never reach 100 on any
+    * disagreeing run. The rebuild uses [[HybridStats.total]] — one count per
+    * column processed (consensus_disagreement excluded as the non-exclusive
+    * tally it is) — making total_processed equal the column count and the
+    * exclusive-bucket percentages sum to ~100.
+    */
   def statsWithPercentages(s: HybridStats): Map[String, Any] = {
-    val total = s.asMap.values.sum
+    val total = s.total
     val base = Map[String, Any]("total_processed" -> total, "breakdown" -> s.asMap)
     if (total > 0)
       base + ("percentages" -> s.asMap.map { case (k, v) =>

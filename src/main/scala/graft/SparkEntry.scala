@@ -81,7 +81,15 @@ object SparkEntry {
     val stats = Seq("lineitem", "customer").map { t =>
       s"stats_$t" -> (statsQuery(t) _)
     }
-    (profiles ++ summaries ++ piiSummaries ++ stats).toMap
+    val docs = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "documents")
+    val text: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "tokencount_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.tokenCounts(docs(s, d))),
+      "textstats_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.textStats(docs(s, d))),
+      "langid_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.langId(docs(s, d))),
+      "quality_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.quality(docs(s, d))),
+      "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d)))
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text).toMap
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -101,6 +109,13 @@ object SparkEntry {
     val stats = Seq("lineitem", "customer").map { t =>
       s"stats_$t" -> OracleGen.statsSql(t, Tables.columns(t), Tables.mapColumns(t))
     }
-    (profiles ++ summaries ++ piiSummaries ++ stats).toMap
+    val text = Seq(
+      "tokencount_documents"  -> graft.text.TextOps.oracleTokenCounts,
+      "textstats_documents"   -> graft.text.TextOps.oracleTextStats,
+      "langid_documents"      -> graft.text.TextOps.oracleLangId,
+      "quality_documents"     -> graft.text.TextOps.oracleQuality,
+      "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text).toMap
   }
 }

@@ -1,0 +1,236 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table (`doc_id, text, lang,
+  * source, n_chars` — TESTDATA.md `documents`). North-star extension family
+  * (SURVEY.md §7.4): the measurements a large-scale training-data pipeline
+  * runs over raw text before filtering/dedup.
+  *
+  * Every operator is pure DataFrame API over codegen'd builtins (regexp,
+  * higher-order array functions) — no UDFs, no shuffles except the declared
+  * groupBy aggregations, so each op is a single scan that scales linearly
+  * with partition count. Each op ships a DuckDB oracle (`oracle*`) computing
+  * the identical result; cross-engine agreement rules: integer counts
+  * everywhere, ratios only as CAST(int AS DOUBLE)/int, regexes in the
+  * Java∩RE2 common dialect, explicit identical ORDER BY.
+  */
+object TextOps {
+
+  /** Non-space runs — robust token count (independent of leading/trailing/
+    * repeated whitespace, unlike split-on-space length).
+    */
+  private val TokenRe = "[^ ]+"
+
+  /** BPE-ish pre-tokenization: letter runs | digit runs | single other
+    * non-space symbol (the classic GPT-2-style regex family reduced to the
+    * Java∩RE2 common dialect).
+    */
+  private val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private val PunctRe = "[^A-Za-z0-9 ]"
+
+  /** Language-marker stopword sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic; tie-break order is
+    * [[langPriority]]. (A real pipeline would swap in fastText — the operator
+    * shape, a per-token set-membership scan + argmax, is what scales.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "las", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+  val langPriority: Seq[String] = langMarkers.map(_._1)
+
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  private def markerHits(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+
+  // --- token counting -------------------------------------------------------
+
+  /** Per-document token/char counts: whitespace tokens, BPE-ish pre-tokens,
+    * punctuation symbols, measured char length.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeRe), lit(0))).cast("long").as("bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit(PunctRe), lit(0))).cast("long").as("punct_count"),
+        length(col("text")).cast("long").as("n_chars_measured")
+      )
+      .orderBy("doc_id")
+
+  def oracleTokenCounts: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS bpe_tokens,
+       |  CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS punct_count,
+       |  CAST(length(text) AS BIGINT) AS n_chars_measured
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- corpus statistics ----------------------------------------------------
+
+  /** Corpus statistics grouped by the labeled language: doc counts, token
+    * sums, char ranges, exact-division averages. One scan + one partial-agg
+    * shuffle on a low-cardinality key.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+  }
+
+  def oracleTextStats: String =
+    s"""SELECT lang, n_docs, total_tokens, total_chars, min_chars, max_chars,
+       |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+       |FROM (
+       |  SELECT lang,
+       |    count(*) AS n_docs,
+       |    sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS total_tokens,
+       |    sum(CAST(length(text) AS BIGINT)) AS total_chars,
+       |    min(n_chars) AS min_chars,
+       |    max(n_chars) AS max_chars
+       |  FROM documents GROUP BY lang
+       |) ORDER BY lang""".stripMargin
+
+  // --- language identification ----------------------------------------------
+
+  /** Stopword-scored language ID per document: score = marker-token hits per
+    * language, argmax with [[langPriority]] tie-break, 'und' when no marker
+    * hits at all. Pure per-row computation — no shuffle.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(col("text"), ms) }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in priority order) whose score equals the max
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        pred.as("pred_lang"),
+        maxScore.cast("long").as("marker_hits")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleLangId: String = {
+    def hitExpr(ms: Seq[String]): String = {
+      val set = ms.map(m => s"'${m}'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set)))"
+    }
+    val scoreCols = langMarkers.map { case (l, ms) => s"${hitExpr(ms)} AS s_$l" }.mkString(", ")
+    val scoreNames = langPriority.map(l => s"s_$l").mkString(", ")
+    val maxExpr = langPriority.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val branches = langPriority
+      .map(l => s"WHEN s_$l = mx AND mx > 0 THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE $branches ELSE 'und' END AS pred_lang,
+       |  CAST(mx AS BIGINT) AS marker_hits
+       |FROM (
+       |  SELECT doc_id, lang, $scoreNames, $maxExpr AS mx FROM (
+       |    SELECT doc_id, lang, $scoreCols FROM documents
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  /** Per-document quality signals + a thresholded class. All signals are
+    * integer counts or exact int/int divisions, so the class boundaries are
+    * bit-deterministic across engines.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks  = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    val punct = size(regexp_extract_all(col("text"), lit(PunctRe), lit(0))).cast("long")
+    val stops = markerHits(col("text"), langMarkers.head._2).cast("long") // en markers
+    val len   = length(col("text")).cast("long")
+    val base = docs.select(
+      col("doc_id"),
+      toks.as("n_tokens"),
+      punct.as("punct_count"),
+      stops.as("stop_hits"),
+      len.as("n_chars_measured")
+    )
+    base
+      .withColumn(
+        "stop_ratio",
+        when(col("n_tokens") > 0, col("stop_hits").cast("double") / col("n_tokens")).otherwise(0.0)
+      )
+      .withColumn(
+        "punct_ratio",
+        when(col("n_chars_measured") > 0, col("punct_count").cast("double") / col("n_chars_measured"))
+          .otherwise(0.0)
+      )
+      .withColumn(
+        "quality_class",
+        when(col("n_tokens") >= 20 && col("stop_hits") >= 1 && col("punct_ratio") < 0.1, "good")
+          .when(col("n_tokens") >= 5, "fair")
+          .otherwise("poor")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleQuality: String = {
+    val enSet = langMarkers.head._2.map(m => s"'$m'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, punct_count, stop_hits, n_chars_measured,
+       |  (CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END) AS stop_ratio,
+       |  (CASE WHEN n_chars_measured > 0 THEN CAST(punct_count AS DOUBLE) / n_chars_measured ELSE 0.0 END) AS punct_ratio,
+       |  (CASE WHEN n_tokens >= 20 AND stop_hits >= 1
+       |        AND (CASE WHEN n_chars_measured > 0 THEN CAST(punct_count AS DOUBLE) / n_chars_measured ELSE 0.0 END) < 0.1
+       |        THEN 'good'
+       |        WHEN n_tokens >= 5 THEN 'fair' ELSE 'poor' END) AS quality_class
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '$PunctRe')) AS BIGINT) AS punct_count,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($enSet))) AS BIGINT) AS stop_hits,
+       |    CAST(length(text) AS BIGINT) AS n_chars_measured
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- fingerprinting -------------------------------------------------------
+
+  /** Whitespace-normalized content fingerprint: md5 hex + a 60-bit numeric
+    * signature (first 15 md5 hex digits — fits a signed BIGINT identically in
+    * both engines). The numeric form is the join/bucket key for exact dedup
+    * at scale.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val fp   = md5(norm.cast("binary"))
+    docs
+      .select(
+        col("doc_id"),
+        fp.as("fp_md5"),
+        conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp_sig")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleFingerprints: String =
+    """SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp_sig
+      |FROM (
+      |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextOps
+
+/** Unit behavior of the text-analysis operators on adversarial fixtures
+  * (double spaces, punctuation, empty strings, mixed markers). The
+  * cross-engine agreement of the same operators is covered by the DuckDB
+  * oracle gate (tokencount/textstats/langid/quality/fingerprint_documents).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tokenCounts: whitespace robustness and BPE-ish splitting") {
+    val df = docs(
+      (1L, "key  agg row", "en", "s", 12L),   // double space
+      (2L, "ab1 cd-2", "en", "s", 8L),
+      (3L, "", "en", "s", 0L)
+    )
+    val m = TextOps.tokenCounts(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("ws_tokens") == 3)
+    assert(m(2L).getAs[Long]("bpe_tokens") == 5) // ab,1,cd,-,2
+    assert(m(2L).getAs[Long]("punct_count") == 1)
+    assert(m(3L).getAs[Long]("ws_tokens") == 0)
+  }
+
+  test("langId: argmax with priority tie-break and und fallback") {
+    val df = docs(
+      (1L, "the cat and the dog", "en", "s", 19L),       // en markers: the,and,the
+      (2L, "der hund und die katze", "de", "s", 22L),    // de markers
+      (3L, "xyzzy plugh", "en", "s", 11L),               // no markers → und
+      (4L, "the der", "en", "s", 7L)                     // tie en=1,de=1 → en (priority)
+    )
+    val m = TextOps.langId(df).collect().map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(m(1L) == "en")
+    assert(m(2L) == "de")
+    assert(m(3L) == "und")
+    assert(m(4L) == "en")
+  }
+
+  test("quality: class thresholds") {
+    val good = Seq.fill(25)("word").mkString(" ") + " the"
+    val df = docs(
+      (1L, good, "en", "s", good.length.toLong),
+      (2L, "five words here right now", "en", "s", 25L), // fair: 5 tokens, no 'the'... has none
+      (3L, "tiny", "en", "s", 4L)
+    )
+    val m = TextOps.quality(df).collect().map(r => r.getLong(0) -> r.getAs[String]("quality_class")).toMap
+    assert(m(1L) == "good")
+    assert(m(2L) == "fair")
+    assert(m(3L) == "poor")
+  }
+
+  test("fingerprints: whitespace/case-insensitive equality, 60-bit sig positive") {
+    val df = docs(
+      (1L, "Key Agg  Row", "en", "s", 12L),
+      (2L, "key agg row", "en", "s", 11L),
+      (3L, "key agg rows", "en", "s", 12L)
+    )
+    val rows = TextOps.fingerprints(df).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("fp_md5") == byId(2L).getAs[String]("fp_md5"))
+    assert(byId(1L).getAs[String]("fp_md5") != byId(3L).getAs[String]("fp_md5"))
+    assert(rows.forall(_.getAs[Long]("fp_sig") >= 0L))
+  }
+
+  test("textStats: per-lang aggregation with exact-division averages") {
+    val df = docs(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "d e", "en", "s", 3L),
+      (3L, "f", "de", "s", 1L)
+    )
+    val m = TextOps.textStats(df).collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(m("en").getAs[Long]("n_docs") == 2)
+    assert(m("en").getAs[Long]("total_tokens") == 5)
+    assert(m("en").getAs[Double]("avg_tokens") == 2.5)
+    assert(m("de").getAs[Long]("max_chars") == 1)
+  }
+}

@@ -89,7 +89,13 @@ object SparkEntry {
       "quality_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.quality(docs(s, d))),
       "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d)))
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text).toMap
+    val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
+      "minhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.minhashCandidatePairs(docs(s, d))),
+      "simhash_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhash(docs(s, d))),
+      "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d)))
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup).toMap
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -116,6 +122,12 @@ object SparkEntry {
       "quality_documents"     -> graft.text.TextOps.oracleQuality,
       "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text).toMap
+    val dedup = Seq(
+      "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
+      "minhash_pairs_documents" -> graft.dedup.DedupOps.oracleMinhashCandidatePairs,
+      "simhash_documents"       -> graft.dedup.DedupOps.oracleSimhash,
+      "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs()
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup).toMap
   }
 }

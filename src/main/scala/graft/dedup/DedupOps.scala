@@ -1,0 +1,255 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document table — the north-star family a
+  * training-data pipeline runs before anything else (SURVEY.md §7.4).
+  *
+  * Four tiers, cheapest-first, all bucketed (never all-pairs):
+  *
+  *  1. '''Exact''' ([[exactDuplicates]]) — group by normalized-content md5.
+  *     One hash-shuffle; at 100 TB this is the classic map-side-combinable
+  *     aggregation.
+  *  2. '''MinHash + LSH''' ([[minhashCandidatePairs]]) — 3-token shingles →
+  *     32 affine min-hashes → 8 bands × 4 rows. Collision probability at
+  *     Jaccard J is 1-(1-J⁴)⁸ (S-curve centered ≈ 0.59), so true near-dups
+  *     (J≳0.8) are found with ~certainty while random pairs (J≲0.1) are
+  *     suppressed ~J⁴. Candidate generation joins on (band, band-key) —
+  *     work scales with bucket occupancy, never |docs|².
+  *  3. '''SimHash''' ([[simhash]]) — 32-bit sign-of-weighted-bits signature
+  *     computed per-row with higher-order array functions: NO explode, NO
+  *     shuffle; hamming-close signatures are near-dups.
+  *  4. '''Exact n-gram Jaccard''' ([[jaccardPairs]]) — the verifier for tiers
+  *     2/3: inverted-index join on shingles, |A∩B| by count, J from per-doc
+  *     set sizes. At scale, cap shingle document-frequency before the join
+  *     (hot shingles contribute candidates quadratically but almost never
+  *     evidence J≥0.5 — a df-cap bounds the blow-up with bounded recall loss).
+  *
+  * All hash math is engine-portable: x = first 8/15 hex digits of md5 (fits
+  * BIGINT identically in Spark `conv` and DuckDB `'0x…'::BIGINT`), affine
+  * hashes (a·x+b) mod p with a < 2³¹, x < 2³², p = 4294967311 — the product
+  * stays below 2⁶³, so signed-64 arithmetic never overflows in either engine.
+  */
+object DedupOps {
+
+  /** Smallest prime > 2³² — the classic MinHash modulus. */
+  val HashPrime: Long = 4294967311L
+
+  val NumHashes = 32
+  val BandRows  = 4
+  val NumBands  = 8 // NumHashes / BandRows
+
+  val ShingleSize = 3
+
+  /** Deterministic affine coefficients (aᵢ, bᵢ), LCG-derived; aᵢ < 2³¹ keeps
+    * aᵢ·x below 2⁶³ for x < 2³².
+    */
+  val hashCoeffs: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    val a = (1103515245L * (i + 1) + 12345L)  % 2147483647L
+    val b = (69069L * (i + 1) + 1234567L)     % HashPrime
+    (a, b)
+  }
+
+  // --- shared shingle machinery --------------------------------------------
+
+  /** Distinct (doc_id, shingle) pairs: lowercased whitespace tokens joined in
+    * sliding windows of [[ShingleSize]]. Docs shorter than one shingle drop
+    * out (mirrored by the oracle's empty-range semantics).
+    */
+  def shingleDF(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val n    = ShingleSize
+    val idxs =
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    val shingles = transform(
+      idxs,
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+    )
+    docs.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+  }
+
+  /** 32-bit hash of a string: first 8 md5 hex digits as a BIGINT. */
+  private def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val oracleShingleCte =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-1), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS s
+      |  FROM toks))""".stripMargin
+
+  // --- tier 1: exact --------------------------------------------------------
+
+  /** Exact-duplicate groups by normalized content: (fingerprint, kept doc,
+    * copy count). `keep_doc_id = min(doc_id)` is the canonical survivor; a
+    * caller dedups by semi-joining on it.
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    docs
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  def oracleExactDuplicates: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // --- tier 2: MinHash + LSH ------------------------------------------------
+
+  /** Per-doc MinHash signature (s0..s31). One explode + one hash-shuffle on
+    * doc_id; signature width is constant, so the aggregate state is 32 longs
+    * regardless of document size.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleDF(docs).withColumn("x", hash32(col("shingle")))
+    val mins = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % lit(HashPrime)).as(s"s$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate near-dup pairs: band the signature, join on (band, key).
+    * `stack` emits all 8 band rows in one pass (no 8× recompute of the
+    * signature aggregate).
+    */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val stackArgs = (0 until NumBands)
+      .map { j =>
+        val ks = (0 until BandRows).map(r => s"s${j * BandRows + r}").mkString(", ")
+        s"$j, concat_ws(':', $ks)"
+      }
+      .mkString(", ")
+    val bands = sig.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def oracleMinhashCandidatePairs: String = {
+    val sigCols = hashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a*x + $b) % $HashPrime) AS s$i" }
+      .mkString(", ")
+    val bands = (0 until NumBands)
+      .map { j =>
+        val ks = (0 until BandRows).map(r => s"s${j * BandRows + r}").mkString(", ")
+        s"SELECT doc_id, $j AS band, concat_ws(':', $ks) AS key FROM sig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $oracleShingleCte,
+       |hx AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- tier 3: SimHash ------------------------------------------------------
+
+  /** 32-bit SimHash per document, computed entirely per-row (higher-order
+    * array functions; token hashes computed once into `ths`) — zero shuffle,
+    * embarrassingly parallel at any scale. Bit j is 1 iff the sum over token
+    * occurrences of ±1 (per token-hash bit j) is positive.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn(
+        "ths",
+        expr("transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))")
+      )
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 31), 0L, (acc, j) ->
+            |  acc + IF(aggregate(ths, 0L,
+            |             (a, t) -> a + IF((t DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1, 1L, -1L)) > 0,
+            |           CAST(pow(2, j) AS BIGINT), 0L))""".stripMargin
+        )
+      )
+      .select(col("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  def oracleSimhash: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS t
+      |  FROM documents),
+      |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS x FROM toks),
+      |w AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (x // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS wj
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN wj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- tier 4: exact n-gram Jaccard ----------------------------------------
+
+  /** Exact 3-shingle Jaccard over pairs sharing at least one shingle
+    * (inverted-index join — never |docs|²), thresholded. Intersection by
+    * count, union by |A|+|B|−|A∩B|; the division is exact-int → IEEE double,
+    * bit-identical across engines.
+    *
+    * @param maxShingleDf optional document-frequency cap: shingles appearing
+    *   in more than this many docs are dropped before the pair join (the
+    *   100 TB hot-key guard). None = exact (the oracle-declared setting).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = shingleDF(docs)
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("shingle").count().where(col("count") > cap).select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard")
+      )
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def oracleJaccardPairs(threshold: Double = 0.5): String =
+    s"""WITH $oracleShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+}

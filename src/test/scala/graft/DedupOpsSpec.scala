@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupOps
+
+/** Planted-duplicate behavior of the dedup tiers. Cross-engine agreement of
+  * the same operators is covered by the DuckDB oracle gate
+  * (dedup_exact/minhash_pairs/simhash/jaccard_pairs_documents); these specs
+  * prove the operators actually FIND duplicates on known-truth fixtures.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private def salad(seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val base   = salad(1, 50)
+  private val nearDup = base.split(" ").updated(25, "CHANGED").mkString(" ") // 1 of 50 tokens
+  private val other  = salad(2, 50)
+
+  test("exactDuplicates groups case/whitespace variants, keeps min doc_id") {
+    val df = docs(
+      (1L, "Key Agg  Row"),
+      (2L, "key agg row"),
+      (3L, "different text")
+    )
+    val rows = DedupOps.exactDuplicates(df).collect()
+    assert(rows.length == 2)
+    val dupGroup = rows.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-dup, suppresses unrelated pair") {
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = DedupOps.minhashCandidatePairs(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected planted pair, got $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("minhash signature: identical docs have identical signatures") {
+    val df = docs((1L, base), (2L, base))
+    val sig = DedupOps.minhashSignatures(df).collect().map(r => r.toSeq.drop(1)).distinct
+    assert(sig.length == 1)
+  }
+
+  test("simhash: identical same, near-dup close, unrelated far (hamming)") {
+    val df = docs((1L, base), (2L, base), (3L, nearDup), (4L, other))
+    val m = DedupOps.simhash(df).collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) <= 8, s"near-dup hamming ${hamming(m(1L), m(3L))}")
+    assert(hamming(m(1L), m(4L)) > hamming(m(1L), m(3L)))
+  }
+
+  test("jaccardPairs: planted pair above threshold with correct J; df-cap is recall-lossy not additive") {
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val rows = DedupOps.jaccardPairs(df, threshold = 0.5).collect()
+    assert(rows.length == 1)
+    assert((rows(0).getAs[Long]("doc_a"), rows(0).getAs[Long]("doc_b")) == (1L, 2L))
+    val j = rows(0).getAs[Double]("jaccard")
+    assert(j > 0.8 && j < 1.0, s"J=$j") // 1-token change in 50 → 3 shingles affected
+    // df-capped variant can only lose pairs, never invent them
+    val capped = DedupOps.jaccardPairs(df, threshold = 0.5, maxShingleDf = Some(1)).collect()
+    assert(capped.isEmpty || capped.length <= rows.length)
+  }
+}

@@ -95,7 +95,12 @@ object SparkEntry {
       "simhash_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhash(docs(s, d))),
       "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d)))
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup).toMap
+    val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
+    val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "knn_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineTopK(emb(s, d))),
+      "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d)))
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim).toMap
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -128,6 +133,10 @@ object SparkEntry {
       "simhash_documents"       -> graft.dedup.DedupOps.oracleSimhash,
       "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs()
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup).toMap
+    val sim = Seq(
+      "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
+      "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim).toMap
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.SimilarityOps
+
+/** Behavior of the similarity tiers on planted structure. Cross-engine
+  * agreement of cosineTopK/lshBuckets is covered by the DuckDB oracle gate
+  * (knn_embeddings / lshbuckets_embeddings).
+  */
+class SimilarityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 3 clusters of 5 near-identical vectors + noise vectors. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = Array.fill(SimilarityOps.Dim)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = (0 until 3).flatMap { c =>
+      val center = unit()
+      (0 until 5).map { m =>
+        val v = center.map(x => x + (rnd.nextDouble() * 0.01 - 0.005).toFloat)
+        ((c * 5 + m).toLong, v, c)
+      }
+    } ++ (15 until 40).map(i => (i.toLong, unit(), 99))
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosineTopK: query's own vector ranks first at sim 1.0; cluster mates fill top-5") {
+    val top = SimilarityOps.cosineTopK(clustered, queryIds = Seq(0L, 5L), k = 5).collect()
+    val byQ = top.groupBy(_.getAs[Long]("qid"))
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.head.getAs[Long]("vec_id") == q)
+      assert(sorted.head.getAs[Double]("sim_r") == 1.0)
+      val cluster = (q / 5) * 5
+      val mates = sorted.map(_.getAs[Long]("vec_id")).toSet
+      assert(mates == (cluster until cluster + 5).toSet, s"q=$q got $mates")
+    }
+  }
+
+  test("lshBuckets: cluster mates land within hamming-1 of each other") {
+    val b = SimilarityOps.lshBuckets(clustered).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    for (c <- 0 until 3) {
+      val buckets = (c * 5 until c * 5 + 5).map(i => b(i.toLong)).toSet
+      // a hyperplane may pass near a cluster center and split it — that is
+      // what hamming-1 multiprobe in annTopK exists for; but mates must stay
+      // within one bit of each other
+      val maxHam = (for (x <- buckets; y <- buckets)
+        yield java.lang.Long.bitCount(x ^ y)).max
+      assert(maxHam <= 1, s"cluster $c spread across $buckets (hamming $maxHam)")
+    }
+    assert(b.values.toSet.size > 3) // noise occupies other buckets
+  }
+
+  test("annTopK: bucketed search recovers the cluster with exact rerank order") {
+    val ann = SimilarityOps.annTopK(clustered, queryIds = Seq(0L), k = 5).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(ann.head.getAs[Long]("vec_id") == 0L)
+    val got = ann.map(_.getAs[Long]("vec_id")).toSet
+    assert((0L until 5L).toSet.subsetOf(got), s"recall miss: $got")
+    // agreement with brute force on the planted cluster
+    val brute = SimilarityOps.cosineTopK(clustered, queryIds = Seq(0L), k = 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(got == brute)
+  }
+}

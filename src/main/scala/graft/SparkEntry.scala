@@ -100,7 +100,19 @@ object SparkEntry {
       "knn_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineTopK(emb(s, d))),
       "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d)))
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim).toMap
+    val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dv_hub_customer" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.hub(Tables.load(s, d, "customer"), "customer", Seq("c_custkey"))),
+      "dv_sat_customer" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.satellite(
+          Tables.load(s, d, "customer"), "customer", Seq("c_custkey"),
+          Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+      "dv_link_order_customer" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.link(
+          Tables.load(s, d, "orders"), "order_customer", "order", "o_orderkey", "customer", "o_custkey")),
+      "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d))
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault).toMap
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -137,6 +149,15 @@ object SparkEntry {
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
       "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim).toMap
+    val vault = Seq(
+      "dv_hub_customer" -> graft.vault.DataVault.oracleHub("customer", "customer", Seq("c_custkey")),
+      "dv_sat_customer" -> graft.vault.DataVault.oracleSatellite(
+        "customer", "customer", Seq("c_custkey"),
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), doubleCols = Set("c_acctbal")),
+      "dv_link_order_customer" -> graft.vault.DataVault.oracleLink(
+        "orders", "order_customer", "order", "o_orderkey", "customer", "o_custkey"),
+      "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault).toMap
   }
 }

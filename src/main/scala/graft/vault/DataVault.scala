@@ -1,0 +1,203 @@
+package graft.vault
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Data Vault 2.0 generation — the reference's headline-but-unbuilt
+  * `core/generators/` surface (its README's declared goal), rebuilt
+  * Spark-first per SURVEY.md §7.4.
+  *
+  * Conventions (standard DV2.0):
+  *   - hash keys: `sha2(concat_ws('||', entity, businessKey…), 256)` —
+  *     deterministic, engine-portable (DuckDB `sha256` emits the same
+  *     lowercase hex).
+  *   - hubs: DISTINCT business keys + hash key. One shuffle (distinct on the
+  *     key); at scale this is the map-side-combinable grain extraction.
+  *   - satellites: hub hash key + `hashdiff` over canonicalized descriptive
+  *     attributes (change detection joins on (hk, hashdiff) — no row compare).
+  *     DOUBLE attributes are canonicalized through DECIMAL(18,2) before
+  *     hashing: the money columns are exactly 2-decimal, so the cast is exact
+  *     and renders identically in every engine (raw double→string rendering
+  *     is NOT engine-portable).
+  *   - links: DISTINCT (fkA, fkB) grain with its own hash key + the member
+  *     hub keys.
+  *
+  * [[fkCandidates]] is the cross-table inclusion-dependency pass the
+  * reference's `ColumnProfile.references` field needs but never populates
+  * (`base.py:49-50`): name-suffix candidate enumeration (static), then
+  * data-driven containment (anti-join orphan count) and parent-uniqueness
+  * checks. Each check is one co-partitioned equi-join — never a cross
+  * product — and all checks union into a single lazy plan so Spark schedules
+  * them together.
+  */
+object DataVault {
+
+  /** `sha2(concat_ws('||', entity, parts…), 256)` — the DV hash-key shape. */
+  def hashKey(entity: String, parts: Column*): Column =
+    sha2(concat_ws("||", (lit(entity) +: parts): _*), 256)
+
+  /** Canonical string rendering for hash inputs: exact for integers/strings;
+    * doubles go through DECIMAL(18,2) (see object scaladoc).
+    */
+  private def canon(df: DataFrame, c: String): Column = {
+    val isDouble = df.schema(c).dataType == org.apache.spark.sql.types.DoubleType
+    if (isDouble) col(c).cast(DecimalType(18, 2)).cast("string") else col(c).cast("string")
+  }
+
+  // --- generic generators ---------------------------------------------------
+
+  /** Hub: one row per distinct business key. */
+  def hub(df: DataFrame, entity: String, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys: _*)
+      .distinct()
+      .select(hashKey(entity, keyCols.map(c => canon(df, c)): _*).as(s"hub_${entity}_hk") +: keys: _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Satellite: hub hash key + hashdiff over descriptive attributes + the
+    * attributes themselves.
+    */
+  def satellite(df: DataFrame, entity: String, keyCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val hk = hashKey(entity, keyCols.map(c => canon(df, c)): _*).as(s"hub_${entity}_hk")
+    val hashdiff = sha2(concat_ws("||", attrCols.map(c => canon(df, c)): _*), 256).as("hashdiff")
+    df.select(hk +: hashdiff +: (keyCols ++ attrCols).map(col): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Link: one row per distinct related-key pair, with member hub keys. */
+  def link(
+      df: DataFrame,
+      linkName: String,
+      entityA: String,
+      keyA: String,
+      entityB: String,
+      keyB: String
+  ): DataFrame =
+    df.select(col(keyA), col(keyB))
+      .distinct()
+      .select(
+        hashKey(linkName, canon(df, keyA), canon(df, keyB)).as(s"link_${linkName}_hk"),
+        hashKey(entityA, canon(df, keyA)).as(s"hub_${entityA}_hk"),
+        hashKey(entityB, canon(df, keyB)).as(s"hub_${entityB}_hk"),
+        col(keyA),
+        col(keyB)
+      )
+      .orderBy(keyA, keyB)
+
+  // --- oracle SQL -----------------------------------------------------------
+
+  private def canonSql(c: String, doubleCols: Set[String]): String =
+    if (doubleCols.contains(c)) s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+    else s"CAST($c AS VARCHAR)"
+
+  private def hashKeySql(entity: String, parts: Seq[String]): String =
+    s"sha256(concat_ws('||', '${entity}', ${parts.mkString(", ")}))"
+
+  def oracleHub(table: String, entity: String, keyCols: Seq[String], doubleCols: Set[String] = Set.empty): String = {
+    val keys = keyCols.mkString(", ")
+    val hk   = hashKeySql(entity, keyCols.map(canonSql(_, doubleCols)))
+    s"""SELECT $hk AS hub_${entity}_hk, $keys FROM (
+       |  SELECT DISTINCT $keys FROM $table
+       |) ORDER BY $keys""".stripMargin
+  }
+
+  def oracleSatellite(
+      table: String,
+      entity: String,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      doubleCols: Set[String] = Set.empty
+  ): String = {
+    val hk = hashKeySql(entity, keyCols.map(canonSql(_, doubleCols)))
+    val hd = s"sha256(concat_ws('||', ${attrCols.map(canonSql(_, doubleCols)).mkString(", ")}))"
+    s"""SELECT $hk AS hub_${entity}_hk, $hd AS hashdiff, ${(keyCols ++ attrCols).mkString(", ")}
+       |FROM $table ORDER BY ${keyCols.mkString(", ")}""".stripMargin
+  }
+
+  def oracleLink(
+      table: String,
+      linkName: String,
+      entityA: String,
+      keyA: String,
+      entityB: String,
+      keyB: String
+  ): String = {
+    val lhk = hashKeySql(linkName, Seq(s"CAST($keyA AS VARCHAR)", s"CAST($keyB AS VARCHAR)"))
+    val ahk = hashKeySql(entityA, Seq(s"CAST($keyA AS VARCHAR)"))
+    val bhk = hashKeySql(entityB, Seq(s"CAST($keyB AS VARCHAR)"))
+    s"""SELECT $lhk AS link_${linkName}_hk, $ahk AS hub_${entityA}_hk, $bhk AS hub_${entityB}_hk,
+       |  $keyA, $keyB
+       |FROM (SELECT DISTINCT $keyA, $keyB FROM $table) ORDER BY $keyA, $keyB""".stripMargin
+  }
+
+  // --- inclusion-dependency (FK) discovery ----------------------------------
+
+  /** Relational tables participating in FK discovery. */
+  val relationalTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Static candidate enumeration: key-suffixed columns (name after the
+    * table-prefix underscore ends in "key") matched across tables by suffix
+    * equality. Purely name-driven — the DATA then decides containment and
+    * uniqueness, so both engines derive is_fk independently.
+    */
+  def candidatePairs: Seq[(String, String, String, String)] = {
+    def suffix(c: String): String = c.substring(c.indexOf('_') + 1)
+    val keyCols = for {
+      t <- relationalTables
+      c <- Tables.columns(t)
+      if c.endsWith("key")
+    } yield (t, c, suffix(c))
+    for {
+      (ct, cc, cs) <- keyCols
+      (pt, pc, ps) <- keyCols
+      if ct != pt && cs == ps
+    } yield (ct, cc, pt, pc)
+  }
+
+  /** One row per candidate: orphan count (child values missing from parent),
+    * parent uniqueness, and the resulting is_fk verdict. All branches build
+    * one unioned lazy plan.
+    */
+  def fkCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val dfs = relationalTables.map(t => t -> Tables.load(spark, dir, t)).toMap
+    val branches = candidatePairs.map { case (ct, cc, pt, pc) =>
+      val child  = dfs(ct).select(col(cc))
+      val parent = dfs(pt).select(col(pc))
+      val orphans = child
+        .join(parent.distinct(), child(cc) === parent(pc), "left_anti")
+        .agg(count(lit(1)).as("orphan_count"))
+      val uniq = parent.agg((count_distinct(col(pc)) === count(col(pc))).as("parent_is_unique"))
+      orphans
+        .crossJoin(uniq)
+        .select(
+          lit(ct).as("child_table"),
+          lit(cc).as("child_column"),
+          lit(pt).as("parent_table"),
+          lit(pc).as("parent_column"),
+          col("orphan_count"),
+          col("parent_is_unique"),
+          (col("orphan_count") === 0 && col("parent_is_unique")).as("is_fk")
+        )
+    }
+    branches
+      .reduce(_ union _)
+      .orderBy("child_table", "child_column", "parent_table")
+  }
+
+  def oracleFkCandidates: String = {
+    val selects = candidatePairs.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct' AS child_table, '$cc' AS child_column,
+         |  '$pt' AS parent_table, '$pc' AS parent_column,
+         |  (SELECT count(*) FROM $ct c WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = c.$cc)) AS orphan_count,
+         |  (SELECT count(DISTINCT $pc) = count($pc) FROM $pt) AS parent_is_unique""".stripMargin
+    }
+    s"""SELECT *, (orphan_count = 0 AND parent_is_unique) AS is_fk FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) ORDER BY child_table, child_column, parent_table""".stripMargin
+  }
+}

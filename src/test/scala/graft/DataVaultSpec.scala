@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vault.DataVault
+
+/** Data Vault generation semantics + FK discovery on the sf0.001 testdata.
+  * Cross-engine agreement is covered by the DuckDB oracle gate
+  * (dv_hub/dv_sat/dv_link/fk_candidates).
+  */
+class DataVaultSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hub: one row per distinct business key, deterministic hash key") {
+    val customer = Tables.load(spark, dir, "customer")
+    val h = DataVault.hub(customer, "customer", Seq("c_custkey"))
+    assert(h.count() == customer.select("c_custkey").distinct().count())
+    val first = h.orderBy("c_custkey").first()
+    assert(first.getAs[String]("hub_customer_hk").matches("[0-9a-f]{64}"))
+    // re-generation is bit-identical (no randomness, no timestamps)
+    assert(DataVault.hub(customer, "customer", Seq("c_custkey")).orderBy("c_custkey").first() == first)
+  }
+
+  test("satellite: hashdiff changes iff a descriptive attribute changes") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alice", 100.00), (2L, "bob", 7.25)).toDF("id", "name", "bal")
+    val v2 = Seq((1L, "alice", 100.00), (2L, "bob", 9.99)).toDF("id", "name", "bal")
+    def hd(df: org.apache.spark.sql.DataFrame) =
+      DataVault.satellite(df, "e", Seq("id"), Seq("name", "bal")).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("hashdiff")).toMap
+    val (h1, h2) = (hd(v1), hd(v2))
+    assert(h1(1L) == h2(1L)) // unchanged row → same hashdiff
+    assert(h1(2L) != h2(2L)) // changed balance → new hashdiff
+  }
+
+  test("link: grain is distinct key pairs; member hub keys match hub generation") {
+    val orders = Tables.load(spark, dir, "orders")
+    val l = DataVault.link(orders, "order_customer", "order", "o_orderkey", "customer", "o_custkey")
+    assert(l.count() == orders.select("o_orderkey", "o_custkey").distinct().count())
+    // hub_customer_hk in the link equals the hub's hash for the same key
+    val customer = Tables.load(spark, dir, "customer")
+    val hubKeys = DataVault.hub(customer, "customer", Seq("c_custkey")).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("hub_customer_hk")).toMap
+    val sample = l.orderBy("o_orderkey").limit(5).collect()
+    for (r <- sample)
+      assert(r.getAs[String]("hub_customer_hk") == hubKeys(r.getAs[Long]("o_custkey")))
+  }
+
+  test("fkCandidates: discovers the real TPC-H foreign keys and only them") {
+    val rows = DataVault.fkCandidates(spark, dir).collect()
+    val verdicts = rows.map { r =>
+      (r.getAs[String]("child_table"), r.getAs[String]("child_column"),
+        r.getAs[String]("parent_table")) -> r.getAs[Boolean]("is_fk")
+    }.toMap
+    val trueFks = Set(
+      ("nation", "n_regionkey", "region"),
+      ("customer", "c_nationkey", "nation"),
+      ("supplier", "s_nationkey", "nation"),
+      ("orders", "o_custkey", "customer"),
+      ("lineitem", "l_orderkey", "orders"),
+      ("lineitem", "l_partkey", "part"),
+      ("lineitem", "l_suppkey", "supplier")
+    )
+    for (fk <- trueFks)
+      assert(verdicts.getOrElse(fk, false), s"missed FK $fk")
+    for ((k, v) <- verdicts if !trueFks.contains(k))
+      assert(!v, s"false FK $k")
+  }
+}

@@ -112,7 +112,13 @@ object SparkEntry {
           Tables.load(s, d, "orders"), "order_customer", "order", "o_orderkey", "customer", "o_custkey")),
       "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d))
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault).toMap
+    val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "stream_events_hourly" -> ((s: SparkSession, d: String) =>
+        graft.streaming.StreamingProfiler.eventWindowCounts(s, d)),
+      "media_features_documents" -> ((s: SparkSession, d: String) =>
+        graft.multimodal.MediaOps.mediaFeatures(docs(s, d)))
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -158,6 +164,10 @@ object SparkEntry {
         "orders", "order_customer", "order", "o_orderkey", "customer", "o_custkey"),
       "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault).toMap
+    val extra = Seq(
+      "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
+      "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures
+    )
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
   }
 }

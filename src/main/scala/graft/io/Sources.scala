@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File ingestion surface (SURVEY.md §2 I1/I2; reference:
+  * `tests/conftest.py:64-73` CSV round-trip + `.env.example`'s file-upload
+  * ingestion path).
+  *
+  * Parquet is the primary format (columnar, predicate/projection pushdown —
+  * `.explain` shows PushedFilters/ReadSchema reaching the scan). CSV is the
+  * ingestion-edge format: schema-explicit by default because inference costs
+  * an extra full scan of the input — at 100 TB you pass the schema.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV reader. `schema=None` infers (extra scan — small inputs only);
+    * header defaults on, matching the pandas `to_csv/read_csv` round-trip
+    * semantics of the reference fixture.
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true
+  ): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("nullValue", "")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.Sources
+import graft.multimodal.MediaOps
+
+/** I1 CSV ingestion round-trip (reference `tests/conftest.py:64-73`),
+  * streaming-vs-batch equivalence, and the multimodal featurize plumbing.
+  */
+class IoStreamingMediaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("I1 CSV round-trip preserves rows and profiles like the in-memory frame") {
+    val df = Seq(
+      (1001L, "john@example.com", "active", 150.50),
+      (1002L, "jane@test.org", "inactive", 0.0),
+      (1003L, "bob@company.co.uk", "pending", 2500.75)
+    ).toDF("customer_id", "email", "status", "balance")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
+    Sources.writeCsv(df, dir)
+    val back = Sources.readCsv(spark, dir, schema = Some(df.schema))
+    assert(back.count() == 3)
+    assert(back.orderBy("customer_id").collect().toSeq == df.orderBy("customer_id").collect().toSeq)
+
+    // inferred-schema path (the reference's pandas.read_csv behavior)
+    val inferred = Sources.readCsv(spark, dir)
+    assert(inferred.count() == 3)
+    assert(inferred.schema("customer_id").dataType.typeName.matches("integer|long"))
+
+    // profiling the round-tripped frame matches the in-memory profile
+    val e = new graft.engine.ProfilerEngine()
+    val a = e.analyzeDataFrame(df).columnProfiles.map(p => p.originalName -> p.dataType).toMap
+    val b = e.analyzeDataFrame(back).columnProfiles.map(p => p.originalName -> p.dataType).toMap
+    assert(a == b)
+  }
+
+  test("streaming windowed profile equals the batch equivalent (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingProfiler.eventWindowCounts(spark, dir).collect()
+    import org.apache.spark.sql.functions._
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("tv"))
+      .select(col("w.start").cast("long").as("window_start"), col("event_type"),
+        col("n_events"), col("tv").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("multimodal featurize: per-partition decode with stable fake features") {
+    val media = Seq(
+      (1L, "payload-one".getBytes("UTF-8")),
+      (2L, "payload-two".getBytes("UTF-8")),
+      (3L, "payload-one".getBytes("UTF-8"))
+    ).toDF("media_id", "payload").repartition(2)
+
+    val feats = MediaOps.featurize(media, "media_id", "payload", MediaOps.DeterministicFakeDecoder)
+    assert(feats.columns.toSeq == Seq("media_id", "features"))
+    val m = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(m(1L).length == MediaOps.DeterministicFakeDecoder.dim)
+    assert(m(1L) == m(3L)) // same bytes → same features
+    assert(m(1L) != m(2L))
+    assert(m.values.flatten.forall(f => f >= 0.0f && f <= 1.0f))
+  }
+
+  test("MediaMeta rides as a typed struct column next to the payload") {
+    val rows = Seq(
+      (1L, "img-bytes".getBytes("UTF-8"), MediaOps.MediaMeta("image", 640, 480, 0)),
+      (2L, "wav-bytes".getBytes("UTF-8"), MediaOps.MediaMeta("audio", 0, 0, 16000))
+    ).toDF("media_id", "payload", "meta")
+    val imgs = rows.where($"meta.kind" === "image")
+    assert(imgs.count() == 1)
+    assert(imgs.select($"meta.width").as[Int].head() == 640)
+  }
+}

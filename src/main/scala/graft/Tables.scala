@@ -28,6 +28,19 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label")
   )
 
+  /** Round-robin a narrow input out to cluster width. A table that arrives
+    * as fewer scan partitions than the cluster has cores (e.g. one parquet
+    * row group — row-group granularity caps split-based parallelism no
+    * matter what maxPartitionBytes says) would otherwise run any per-row
+    * heavy operator on one core. The pre-work shuffle is a few MB and buys
+    * full-width execution; wide inputs (any real at-scale table) pass
+    * through untouched — no shuffle.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** MAP-typed columns per table. Spark cannot hash/compare MapType in
     * aggregates, so the stats pass distinct-counts the string rendering
     * (StatsPass.distinctAggFor); the oracle mirrors the deviation with

@@ -53,11 +53,15 @@ object DedupOps {
 
   // --- shared shingle machinery --------------------------------------------
 
-  /** Distinct (doc_id, shingle) pairs: lowercased whitespace tokens joined in
-    * sliding windows of [[ShingleSize]]. Docs shorter than one shingle drop
-    * out (mirrored by the oracle's empty-range semantics).
+  /** Raw (doc_id, shingle) occurrences: lowercased whitespace tokens joined
+    * in sliding windows of [[ShingleSize]]. Docs shorter than one shingle
+    * drop out (mirrored by the oracle's empty-range semantics). NOT
+    * per-doc-deduplicated: downstream consumers dedup inside their own
+    * aggregate (collect_set / duplicate-insensitive min), which costs one
+    * less exchange than a standalone distinct.
     */
-  def shingleDF(docs: DataFrame): DataFrame = {
+  def shingleDF(docs0: DataFrame): DataFrame = {
+    val docs = graft.Tables.widen(docs0)
     val toks = split(lower(col("text")), " ")
     val n    = ShingleSize
     val idxs =
@@ -67,7 +71,7 @@ object DedupOps {
       idxs,
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
     )
-    docs.select(col("doc_id"), explode(shingles).as("shingle")).distinct()
+    docs.select(col("doc_id"), explode(shingles).as("shingle"))
   }
 
   /** 32-bit hash of a string: first 8 md5 hex digits as a BIGINT. */
@@ -86,7 +90,8 @@ object DedupOps {
     * copy count). `keep_doc_id = min(doc_id)` is the canonical survivor; a
     * caller dedups by semi-joining on it.
     */
-  def exactDuplicates(docs: DataFrame): DataFrame = {
+  def exactDuplicates(docs0: DataFrame): DataFrame = {
+    val docs = graft.Tables.widen(docs0)
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     docs
       .select(col("doc_id"), md5(norm.cast("binary")).as("fp_md5"))
@@ -104,7 +109,8 @@ object DedupOps {
 
   /** Per-doc MinHash signature (s0..s31). One explode + one hash-shuffle on
     * doc_id; signature width is constant, so the aggregate state is 32 longs
-    * regardless of document size.
+    * regardless of document size. Duplicate shingle occurrences need no
+    * pre-distinct: min() is duplicate-insensitive.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val hashed = shingleDF(docs).withColumn("x", hash32(col("shingle")))
@@ -114,9 +120,13 @@ object DedupOps {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate near-dup pairs: band the signature, join on (band, key).
-    * `stack` emits all 8 band rows in one pass (no 8× recompute of the
-    * signature aggregate).
+  /** LSH candidate near-dup pairs: band the signature, bucket by (band, key),
+    * and explode each bucket's member list into ordered pairs. `stack` emits
+    * all 8 band rows in one pass, and the bucket-grouping formulation
+    * computes the signature aggregate ONCE (a band self-join would recompute
+    * the whole upstream per join side). Bucket member lists are small by
+    * construction (LSH spreads non-dups), so the per-bucket pair explosion is
+    * bounded; at 100 TB add a bucket-size cap before exploding.
     */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
@@ -128,13 +138,12 @@ object DedupOps {
       .mkString(", ")
     val bands = sig.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
     bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -166,7 +175,7 @@ object DedupOps {
     * occurrences of ±1 (per token-hash bit j) is positive.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.widen(docs)
       .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn(
@@ -214,18 +223,30 @@ object DedupOps {
       threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
-    val sh0 = shingleDF(docs)
-    val sh = maxShingleDf match {
-      case Some(cap) =>
-        val hot = sh0.groupBy("shingle").count().where(col("count") > cap).select("shingle")
-        sh0.join(hot, Seq("shingle"), "left_anti")
-      case None => sh0
+    // inverted-index pair generation: one exchange builds deduplicated
+    // posting lists (collect_set — no standalone distinct needed); ordered
+    // pairs explode per bucket. Doc set-sizes derive from the SAME posting
+    // aggregate (membership count), so the expensive shingle exchange is
+    // shared (ReuseExchange) rather than recomputed for a separate per-doc
+    // aggregation. The df-cap filters the posting lists themselves, keeping
+    // capped sizes and capped intersections consistent.
+    val postings0 = shingleDF(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+    val postings = maxShingleDf match {
+      case Some(cap) => postings0.where(size(col("ids")) <= cap)
+      case None      => postings0
     }
-    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh
-      .as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sizes = postings
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val inter = postings
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -74,7 +74,7 @@ object MediaOps {
     val bytes = (0 until 8).map { i =>
       conv(substring(m, 2 * i + 1, 2), 16, 10).cast("long").as(s"b$i")
     }
-    docs
+    graft.Tables.widen(docs)
       .select(
         Seq(
           col("doc_id"),

@@ -56,7 +56,7 @@ object SimilarityOps {
     * 1 ulp; adjacent top-k gaps are ≥1e-4 on this corpus), vec_id tie-break.
     */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): DataFrame = {
-    val base = emb.select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
     val q = base
       .where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -114,7 +114,7 @@ object SimilarityOps {
     * no shuffle, embarrassingly parallel.
     */
   def lshBuckets(emb: DataFrame): DataFrame =
-    emb
+    graft.Tables.widen(emb)
       .select(col("vec_id"), qvec.as("qv"))
       .withColumn("bucket", bucketExpr("qv"))
       .select(col("vec_id"), col("bucket"))
@@ -148,7 +148,7 @@ object SimilarityOps {
       k: Int = 10,
       maxHamming: Int = 1
   ): DataFrame = {
-    val base = emb
+    val base = graft.Tables.widen(emb)
       .select(col("vec_id"), dv.as("v"), qvec.as("qv"))
       .withColumn("bucket", bucketExpr("qv"))
       .withColumn("n2", norm2(col("v")))

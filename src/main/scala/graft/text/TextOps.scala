@@ -56,7 +56,7 @@ object TextOps {
     * punctuation symbols, measured char length.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.widen(docs)
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long").as("ws_tokens"),
@@ -82,7 +82,7 @@ object TextOps {
     */
   def textStats(docs: DataFrame): DataFrame = {
     val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
-    docs
+    graft.Tables.widen(docs)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -121,7 +121,7 @@ object TextOps {
     val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
     }
-    docs
+    graft.Tables.widen(docs)
       .select(
         col("doc_id"),
         col("lang"),
@@ -163,7 +163,7 @@ object TextOps {
     val punct = size(regexp_extract_all(col("text"), lit(PunctRe), lit(0))).cast("long")
     val stops = markerHits(col("text"), langMarkers.head._2).cast("long") // en markers
     val len   = length(col("text")).cast("long")
-    val base = docs.select(
+    val base = graft.Tables.widen(docs).select(
       col("doc_id"),
       toks.as("n_tokens"),
       punct.as("punct_count"),
@@ -218,7 +218,7 @@ object TextOps {
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val fp   = md5(norm.cast("binary"))
-    docs
+    graft.Tables.widen(docs)
       .select(
         col("doc_id"),
         fp.as("fp_md5"),

@@ -98,7 +98,8 @@ object SparkEntry {
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "knn_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineTopK(emb(s, d))),
-      "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d)))
+      "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d))),
+      "cosine_dups_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineDupPairs(emb(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -153,7 +154,8 @@ object SparkEntry {
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
-      "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets
+      "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets,
+      "cosine_dups_embeddings" -> graft.similarity.SimilarityOps.oracleCosineDupPairs()
     )
     val vault = Seq(
       "dv_hub_customer" -> graft.vault.DataVault.oracleHub("customer", "customer", Seq("c_custkey")),

@@ -135,6 +135,42 @@ object SimilarityOps {
        |) ORDER BY vec_id""".stripMargin
   }
 
+  // --- embedding-cosine near-dup --------------------------------------------
+
+  /** Exact embedding near-duplicate pairs: all ordered pairs with cosine ≥
+    * threshold. This is the EXACT tier — deliberately quadratic, the
+    * verifier/rerank stage; at scale, generate candidates from
+    * [[lshBuckets]] (hamming-probe the sketch) and rerank with this exact
+    * cosine, exactly as [[annTopK]] does for search. Declared with an
+    * all-pairs oracle because its semantics are exact (an LSH-filtered
+    * variant would not match an exact oracle on corpora with borderline
+    * pairs).
+    */
+  def cosineDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
+    val dot = aggregate(
+      zip_with(col("v"), col("vb"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    base
+      .crossJoin(b)
+      .where(col("vec_id") < col("vec_b"))
+      .withColumn("sim", dot / (sqrt(col("n2")) * sqrt(col("nb"))))
+      .where(col("sim") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def oracleCosineDupPairs(threshold: Double = 0.9): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim_r
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // --- bucketed ANN ---------------------------------------------------------
 
   /** Approximate top-k: candidates = vectors whose bucket is within hamming

@@ -271,6 +271,20 @@ class HybridAiSpec extends AnyFunSuite {
     assert(new HybridEngine(HybridConfig(enableAi = false, aiConfidenceThreshold = 0.9)).config.aiConfidenceThreshold == 0.9)
   }
 
+  test("H2 single-column entry point merges pattern and AI for just that column") {
+    val live = new ScriptedProvider("live", _ => Some(emailVerdictJson))
+    val eng = new HybridEngine(HybridConfig(enableAi = true), Some(new AiClassifier(Seq(live))))
+    val df = Seq(("x@y.com", 1), ("z@w.org", 2)).toDF("email", "n")
+    val p = eng.analyzeColumn(df, "email")
+    assert(p.originalName == "email")
+    assert(p.dataType == SemanticType.Email)
+    assert(p.dataQualityNotes == "Pattern and AI consensus")
+    // without AI: pure pattern result for the named column
+    val p2 = new HybridEngine(HybridConfig(enableAi = false)).analyzeColumn(df, "n")
+    assert(p2.originalName == "n")
+    assert(p2.dataQualityNotes == "Pattern-based classification only")
+  }
+
   // --- Integration (test_classifiers.py:287-304) ----------------------------
 
   test("I pattern and hybrid-no-AI agree on data types (test_all_classifiers_same_input)") {

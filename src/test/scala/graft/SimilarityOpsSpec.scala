@@ -54,6 +54,20 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(b.values.toSet.size > 3) // noise occupies other buckets
   }
 
+  test("cosineDupPairs: planted cluster pairs found exactly, noise suppressed") {
+    val pairs = SimilarityOps.cosineDupPairs(clustered, threshold = 0.9).collect()
+    val got = pairs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // every within-cluster pair qualifies (vectors differ by ±0.005 noise)
+    val expected = (0 until 3).flatMap { c =>
+      val ids = (c * 5 until c * 5 + 5).map(_.toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(expected.subsetOf(got), s"missing ${expected -- got}")
+    // no cross-cluster or noise pair reaches 0.9
+    assert(got == expected, s"unexpected ${got -- expected}")
+    assert(pairs.forall(_.getAs[Double]("sim_r") >= 0.9))
+  }
+
   test("annTopK: bucketed search recovers the cluster with exact rerank order") {
     val ann = SimilarityOps.annTopK(clustered, queryIds = Seq(0L), k = 5).collect()
       .sortBy(_.getAs[Long]("rank"))

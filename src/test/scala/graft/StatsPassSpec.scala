@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stats.StatsPass
+
+/** Physical-plan-shape knobs of the measurement layer: expression batching,
+  * the distinct/regex job split, approximate-distinct mode, and the
+  * counts-only pass. Correctness of the measurements themselves is covered
+  * by the oracle gate; these specs pin the invariants the batching must
+  * preserve.
+  */
+class StatsPassSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 12 columns — more than one regex batch (80/20 exprs → 4 cols/job) and
+    * more than one distinct batch (8/job).
+    */
+  private lazy val wide = {
+    val rows = (1 to 50).map { i =>
+      (i, s"u$i@x.com", s"2023-01-${10 + i % 20}", i % 3, i.toDouble, s"T$i",
+        i % 2 == 0, s"n$i", i * 2, s"c${i % 5}", s"v$i", i % 7)
+    }
+    rows.toDF("id", "email", "day", "grp", "amt", "code", "flag", "name", "dbl", "cat", "val", "mod")
+  }
+
+  test("batching preserves per-column results across batch boundaries") {
+    val tight = StatsPass.compute(wide, StatsPass.Config(maxAggExprsPerJob = 21, maxDistinctPerJob = 3))
+    val loose = StatsPass.compute(wide, StatsPass.Config(maxAggExprsPerJob = 1000, maxDistinctPerJob = 100))
+    assert(tight.map(_.name) == wide.columns.toSeq)
+    assert(tight == loose) // identical ColumnStats regardless of batch shape
+  }
+
+  test("approximate-distinct mode fills uniqueCount without Expand, within rsd") {
+    val exact  = StatsPass.computeBasic(wide, StatsPass.Config(exactDistinct = true))
+    val approx = StatsPass.computeBasic(wide, StatsPass.Config(exactDistinct = false, approxRsd = 0.05))
+    for ((e, a) <- exact.zip(approx)) {
+      assert(a.name == e.name)
+      assert(math.abs(a.uniqueCount - e.uniqueCount) <= math.max(2, (e.uniqueCount * 0.15).toLong),
+        s"${e.name}: approx ${a.uniqueCount} vs exact ${e.uniqueCount}")
+    }
+  }
+
+  test("computeBasic matches compute on counts and skips pattern work") {
+    val basic = StatsPass.computeBasic(wide)
+    val full  = StatsPass.compute(wide)
+    for ((b, f) <- basic.zip(full)) {
+      assert(b.totalRows == f.totalRows && b.nonNullCount == f.nonNullCount && b.uniqueCount == f.uniqueCount)
+      assert(b.patternMatches.isEmpty && f.patternMatches.nonEmpty)
+    }
+  }
+
+  test("empty and zero-column frames survive every path") {
+    val empty = spark.emptyDataFrame
+    assert(StatsPass.compute(empty).isEmpty)
+    assert(StatsPass.computeBasic(empty).isEmpty)
+  }
+}

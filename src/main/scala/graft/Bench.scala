@@ -21,8 +21,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JIT/codegen warm-up on the smallest SF so the first timed query doesn't
-    // pay one-time JVM costs (VERDICT r1: summary_customer 18 s of warm-up).
+    // pay one-time JVM costs (VERDICT r1: summary_customer 18 s of warm-up) —
+    // one touch per distinct code path (profile/regex, text/dedup, vector).
     SparkEntry.entry(spark).count()
+    graft.dedup.DedupOps.exactDuplicates(Tables.load(spark, "/root/testdata/sf0.001", "documents")).count()
+    graft.similarity.SimilarityOps.lshBuckets(Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
 
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -69,7 +69,12 @@ object StatsPass {
       /** aggregate-expression cap per regex job (whole-stage-codegen budget) */
       maxAggExprsPerJob: Int = 80,
       /** exact-distinct columns per job (bounds the Expand multiplier) */
-      maxDistinctPerJob: Int = 8
+      maxDistinctPerJob: Int = 8,
+      /** evaluate the pattern bank via the native [[MultiPatternMask]]
+        * expression (one pass per value, reused matchers) instead of N
+        * separate `rlike`s. Same results; flag exists as an escape hatch.
+        */
+      nativePatternBank: Boolean = true
   )
 
   /** Measure every column of `df`: non-null count, distinct count, and for
@@ -89,7 +94,7 @@ object StatsPass {
     // arbitrary column names never collide with alias syntax.
     val perColumn: Seq[(StructField, Int)] =
       fields.zipWithIndex.flatMap { case (f, i) =>
-        Try(patternAggsFor(f, i)) match {
+        Try(patternAggsFor(f, i, config)) match {
           case Success(_) => Some((f, i))
           case Failure(_) => None
         }
@@ -111,7 +116,7 @@ object StatsPass {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val regexF = Future.traverse(regexBatches) { batch =>
       Future {
-        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i) }
+        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i, config) }
         data.agg(aggs.head, aggs.tail: _*).collect()(0)
       }
     }
@@ -206,15 +211,31 @@ object StatsPass {
   private def rawCol(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
 
   /** nn + one regex-match count per measured pattern for one column, aliased
-    * by position (`c{i}__*`).
+    * by position (`c{i}__*`). Native mode evaluates the whole bank through
+    * ONE [[MultiPatternMask]] expression per column; each pattern's count is
+    * then a shift-and-test sum over the shared mask (null mask rows — null
+    * values — are skipped by sum, matching rlike's null semantics).
     */
-  private def patternAggsFor(f: StructField, i: Int): Seq[Column] = {
+  private def patternAggsFor(f: StructField, i: Int, config: Config): Seq[Column] = {
     val raw = rawCol(f)
     val s   = raw.cast("string")
     val nn  = count(raw).as(s"c${i}__nn")
-    val matches = PatternRules.measuredPatterns.map { p =>
-      sum(when(s.rlike(p.regex), 1L).otherwise(0L)).as(s"c${i}__${p.key}")
-    }
+    val matches =
+      if (config.nativePatternBank) {
+        val mask = org.apache.spark.sql.GraftColumnBridge.column(
+          MultiPatternMask(
+            org.apache.spark.sql.GraftColumnBridge.expression(s),
+            PatternRules.measuredPatterns.map(_.regex)
+          )
+        )
+        PatternRules.measuredPatterns.zipWithIndex.map { case (p, k) =>
+          sum(shiftright(mask, k).bitwiseAND(lit(1L))).as(s"c${i}__${p.key}")
+        }
+      } else {
+        PatternRules.measuredPatterns.map { p =>
+          sum(when(s.rlike(p.regex), 1L).otherwise(0L)).as(s"c${i}__${p.key}")
+        }
+      }
     nn +: matches
   }
 

@@ -51,6 +51,23 @@ class StatsPassSpec extends AnyFunSuite {
     }
   }
 
+  test("native pattern-bank expression agrees with the rlike formulation") {
+    val df = Seq(
+      ("a@b.com", "2023-01-15", "5551234567", Some(42), "AB"),
+      ("not-mail", "01/15/2023", "x", None, "toolong"),
+      ((null: String), "January 5, 2023", "+15551234567", Some(-7), "C9")
+    ).toDF("mail", "dt", "ph", "num", "code")
+    val native = StatsPass.compute(df, StatsPass.Config(nativePatternBank = true))
+    val rlike  = StatsPass.compute(df, StatsPass.Config(nativePatternBank = false))
+    assert(native == rlike)
+    // spot-check a few known matches
+    val mail = native.find(_.name == "mail").get
+    assert(mail.patternMatches("email_1") == 1 && mail.patternMatches("email_2") == 1)
+    val dt = native.find(_.name == "dt").get
+    assert(dt.patternMatches("date_iso") == 1 && dt.patternMatches("date_mdy") == 1
+      && dt.patternMatches("date_month_name") == 1)
+  }
+
   test("empty and zero-column frames survive every path") {
     val empty = spark.emptyDataFrame
     assert(StatsPass.compute(empty).isEmpty)

@@ -99,7 +99,8 @@ object SparkEntry {
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "knn_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineTopK(emb(s, d))),
       "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d))),
-      "cosine_dups_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineDupPairs(emb(s, d)))
+      "cosine_dups_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineDupPairs(emb(s, d))),
+      "ivf_assign_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.ivfAssign(emb(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -155,7 +156,8 @@ object SparkEntry {
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
       "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets,
-      "cosine_dups_embeddings" -> graft.similarity.SimilarityOps.oracleCosineDupPairs()
+      "cosine_dups_embeddings" -> graft.similarity.SimilarityOps.oracleCosineDupPairs(),
+      "ivf_assign_embeddings" -> graft.similarity.SimilarityOps.oracleIvfAssign
     )
     val vault = Seq(
       "dv_hub_customer" -> graft.vault.DataVault.oracleHub("customer", "customer", Seq("c_custkey")),

@@ -135,6 +135,86 @@ object SimilarityOps {
        |) ORDER BY vec_id""".stripMargin
   }
 
+  // --- IVF (inverted-file) partitioning -------------------------------------
+
+  /** Number of IVF centroids; centroids are the first K vectors by vec_id —
+    * deterministic without a training loop (a production build would k-means
+    * these; the partitioning/probing machinery is identical).
+    */
+  val IvfCentroids = 16
+
+  /** IVF cell assignment: each vector goes to its max-cosine centroid
+    * (tie-break lowest centroid id). One broadcast of K centroid vectors —
+    * the assignment itself is a map-side pass, no shuffle; at scale you
+    * write the table partitioned by `centroid_id` and a query probes only
+    * its closest cells.
+    */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val cents = base
+      .where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val dot = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => a * b),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    base
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", dot / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_id")
+  }
+
+  def oracleIvfAssign: String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < $IvfCentroids),
+       |sims AS (
+       |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c)
+       |SELECT vec_id, centroid_id, round(sim, 6) AS sim_r
+       |FROM sims WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF probing search: exact cosine over only the vectors in the query's
+    * `nprobe` closest cells, reranked. Candidate volume ≈ nprobe/K of the
+    * corpus instead of all of it.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val cents = base
+      .where(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val cdot = aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = base
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cdot / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(aw))
+    val cells = assigned.where(col("rn") === 1).select(col("vec_id"), col("v"), col("n2"), col("centroid_id"))
+    val probes = assigned
+      .where(col("vec_id").isInCollection(queryIds) && col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("centroid_id"))
+    val qdot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cells
+      .join(probes, Seq("centroid_id"))
+      .withColumn("sim", qdot / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+
   // --- embedding-cosine near-dup --------------------------------------------
 
   /** Exact embedding near-duplicate pairs: all ordered pairs with cosine ≥

@@ -68,6 +68,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("sim_r") >= 0.9))
   }
 
+  test("ivfAssign + ivfTopK: self-cells for centroids, probing recovers the cluster") {
+    // vec_ids 0..15 ARE the centroids (fixture overlap is deliberate): every
+    // centroid must assign to its own cell at sim 1.0
+    val rows = SimilarityOps.ivfAssign(clustered).collect()
+    val assign = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    for (i <- 0L until SimilarityOps.IvfCentroids.toLong) {
+      assert(assign(i) == i, s"centroid $i assigned to ${assign(i)}")
+    }
+    // non-centroid vectors all land in some valid cell
+    assert(rows.forall(r => r.getAs[Long]("centroid_id") < SimilarityOps.IvfCentroids))
+    // cluster-0 mates are each their own centroid, so probing the query's 5
+    // closest cells covers exactly the planted cluster
+    val ivf = SimilarityOps.ivfTopK(clustered, queryIds = Seq(0L), k = 5, nprobe = 5).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(ivf.head.getAs[Long]("vec_id") == 0L)
+    assert(ivf.map(_.getAs[Long]("vec_id")).toSet == (0L until 5L).toSet)
+  }
+
   test("annTopK: bucketed search recovers the cluster with exact rerank order") {
     val ann = SimilarityOps.annTopK(clustered, queryIds = Seq(0L), k = 5).collect()
       .sortBy(_.getAs[Long]("rank"))

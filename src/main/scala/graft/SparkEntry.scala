@@ -112,7 +112,12 @@ object SparkEntry {
       "dv_link_order_customer" -> ((s: SparkSession, d: String) =>
         graft.vault.DataVault.link(
           Tables.load(s, d, "orders"), "order_customer", "order", "o_orderkey", "customer", "o_custkey")),
-      "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d))
+      "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d)),
+      // masking decisions come from the engine's LIVE cached profile; the
+      // oracle recomputes pii_level independently inside SQL — a true
+      // end-to-end check of the profile→governance integration
+      "masked_customer" -> ((s: SparkSession, d: String) =>
+        graft.governance.Masking.maskedDF(Tables.load(s, d, "customer"), SparkEntry.profiles(s, d, "customer")))
     )
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "stream_events_hourly" -> ((s: SparkSession, d: String) =>
@@ -166,7 +171,9 @@ object SparkEntry {
         Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), doubleCols = Set("c_acctbal")),
       "dv_link_order_customer" -> graft.vault.DataVault.oracleLink(
         "orders", "order_customer", "order", "o_orderkey", "customer", "o_custkey"),
-      "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates
+      "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates,
+      "masked_customer" -> OracleGen.maskedSql(
+        "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal"))
     )
     val extra = Seq(
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,

@@ -160,6 +160,36 @@ object OracleGen {
        |${profileUnion(table, columns, mapCols)}
        |) GROUP BY pii_level ORDER BY pii_level""".stripMargin
 
+  /** Q-MASKED(t): the table with PII-masked cells, where each column's
+    * masking decision is the PROFILE CASCADE's pii_level for that column —
+    * recomputed independently inside this SQL (scalar subquery per column
+    * over that column's own profile), so the declared query end-to-end
+    * checks the engine's live profile→masking integration, not a baked
+    * decision list. Columns render as VARCHAR (doubles through exact
+    * DECIMAL(18,2) — raw double→string is not engine-portable); masked
+    * cells are the md5 of that rendering. Ordered by the first column's
+    * rendering (binary/lexicographic — identical in both engines).
+    */
+  def maskedSql(
+      table: String,
+      columns: Seq[String],
+      doubleCols: Set[String] = Set.empty,
+      mapCols: Set[String] = Set.empty,
+      minLevels: Seq[String] = Seq("medium", "high")
+  ): String = {
+    def canon(c: String): String =
+      if (doubleCols.contains(c)) s"CAST(CAST(${qid(c)} AS DECIMAL(18,2)) AS VARCHAR)"
+      else s"CAST(${qid(c)} AS VARCHAR)"
+    val levels = minLevels.map(qstr).mkString(", ")
+    val cells = columns.map { c =>
+      val pii =
+        s"(SELECT pii_level FROM (${profileSelect(table, c, mapCols.contains(c))}) __p)"
+      s"(CASE WHEN $pii IN ($levels) THEN md5(${canon(c)}) ELSE ${canon(c)} END) AS ${qid(c)}"
+    }
+    s"""SELECT ${cells.mkString(",\n  ")}
+       |FROM $table ORDER BY ${qid(columns.head)}""".stripMargin
+  }
+
   /** Q-STATS(t): raw S1 statistics per column (`base.py:140-152`). */
   def statsSql(table: String, columns: Seq[String], mapCols: Set[String] = Set.empty): String = {
     val selects = columns.map { colName =>

@@ -13,6 +13,10 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config(
+        "spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString
+      )
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -93,7 +93,8 @@ object SparkEntry {
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
       "minhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.minhashCandidatePairs(docs(s, d))),
       "simhash_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhash(docs(s, d))),
-      "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d)))
+      "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d))),
+      "simhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhashPairs(docs(s, d)))
     )
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -156,7 +157,8 @@ object SparkEntry {
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
       "minhash_pairs_documents" -> graft.dedup.DedupOps.oracleMinhashCandidatePairs,
       "simhash_documents"       -> graft.dedup.DedupOps.oracleSimhash,
-      "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs()
+      "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs(),
+      "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs()
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),

@@ -207,6 +207,55 @@ object DedupOps {
       |  CAST(sum(CASE WHEN wj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs: hamming(simhash) ≤ maxHamming, found WITHOUT an
+    * all-pairs scan via the byte-band pigeonhole — ≤3 flipped bits touch at
+    * most 3 of the 4 bytes, so every qualifying pair shares at least one
+    * exact byte; banding on (byte index, byte value) and exploding bucket
+    * pairs reaches all of them, then the exact hamming filter prunes the
+    * rest. Same bucketed-pair shape as the MinHash tier.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val bandArgs = (0 until 4)
+      .map(k => s"$k, (simhash >> ${8 * k}) & 255")
+      .mkString(", ")
+    val bands = sig.selectExpr(
+      "doc_id",
+      "simhash",
+      s"stack(4, $bandArgs) AS (band, byteval)"
+    )
+    bands
+      .groupBy(col("band"), col("byteval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def oracleSimhashPairs(maxHamming: Int = 3): String = {
+    val simCte = oracleSimhash.replace("ORDER BY doc_id", "")
+    val bands = (0 until 4)
+      .map(k => s"SELECT doc_id, simhash, $k AS band, (simhash >> ${8 * k}) & 255 AS byteval FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sig AS ($simCte),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.byteval = b.byteval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --- tier 4: exact n-gram Jaccard ----------------------------------------
 
   /** Exact 3-shingle Jaccard over pairs sharing at least one shingle

@@ -210,27 +210,51 @@ object TextOps {
 
   // --- fingerprinting -------------------------------------------------------
 
+  /** Rolling-hash base/modulus (Karp-Rabin over per-token 32-bit hashes):
+    * acc < P ≤ 2³¹ and B ≈ 10⁶ keep acc·B + x under 2⁵², exact in signed-64
+    * arithmetic in both engines.
+    */
+  val RollBase  = 1000003L
+  val RollPrime = 2147483647L
+
   /** Whitespace-normalized content fingerprint: md5 hex + a 60-bit numeric
     * signature (first 15 md5 hex digits — fits a signed BIGINT identically in
-    * both engines). The numeric form is the join/bucket key for exact dedup
-    * at scale.
+    * both engines) + a Karp-Rabin rolling hash over the token stream
+    * (order-SENSITIVE, unlike the set-based shingle hashes: permuted token
+    * order changes fp_roll but not a bag-of-shingles minhash). The numeric
+    * forms are join/bucket keys for exact dedup at scale.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val fp   = md5(norm.cast("binary"))
+    // per-token 32-bit hashes of the normalized token stream
+    val ths =
+      "transform(filter(split(lower(regexp_replace(text, '\\\\s+', ' ')), ' '), t -> t != ''), " +
+        "t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
+    val roll = expr(
+      s"CASE WHEN size($ths) = 0 THEN 0L ELSE " +
+        s"aggregate(slice($ths, 2, greatest(size($ths) - 1, 0)), element_at($ths, 1), " +
+        s"(acc, x) -> (acc * $RollBase + x) % $RollPrime) END"
+    )
     graft.Tables.widen(docs)
       .select(
         col("doc_id"),
         fp.as("fp_md5"),
-        conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp_sig")
+        conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp_sig"),
+        roll.as("fp_roll")
       )
       .orderBy("doc_id")
   }
 
   def oracleFingerprints: String =
-    """SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp_sig
+    s"""SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp_sig,
+      |  (CASE WHEN len(ths) = 0 THEN 0
+      |        ELSE list_reduce(ths, (acc, x) -> (acc * $RollBase + x) % $RollPrime) END) AS fp_roll
       |FROM (
-      |  SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5
+      |  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+      |    list_transform(
+      |      list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), t -> t != ''),
+      |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS ths
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 }

@@ -62,6 +62,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(hamming(m(1L), m(4L)) > hamming(m(1L), m(3L)))
   }
 
+  test("simhashPairs: byte-band pigeonhole finds the planted near-dup pair") {
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = DedupOps.simhashPairs(df, maxHamming = 8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val planted = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(planted.isDefined, s"planted pair missing from $pairs")
+    assert(planted.get._3 <= 8)
+  }
+
+  test("fp_roll is order-sensitive where set-based hashes are not") {
+    import graft.text.TextOps
+    val d = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same token SET, different order
+      (3L, "alpha beta gamma delta")
+    )
+    val m = TextOps.fingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp_roll")).toMap
+    assert(m(1L) == m(3L)) // identical stream → identical rolling hash
+    assert(m(1L) != m(2L)) // permuted stream → different rolling hash
+  }
+
   test("jaccardPairs: planted pair above threshold with correct J; df-cap is recall-lossy not additive") {
     val df = docs((1L, base), (2L, nearDup), (3L, other))
     val rows = DedupOps.jaccardPairs(df, threshold = 0.5).collect()

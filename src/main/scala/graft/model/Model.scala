@@ -129,16 +129,23 @@ final case class ColumnStats(
     nonNullCount: Long,
     uniqueCount: Long,
     patternMatches: Map[String, Long],
-    sampleValues: Seq[String] = Seq.empty
+    sampleValues: Seq[String] = Seq.empty,
+    /** When the pattern measurement ran over a sample (StatsPass
+      * `patternSampleFraction`), the sample's non-null count — the correct
+      * denominator for `matchRatio`. None = full-scan measurement.
+      */
+    patternDenominator: Option[Long] = None
 ) {
   def nullCount: Long = totalRows - nonNullCount
   def nullRatio: Double = if (totalRows > 0) nullCount.toDouble / totalRows else 0.0
   def uniqueRatio: Double = if (totalRows > 0) uniqueCount.toDouble / totalRows else 0.0
 
-  /** Fraction of the non-null values matching `patternKey`; 0 when column is
-    * all-null (mirrors the reference's empty-sample behavior).
+  /** Fraction of the (measured) non-null values matching `patternKey`; 0 when
+    * the column is all-null (mirrors the reference's empty-sample behavior).
     */
-  def matchRatio(patternKey: String): Double =
-    if (nonNullCount > 0) patternMatches.getOrElse(patternKey, 0L).toDouble / nonNullCount
+  def matchRatio(patternKey: String): Double = {
+    val denom = patternDenominator.getOrElse(nonNullCount)
+    if (denom > 0) patternMatches.getOrElse(patternKey, 0L).toDouble / denom
     else 0.0
+  }
 }

@@ -74,7 +74,16 @@ object StatsPass {
         * expression (one pass per value, reused matchers) instead of N
         * separate `rlike`s. Same results; flag exists as an escape hatch.
         */
-      nativePatternBank: Boolean = true
+      nativePatternBank: Boolean = true,
+      /** measure pattern ratios on a seeded Bernoulli sample instead of the
+        * full column — the 100 TB escape hatch when full-column regex cost
+        * dominates (SURVEY §7.5 risk 6). Counts stay full-scan exact (they
+        * are cheap); only the regex job samples, and the decision cascade
+        * consumes RATIOS, which converge. Not oracle-portable (sampling is
+        * engine-specific) — keep None for declared queries.
+        */
+      patternSampleFraction: Option[Double] = None,
+      patternSampleSeed: Long = 42L
   )
 
   /** Measure every column of `df`: non-null count, distinct count, and for
@@ -114,10 +123,17 @@ object StatsPass {
       else Seq(perColumn) // approx_count_distinct: no Expand, one job is fine
 
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // regex measurement target: full data, or a seeded sample (ratios-only
+    // mode — nn still comes from the full-scan count in the same job when
+    // not sampling; in sampling mode the sampled nn is the ratio denominator)
+    val regexData = config.patternSampleFraction match {
+      case Some(f) => data.sample(withReplacement = false, f, config.patternSampleSeed)
+      case None    => data
+    }
     val regexF = Future.traverse(regexBatches) { batch =>
       Future {
         val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i, config) }
-        data.agg(aggs.head, aggs.tail: _*).collect()(0)
+        regexData.agg(aggs.head, aggs.tail: _*).collect()(0)
       }
     }
     val distinctF = Future.traverse(distinctBatches) { batch =>
@@ -126,10 +142,22 @@ object StatsPass {
         data.agg(aggs.head, aggs.tail: _*).collect()(0)
       }
     }
+    // sampling mode: full-scan counts come from a dedicated cheap job (the
+    // regex job's counts are over the sample and serve only as the pattern
+    // ratio denominator)
+    val countF: Option[Future[Row]] =
+      if (config.patternSampleFraction.isDefined) Some(Future {
+        val aggs = count(lit(1)).as("__total") +: perColumn.map { case (f, i) =>
+          count(rawCol(f)).as(s"c${i}__nn")
+        }
+        data.agg(aggs.head, aggs.tail: _*).collect()(0)
+      })
+      else None
+
     val regexRows    = Await.result(regexF, Duration.Inf)
     val distinctRows = Await.result(distinctF, Duration.Inf)
+    val countRows    = countF.map(f => Seq(Await.result(f, Duration.Inf)))
 
-    val total = regexRows.head.getAs[Long]("__total")
     val patternKeys = PatternRules.measuredPatterns.map(_.key)
 
     // index the per-batch rows by alias
@@ -139,21 +167,28 @@ object StatsPass {
       }.next()
     }
 
+    val fullCountRows = countRows.getOrElse(regexRows)
+    val total         = lookup(fullCountRows, "__total")
+
     val samples: Map[String, Seq[String]] =
       if (config.withSamples) sampleValues(df, perColumn.map(_._1.name), config)
       else Map.empty
 
     perColumn.map { case (f, i) =>
-      val nn   = lookup(regexRows, s"c${i}__nn")
+      val nn   = lookup(fullCountRows, s"c${i}__nn")
       val uniq = lookup(distinctRows, s"c${i}__uniq")
       val matches = patternKeys.map(k => k -> lookup(regexRows, s"c${i}__$k")).toMap
+      val sampledNn =
+        if (config.patternSampleFraction.isDefined) Some(lookup(regexRows, s"c${i}__nn"))
+        else None
       ColumnStats(
         name = f.name,
         totalRows = total,
         nonNullCount = nn,
         uniqueCount = uniq,
         patternMatches = matches,
-        sampleValues = samples.getOrElse(f.name, Seq.empty)
+        sampleValues = samples.getOrElse(f.name, Seq.empty),
+        patternDenominator = sampledNn
       )
     }
   }

@@ -68,6 +68,32 @@ class StatsPassSpec extends AnyFunSuite {
       && dt.patternMatches("date_month_name") == 1)
   }
 
+  test("S3 sample capture: first-K non-null stringified values in table order") {
+    val df = Seq(
+      (1, Some("a")), (2, None), (3, Some("c")), (4, Some("d")), (5, Some("e")),
+      (6, Some("f")), (7, Some("g"))
+    ).toDF("id", "v").coalesce(1) // single partition pins "table order"
+    val stats = StatsPass.compute(
+      df,
+      StatsPass.Config(withSamples = true, sampleK = 3, autoRepartition = false)
+    )
+    val v = stats.find(_.name == "v").get
+    assert(v.sampleValues == Seq("a", "c", "d")) // nulls skipped, first 3
+    val id = stats.find(_.name == "id").get
+    assert(id.sampleValues == Seq("1", "2", "3")) // stringified
+  }
+
+  test("S5 classification counters track processed columns and failures") {
+    val engine = new graft.engine.ProfilerEngine()
+    engine.analyzeDataFrame(wide)
+    val s1 = engine.classificationStats
+    assert(s1("total_columns_analyzed") == wide.columns.length)
+    assert(s1("successful_classifications") == wide.columns.length)
+    assert(s1("failed_classifications") == 0)
+    engine.analyzeDataFrame(wide) // counters accumulate across calls
+    assert(engine.classificationStats("total_columns_analyzed") == 2L * wide.columns.length)
+  }
+
   test("empty and zero-column frames survive every path") {
     val empty = spark.emptyDataFrame
     assert(StatsPass.compute(empty).isEmpty)

@@ -83,7 +83,18 @@ object StatsPass {
         * engine-specific) — keep None for declared queries.
         */
       patternSampleFraction: Option[Double] = None,
-      patternSampleSeed: Long = 42L
+      patternSampleSeed: Long = 42L,
+      /** adaptive low-cardinality strategy: a column whose distinct count
+        * (from the distinct job, which completes first) is at or below this
+        * threshold has its pattern bank evaluated over its DISTINCT VALUES —
+        * group-by-value (map-side combinable, tiny exchange) then
+        * count-weighted pattern sums over ≤ threshold rows — instead of over
+        * every row. On real tables most non-key columns are low-cardinality,
+        * so this removes the bulk of the regex work; results are exactly
+        * identical. 0 disables. MapType columns are excluded (not
+        * groupable).
+        */
+      lowCardThreshold: Int = 4096
   )
 
   /** Measure every column of `df`: non-null count, distinct count, and for
@@ -112,10 +123,10 @@ object StatsPass {
 
     val data = maybeRepartition(df, config)
 
-    // --- job set A: counts + regex sums, batched under the codegen budget --
+    // --- job set A sizing: counts + regex sums batched under the codegen
+    // budget (applies to the high-cardinality full-scan path)
     val exprsPerColumn = 1 + PatternRules.measuredPatterns.size // nn + patterns
     val colsPerBatch   = math.max(1, config.maxAggExprsPerJob / exprsPerColumn)
-    val regexBatches: Seq[Seq[(StructField, Int)]] = perColumn.grouped(colsPerBatch).toSeq
 
     // --- job set B: distinct counts only, batched to bound Expand ----------
     val distinctBatches: Seq[Seq[(StructField, Int)]] =
@@ -123,31 +134,57 @@ object StatsPass {
       else Seq(perColumn) // approx_count_distinct: no Expand, one job is fine
 
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // regex measurement target: full data, or a seeded sample (ratios-only
-    // mode — nn still comes from the full-scan count in the same job when
-    // not sampling; in sampling mode the sampled nn is the ratio denominator)
-    val regexData = config.patternSampleFraction match {
-      case Some(f) => data.sample(withReplacement = false, f, config.patternSampleSeed)
-      case None    => data
-    }
-    val regexF = Future.traverse(regexBatches) { batch =>
-      Future {
-        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i, config) }
-        regexData.agg(aggs.head, aggs.tail: _*).collect()(0)
-      }
-    }
+
     val distinctF = Future.traverse(distinctBatches) { batch =>
       Future {
         val aggs = batch.map { case (f, i) => distinctAggFor(f, i, config) }
         data.agg(aggs.head, aggs.tail: _*).collect()(0)
       }
     }
-    // sampling mode: full-scan counts come from a dedicated cheap job (the
-    // regex job's counts are over the sample and serve only as the pattern
-    // ratio denominator)
+
+    // index per-batch rows by alias
+    def lookup(rows: Seq[Row], name: String): Long = {
+      rows.iterator.flatMap { r =>
+        Try(r.fieldIndex(name)).toOption.map(idx => if (r.isNullAt(idx)) 0L else r.getLong(idx))
+      }.next()
+    }
+
+    // Adaptive mode serializes on the (cheap) distinct results to pick each
+    // column's pattern strategy; with the adaptive path disabled the regex
+    // jobs launch concurrently with the distinct jobs — no strategy to pick.
+    val distinctRowsEarly: Option[Seq[Row]] =
+      if (config.lowCardThreshold > 0) Some(Await.result(distinctF, Duration.Inf)) else None
+
+    val (lowCard, highCard) = perColumn.partition { case (f, i) =>
+      distinctRowsEarly.exists { rows =>
+        !f.dataType.isInstanceOf[MapType] &&
+        lookup(rows, s"c${i}__uniq") <= config.lowCardThreshold
+      }
+    }
+
+    // --- low-card columns: pattern bank over DISTINCT VALUES, count-weighted
+    val lowF = Future.traverse(lowCard) { case (f, i) =>
+      Future { lowCardPatternRow(data, f, i, config) }
+    }
+
+    // --- high-card columns: full scan (or seeded sample) in codegen batches
+    val regexData = config.patternSampleFraction match {
+      case Some(fr) => data.sample(withReplacement = false, fr, config.patternSampleSeed)
+      case None     => data
+    }
+    val highBatches = highCard.grouped(colsPerBatch).toSeq
+    val regexF = Future.traverse(highBatches) { batch =>
+      Future {
+        val aggs = count(lit(1)).as("__total") +: batch.flatMap { case (f, i) => patternAggsFor(f, i, config) }
+        regexData.agg(aggs.head, aggs.tail: _*).collect()(0)
+      }
+    }
+    // full-scan counts job: needed when sampling (regex counts are sampled)
+    // or when every column went low-card but we still want a canonical total
+    val needCountJob = config.patternSampleFraction.isDefined && highCard.nonEmpty
     val countF: Option[Future[Row]] =
-      if (config.patternSampleFraction.isDefined) Some(Future {
-        val aggs = count(lit(1)).as("__total") +: perColumn.map { case (f, i) =>
+      if (needCountJob) Some(Future {
+        val aggs = count(lit(1)).as("__total") +: highCard.map { case (f, i) =>
           count(rawCol(f)).as(s"c${i}__nn")
         }
         data.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -155,20 +192,19 @@ object StatsPass {
       else None
 
     val regexRows    = Await.result(regexF, Duration.Inf)
-    val distinctRows = Await.result(distinctF, Duration.Inf)
+    val lowRows      = Await.result(lowF, Duration.Inf)
     val countRows    = countF.map(f => Seq(Await.result(f, Duration.Inf)))
+    val distinctRows = distinctRowsEarly.getOrElse(Await.result(distinctF, Duration.Inf))
 
     val patternKeys = PatternRules.measuredPatterns.map(_.key)
 
-    // index the per-batch rows by alias
-    def lookup(rows: Seq[Row], name: String): Long = {
-      rows.iterator.flatMap { r =>
-        Try(r.fieldIndex(name)).toOption.map(idx => if (r.isNullAt(idx)) 0L else r.getLong(idx))
-      }.next()
-    }
-
-    val fullCountRows = countRows.getOrElse(regexRows)
-    val total         = lookup(fullCountRows, "__total")
+    // counts: sampled regex rows are NOT a valid full-count source
+    val fullCountRows =
+      countRows.getOrElse(Seq.empty) ++ lowRows ++
+        (if (config.patternSampleFraction.isEmpty) regexRows else Seq.empty)
+    val patternRows = lowRows ++ regexRows
+    val total       = lookup(fullCountRows, "__total")
+    val highCardIdx = highCard.map(_._2).toSet
 
     val samples: Map[String, Seq[String]] =
       if (config.withSamples) sampleValues(df, perColumn.map(_._1.name), config)
@@ -177,9 +213,10 @@ object StatsPass {
     perColumn.map { case (f, i) =>
       val nn   = lookup(fullCountRows, s"c${i}__nn")
       val uniq = lookup(distinctRows, s"c${i}__uniq")
-      val matches = patternKeys.map(k => k -> lookup(regexRows, s"c${i}__$k")).toMap
+      val matches = patternKeys.map(k => k -> lookup(patternRows, s"c${i}__$k")).toMap
       val sampledNn =
-        if (config.patternSampleFraction.isDefined) Some(lookup(regexRows, s"c${i}__nn"))
+        if (config.patternSampleFraction.isDefined && highCardIdx.contains(i))
+          Some(lookup(regexRows, s"c${i}__nn"))
         else None
       ColumnStats(
         name = f.name,
@@ -191,6 +228,39 @@ object StatsPass {
         patternDenominator = sampledNn
       )
     }
+  }
+
+  /** Low-cardinality pattern measurement for one column: group by value
+    * (map-side combinable — the exchange carries at most `lowCardThreshold`
+    * rows per partition), then evaluate the pattern bank ONCE per distinct
+    * value and weight by the group count. Exactly the same counts as the
+    * full scan, with the regex work reduced from |rows| to |distinct|.
+    */
+  private def lowCardPatternRow(data: DataFrame, f: StructField, i: Int, config: Config): Row = {
+    val grouped = data.groupBy(rawCol(f).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val v = col("__v")
+    val s = v.cast("string")
+    val matches =
+      if (config.nativePatternBank) {
+        val mask = org.apache.spark.sql.GraftColumnBridge.column(
+          MultiPatternMask(
+            org.apache.spark.sql.GraftColumnBridge.expression(s),
+            PatternRules.measuredPatterns.map(_.regex)
+          )
+        )
+        PatternRules.measuredPatterns.zipWithIndex.map { case (p, k) =>
+          sum(shiftright(mask, k).bitwiseAND(lit(1L)) * col("__cnt")).as(s"c${i}__${p.key}")
+        }
+      } else {
+        PatternRules.measuredPatterns.map { p =>
+          sum(when(s.rlike(p.regex), col("__cnt")).otherwise(0L)).as(s"c${i}__${p.key}")
+        }
+      }
+    val aggs =
+      sum(col("__cnt")).as("__total") +:
+        sum(when(v.isNotNull, col("__cnt")).otherwise(0L)).as(s"c${i}__nn") +:
+        matches
+    grouped.agg(aggs.head, aggs.tail: _*).collect()(0)
   }
 
   /** Counts-only measurement: total / non-null / distinct per column, NO

@@ -87,7 +87,8 @@ object SparkEntry {
       "textstats_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.textStats(docs(s, d))),
       "langid_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.langId(docs(s, d))),
       "quality_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.quality(docs(s, d))),
-      "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d)))
+      "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d))),
+      "toptokens_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topTokens(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -151,7 +152,8 @@ object SparkEntry {
       "textstats_documents"   -> graft.text.TextOps.oracleTextStats,
       "langid_documents"      -> graft.text.TextOps.oracleLangId,
       "quality_documents"     -> graft.text.TextOps.oracleQuality,
-      "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints
+      "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints,
+      "toptokens_documents"   -> graft.text.TextOps.oracleTopTokens()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

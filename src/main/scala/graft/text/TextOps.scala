@@ -208,6 +208,29 @@ object TextOps {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // --- vocabulary histogram -------------------------------------------------
+
+  /** Corpus-wide top-K token histogram: the classic vocabulary/stopword
+    * discovery pass. Explode → count (map-side combinable) → global top-K
+    * with a deterministic (count desc, token) tie-break. At scale the
+    * aggregate state is |vocabulary|, not |tokens|, and the final top-K is a
+    * TakeOrdered — no global sort materialization.
+    */
+  def topTokens(docs: DataFrame, k: Int = 50): DataFrame =
+    graft.Tables.widen(docs)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  def oracleTopTokens(k: Int = 50): String =
+    s"""SELECT token, count(*) AS n FROM (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS token
+       |  FROM documents
+       |) GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Rolling-hash base/modulus (Karp-Rabin over per-token 32-bit hashes):

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.model._
+import graft.pattern.PatternRules
+import graft.stats.PatternBankMatcher
+
+/** Property-based invariants of the pure rule layer + fuzz equivalence of
+  * the native pattern-bank matcher against java.util.regex ground truth.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic generator driver (the scalatest-scalacheck bridge is not
+    * in the offline cache; a seeded loop gives reproducible fuzzing).
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(params, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > n / 2, s"generator too sparse: $produced of $n")
+  }
+
+  private val asciiString: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n => Gen.stringOfN(n, Gen.choose(' ', '~')))
+
+  private val nameGen: Gen[String] =
+    Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('_'), 1 -> Gen.const(' ')))
+    )
+
+  test("suggestedName: lowercase, no edge underscores, idempotent") {
+    forAll(nameGen) { name =>
+      val s = PatternRules.suggestedName(name)
+      assert(s == s.toLowerCase)
+      assert(!s.startsWith("_") && !s.endsWith("_"))
+      assert(PatternRules.suggestedName(s) == s) // fixed point
+    }
+  }
+
+  test("businessMeaning is non-empty and mentions the normalized name words") {
+    forAll(nameGen.suchThat(_.exists(_.isLetterOrDigit))) { name =>
+      for (dt <- SemanticType.all) {
+        val m = PatternRules.businessMeaning(name, dt)
+        assert(m.nonEmpty)
+      }
+    }
+  }
+
+  test("PiiLevel ordering is total and merge-max is commutative/associative") {
+    val lvls = PiiLevel.all
+    for (a <- lvls; b <- lvls) {
+      assert(Seq(a, b).max == Seq(b, a).max)
+      for (c <- lvls)
+        assert(Seq(Seq(a, b).max, c).max == Seq(a, Seq(b, c).max).max)
+    }
+    assert(lvls.max == PiiLevel.High && lvls.min == PiiLevel.None)
+  }
+
+  test("matchRatio stays within [0,1] whenever matches <= denominator") {
+    val statsGen = for {
+      total <- Gen.chooseNum(0L, 1000L)
+      nn    <- Gen.chooseNum(0L, total)
+      m     <- Gen.chooseNum(0L, nn)
+    } yield ColumnStats("c", total, nn, nn, Map("email_1" -> m))
+    forAll(statsGen) { s =>
+      val r = s.matchRatio("email_1")
+      assert(r >= 0.0 && r <= 1.0)
+      assert(s.nullRatio >= 0.0 && s.nullRatio <= 1.0)
+      assert(s.uniqueRatio >= 0.0 && s.uniqueRatio <= 1.0)
+    }
+  }
+
+  test("detectDataType: a dominant email ratio always classifies Email") {
+    val statsGen = for {
+      nn    <- Gen.chooseNum(11L, 1000L)
+      ratio <- Gen.chooseNum(80L, 100L)
+      noise <- Gen.chooseNum(0L, 100L)
+    } yield ColumnStats(
+      "anything", nn, nn, nn,
+      Map(
+        "email_1" -> (nn * ratio / 100),
+        "email_2" -> (nn * ratio / 100),
+        "num_int" -> (nn * noise / 100) // lower-priority bank can't preempt
+      )
+    )
+    forAll(statsGen) { s =>
+      if (s.matchRatio("email_1") >= PatternRules.MatchThreshold)
+        assert(PatternRules.detectDataType(s) == SemanticType.Email)
+    }
+  }
+
+  test("native PatternBankMatcher bitmask == java.util.regex per pattern (fuzz)") {
+    val bank = new PatternBankMatcher(PatternRules.measuredPatterns.map(_.regex).toArray)
+    val compiled = PatternRules.measuredPatterns.map(p => java.util.regex.Pattern.compile(p.regex))
+    forAll(asciiString) { str =>
+      val mask = bank.mask(org.apache.spark.unsafe.types.UTF8String.fromString(str))
+      for ((p, k) <- compiled.zipWithIndex) {
+        val expected = p.matcher(str).find()
+        assert(((mask >> k) & 1L) == (if (expected) 1L else 0L), s"pattern $k on '$str'")
+      }
+    }
+  }
+
+  test("fuzz: email-shaped and numeric-shaped strings hit their banks") {
+    val emailGen = for {
+      u <- Gen.stringOfN(5, Gen.alphaLowerChar)
+      d <- Gen.stringOfN(5, Gen.alphaLowerChar)
+      t <- Gen.oneOf("com", "org", "io")
+    } yield s"$u@$d.$t"
+    val bank = new PatternBankMatcher(PatternRules.measuredPatterns.map(_.regex).toArray)
+    val emailIdx = PatternRules.measuredPatterns.indexWhere(_.key == "email_1")
+    val intIdx   = PatternRules.measuredPatterns.indexWhere(_.key == "num_int")
+    forAll(emailGen) { e =>
+      val m = bank.mask(org.apache.spark.unsafe.types.UTF8String.fromString(e))
+      assert(((m >> emailIdx) & 1L) == 1L)
+      assert(((m >> intIdx) & 1L) == 0L)
+    }
+  }
+}

@@ -69,7 +69,7 @@ object SparkEntry {
     * extension families (§7.4).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val profiles = (Tables.oracleProfiled :+ "embeddings").map { t =>
+    val profiles = Tables.oracleProfiled.map { t =>
       s"profile_$t" -> (profileQuery(t) _)
     }
     val summaries = Seq("lineitem", "customer", "events").map { t =>

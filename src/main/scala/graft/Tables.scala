@@ -41,22 +41,33 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** MAP-typed columns per table. Spark cannot hash/compare MapType in
-    * aggregates, so the stats pass distinct-counts the string rendering
-    * (StatsPass.distinctAggFor); the oracle mirrors the deviation with
-    * count(DISTINCT CAST(c AS VARCHAR)) — both sides count distinct
-    * renderings (injective for these fixtures), keeping the declared query
-    * symmetric rather than silently comparing different measurements.
+  /** Columns whose DISTINCT count the oracle takes over the VARCHAR
+    * rendering instead of the native value. Two cases:
+    *   - MAP columns (events.props): Spark cannot hash/compare MapType in
+    *     aggregates, so the stats pass distinct-counts the string rendering
+    *     (StatsPass.distinctAggFor) and the oracle mirrors it — both sides
+    *     count distinct renderings (injective for these fixtures).
+    *   - ARRAY<FLOAT> columns (embeddings.embedding): Spark distinct-counts
+    *     the native array; DuckDB's native list distinct would too, but the
+    *     rendering form keeps the oracle SQL uniform, and since
+    *     shortest-roundtrip float rendering is injective both counts equal
+    *     the number of distinct arrays. Pattern counts are 0 on both sides
+    *     (no anchored bank regex matches a bracketed vector rendering), so
+    *     the whole profile row is engine-portable.
     */
-  def mapColumns(table: String): Set[String] =
-    if (table == "events") Set("props") else Set.empty
+  def mapColumns(table: String): Set[String] = table match {
+    case "events"     => Set("props")
+    case "embeddings" => Set("embedding")
+    case _            => Set.empty
+  }
 
-  /** Tables whose profile is declared against the DuckDB oracle. `embeddings`
-    * is excluded: its list<float> column's string rendering is
-    * engine-specific, so it gets a rows-only check instead.
+  /** Tables whose profile is declared against the DuckDB oracle — all of
+    * them, including `embeddings` since round 2 (see [[mapColumns]] for the
+    * render-distinct treatment of its vector column).
     */
   val oracleProfiled: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents"
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events",
+    "documents", "embeddings"
   )
 
   /** Load a testdata table.

@@ -160,32 +160,46 @@ object DataVault {
   }
 
   /** One row per candidate: orphan count (child values missing from parent),
-    * parent uniqueness, and the resulting is_fk verdict. All branches build
-    * one unioned lazy plan.
+    * parent uniqueness, and the resulting is_fk verdict.
+    *
+    * Each check is its own concurrently-submitted action (a giant unioned
+    * plan would let AQE re-optimize — and thereby serialize — the
+    * independent subtrees stage by stage); the collected results are 1-row
+    * aggregates, never data rows, and parent-uniqueness aggregates are
+    * shared across children of the same parent column.
     */
   def fkCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
     val dfs = relationalTables.map(t => t -> Tables.load(spark, dir, t)).toMap
-    val branches = candidatePairs.map { case (ct, cc, pt, pc) =>
-      val child  = dfs(ct).select(col(cc))
-      val parent = dfs(pt).select(col(pc))
-      val orphans = child
-        .join(parent.distinct(), child(cc) === parent(pc), "left_anti")
-        .agg(count(lit(1)).as("orphan_count"))
-      val uniq = parent.agg((count_distinct(col(pc)) === count(col(pc))).as("parent_is_unique"))
-      orphans
-        .crossJoin(uniq)
-        .select(
-          lit(ct).as("child_table"),
-          lit(cc).as("child_column"),
-          lit(pt).as("parent_table"),
-          lit(pc).as("parent_column"),
-          col("orphan_count"),
-          col("parent_is_unique"),
-          (col("orphan_count") === 0 && col("parent_is_unique")).as("is_fk")
-        )
+    val uniqF: Map[(String, String), Future[Boolean]] =
+      candidatePairs.map { case (_, _, pt, pc) => (pt, pc) }.distinct.map { case (pt, pc) =>
+        (pt, pc) -> Future {
+          dfs(pt)
+            .agg((count_distinct(col(pc)) === count(col(pc))).as("u"))
+            .collect()(0).getBoolean(0)
+        }
+      }.toMap
+    val rowsF = Future.traverse(candidatePairs) { case (ct, cc, pt, pc) =>
+      Future {
+        val child  = dfs(ct).select(col(cc))
+        val parent = dfs(pt).select(col(pc))
+        val orphans = child
+          .join(parent.distinct(), child(cc) === parent(pc), "left_anti")
+          .count()
+        (ct, cc, pt, pc, orphans)
+      }.map { case (ct, cc, pt, pc, orphans) =>
+        val uniq = Await.result(uniqF((pt, pc)), Duration.Inf)
+        (ct, cc, pt, pc, orphans, uniq, orphans == 0L && uniq)
+      }
     }
-    branches
-      .reduce(_ union _)
+    val rows = Await.result(rowsF, Duration.Inf)
+    rows
+      .toDF("child_table", "child_column", "parent_table", "parent_column",
+        "orphan_count", "parent_is_unique", "is_fk")
       .orderBy("child_table", "child_column", "parent_table")
   }
 

@@ -125,7 +125,9 @@ object SparkEntry {
       "stream_events_hourly" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamingProfiler.eventWindowCounts(s, d)),
       "media_features_documents" -> ((s: SparkSession, d: String) =>
-        graft.multimodal.MediaOps.mediaFeatures(docs(s, d)))
+        graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
+      "sessions_events" -> ((s: SparkSession, d: String) =>
+        graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events")))
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
   }
@@ -181,7 +183,8 @@ object SparkEntry {
     )
     val extra = Seq(
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
-      "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures
+      "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
+      "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions()
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
   }

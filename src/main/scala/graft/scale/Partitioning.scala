@@ -43,7 +43,7 @@ object Partitioning {
     * (a literal-random salt would break re-runs and oracle checks).
     */
   def saltKey(df: DataFrame, factor: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(factor))
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(factor))
 
   /** Skew-safe count-by-key: partial count per (key, salt), then merge.
     * Identical result to `groupBy(key).count()`; the hot key's rows divide

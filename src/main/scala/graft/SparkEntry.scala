@@ -114,6 +114,10 @@ object SparkEntry {
       "dv_link_order_customer" -> ((s: SparkSession, d: String) =>
         graft.vault.DataVault.link(
           Tables.load(s, d, "orders"), "order_customer", "order", "o_orderkey", "customer", "o_custkey")),
+      "dv_link_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.linkN(
+          Tables.load(s, d, "lineitem"), "lineitem",
+          Seq("order" -> "l_orderkey", "part" -> "l_partkey", "supplier" -> "l_suppkey"))),
       "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d)),
       // masking decisions come from the engine's LIVE cached profile; the
       // oracle recomputes pii_level independently inside SQL — a true
@@ -177,6 +181,9 @@ object SparkEntry {
         Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), doubleCols = Set("c_acctbal")),
       "dv_link_order_customer" -> graft.vault.DataVault.oracleLink(
         "orders", "order_customer", "order", "o_orderkey", "customer", "o_custkey"),
+      "dv_link_lineitem" -> graft.vault.DataVault.oracleLinkN(
+        "lineitem", "lineitem",
+        Seq("order" -> "l_orderkey", "part" -> "l_partkey", "supplier" -> "l_suppkey")),
       "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates,
       "masked_customer" -> OracleGen.maskedSql(
         "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal"))

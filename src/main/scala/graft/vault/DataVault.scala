@@ -88,6 +88,33 @@ object DataVault {
       )
       .orderBy(keyA, keyB)
 
+  /** N-ary link: one row per distinct combination of member keys — DV links
+    * are not restricted to two hubs (lineitem naturally links order, part
+    * and supplier). `members` = (entity, keyColumn) pairs.
+    */
+  def linkN(df: DataFrame, linkName: String, members: Seq[(String, String)]): DataFrame = {
+    val keyCols = members.map(_._2)
+    df.select(keyCols.map(col): _*)
+      .distinct()
+      .select(
+        (hashKey(linkName, keyCols.map(c => canon(df, c)): _*).as(s"link_${linkName}_hk") +:
+          members.map { case (e, k) => hashKey(e, canon(df, k)).as(s"hub_${e}_hk") } ++:
+          keyCols.map(col)): _*
+      )
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  def oracleLinkN(table: String, linkName: String, members: Seq[(String, String)]): String = {
+    val keyCols = members.map(_._2)
+    val lhk = hashKeySql(linkName, keyCols.map(k => s"CAST($k AS VARCHAR)"))
+    val hubs = members
+      .map { case (e, k) => s"${hashKeySql(e, Seq(s"CAST($k AS VARCHAR)"))} AS hub_${e}_hk" }
+      .mkString(", ")
+    s"""SELECT $lhk AS link_${linkName}_hk, $hubs, ${keyCols.mkString(", ")}
+       |FROM (SELECT DISTINCT ${keyCols.mkString(", ")} FROM $table)
+       |ORDER BY ${keyCols.mkString(", ")}""".stripMargin
+  }
+
   // --- oracle SQL -----------------------------------------------------------
 
   private def canonSql(c: String, doubleCols: Set[String]): String =

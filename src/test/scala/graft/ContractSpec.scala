@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract itself: every declared query must carry an oracle
+  * (a query silently missing its SQL would downgrade to a rows-only check —
+  * this pins the all-oracled invariant), names must be well-formed, and the
+  * flagship entry must produce rows.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every declared query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"query/oracle drift: only-query=${q -- o}, only-oracle=${o -- q}")
+    assert(q.nonEmpty)
+  }
+
+  test("query names are snake_case and unique per operator family") {
+    for (name <- SparkEntry.queries.keySet)
+      assert(name.matches("[a-z0-9_]+"), s"bad query name: $name")
+  }
+
+  test("oracle SQL references only catalog tables") {
+    val tables = Tables.columns.keySet
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      val unknown = froms -- tables - "documents" - "sig" - "sess" - "flg" - "e" - "base" -
+        "cents" - "sims" - "toks" - "sh" - "hx" - "bands" - "sizes" - "inter" - "q" - "r" - "s" - "th" - "w"
+      assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
+    }
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(SparkTestBase.spark).count() > 0)
+  }
+}

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *     never |vectors|·|queries|.
   *
   * Engine-portable numerics: cosine is computed as sequential double folds
-  * (`aggregate` over the array — deterministic summation order; verified
-  * ≤1 ulp from DuckDB's `list_cosine_similarity` on the full corpus) and
+  * (the native [[DotProduct]] expression — same summation order as an
+  * `aggregate` fold but a compiled loop instead of Spark's INTERPRETED
+  * higher-order-function evaluation; verified ≤1 ulp from DuckDB's
+  * `list_cosine_similarity` on the full corpus) and
   * DECLARED only rounded to 6 decimals, with ranking tie-broken by vec_id.
   * Bucket signatures avoid float order-sensitivity entirely: components are
   * quantized to integers (×1000, round) before the ±1 dot, so the bucket is
@@ -45,8 +47,7 @@ object SimilarityOps {
   }
 
   private val dv    = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-  private def norm2(v: Column): Column =
-    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+  private def norm2(v: Column): Column = DotProduct(v, v)
 
   // --- exact brute-force top-k ---------------------------------------------
 
@@ -60,11 +61,7 @@ object SimilarityOps {
     val q = base
       .where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-    val dot = aggregate(
-      zip_with(col("v"), col("qv"), (a, b) => a * b),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    val dot = DotProduct(col("v"), col("qv"))
     val sim = dot / (sqrt(col("qn2")) * sqrt(col("n2")))
     val w   = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     base
@@ -154,11 +151,7 @@ object SimilarityOps {
     val cents = base
       .where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
-    val dot = aggregate(
-      zip_with(col("v"), col("cv"), (a, b) => a * b),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    val dot = DotProduct(col("v"), col("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     base
       .crossJoin(broadcast(cents))
@@ -193,7 +186,7 @@ object SimilarityOps {
     val cents = base
       .where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
-    val cdot = aggregate(zip_with(col("v"), col("cv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val cdot = DotProduct(col("v"), col("cv"))
     val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
     val assigned = base
       .crossJoin(broadcast(cents))
@@ -203,7 +196,7 @@ object SimilarityOps {
     val probes = assigned
       .where(col("vec_id").isInCollection(queryIds) && col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("centroid_id"))
-    val qdot = aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val qdot = DotProduct(col("v"), col("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cells
       .join(probes, Seq("centroid_id"))
@@ -229,11 +222,7 @@ object SimilarityOps {
   def cosineDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
     val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
-    val dot = aggregate(
-      zip_with(col("v"), col("vb"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    val dot = DotProduct(col("v"), col("vb"))
     base
       .crossJoin(b)
       .where(col("vec_id") < col("vec_b"))
@@ -278,11 +267,7 @@ object SimilarityOps {
       // XOR with each single-bit mask (and 0) = all buckets within hamming 1
       .withColumn("pbucket", expr("qbucket ^ probe"))
       .drop("probe", "qbucket")
-    val dot = aggregate(
-      zip_with(col("v"), col("qvd"), (a, b) => a * b),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    val dot = DotProduct(col("v"), col("qvd"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     base
       .join(q, col("bucket") === col("pbucket"))

@@ -1,0 +1,92 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+import graft.model.ColumnStats
+import graft.pattern.PatternRules
+
+/** Mergeable (incremental) profiling — the shape a 100 TB daily pipeline
+  * actually runs: profile each slice (day / partition / ingest batch)
+  * INDEPENDENTLY, persist the per-slice partial states, and merge any
+  * subset of slices into a table profile without touching the data again.
+  *
+  * Everything in the partial state is an honest commutative monoid:
+  *   - row / non-null / pattern-match counts: longs, merge = sum (exact —
+  *     a merged profile's counts and pattern RATIOS are identical to a
+  *     full-scan profile's);
+  *   - distinct counts: Apache DataSketches HLL sketches
+  *     (`hll_sketch_agg` / `hll_union_agg`, built into Spark 4) — merge =
+  *     sketch union, estimate within ~2% standard error. Exact distinct is
+  *     the one quantity that cannot be merged from independent slices
+  *     without carrying the value sets themselves.
+  *
+  * Sketch input is the value's string rendering (uniform across types,
+  * including types HLL does not take natively; consistent with the
+  * engine's render-distinct deviation for exotic columns).
+  */
+object MergeableStats {
+
+  private def rawCol(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
+
+  /** Per-slice partial profile: one row per `sliceCol` value carrying every
+    * column's mergeable state. Persist this (tiny — one row per slice) next
+    * to the data; re-profiling a slice replaces its row.
+    */
+  def partials(df: DataFrame, sliceCol: String): DataFrame = {
+    val fields = df.schema.fields.toSeq.filter(_.name != sliceCol)
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: fields.zipWithIndex.flatMap {
+      case (f, i) =>
+        val raw = rawCol(f)
+        val s   = raw.cast("string")
+        val mask = org.apache.spark.sql.GraftColumnBridge.column(
+          MultiPatternMask(
+            org.apache.spark.sql.GraftColumnBridge.expression(s),
+            PatternRules.measuredPatterns.map(_.regex)
+          )
+        )
+        Seq(
+          count(raw).as(s"c${i}__nn"),
+          expr(s"hll_sketch_agg(CAST(${quoted(f.name)} AS STRING))").as(s"c${i}__hll")
+        ) ++ PatternRules.measuredPatterns.zipWithIndex.map { case (p, k) =>
+          sum(shiftright(mask, k).bitwiseAND(lit(1L))).as(s"c${i}__${p.key}")
+        }
+    }
+    df.groupBy(col(sliceCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Merge any subset of partial rows into per-column [[ColumnStats]]:
+    * counts sum exactly, distincts union as sketches. One tiny Spark job
+    * over |slices| rows — the data itself is never re-read.
+    */
+  def merge(partialRows: DataFrame, schema: Seq[String]): Seq[ColumnStats] = {
+    val fields = schema.zipWithIndex
+    val aggs: Seq[Column] = sum(col("__total")).as("__total") +: fields.flatMap { case (_, i) =>
+      Seq(
+        sum(col(s"c${i}__nn")).as(s"c${i}__nn"),
+        expr(s"hll_sketch_estimate(hll_union_agg(c${i}__hll))").as(s"c${i}__uniq")
+      ) ++ PatternRules.measuredPatterns.map { p =>
+        sum(col(s"c${i}__${p.key}")).as(s"c${i}__${p.key}")
+      }
+    }
+    val row: Row = partialRows.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def get(name: String): Long = {
+      val idx = row.fieldIndex(name)
+      if (row.isNullAt(idx)) 0L else row.getLong(idx)
+    }
+    val total = get("__total")
+    fields.map { case (name, i) =>
+      ColumnStats(
+        name = name,
+        totalRows = total,
+        nonNullCount = get(s"c${i}__nn"),
+        uniqueCount = get(s"c${i}__uniq"),
+        patternMatches =
+          PatternRules.measuredPatterns.map(p => p.key -> get(s"c${i}__${p.key}")).toMap
+      )
+    }
+  }
+}

@@ -35,11 +35,21 @@ object Tables {
     * heavy operator on one core. The pre-work shuffle is a few MB and buys
     * full-width execution; wide inputs (any real at-scale table) pass
     * through untouched — no shuffle.
+    *
+    * The partition probe (`df.rdd.getNumPartitions`) forces physical
+    * planning of the input on every call; it is memoized per semantically
+    * equal plan so repeated operators over the same table (the normal
+    * library usage) plan the scan once.
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key    = (df.sparkSession, df.queryExecution.analyzed.semanticHash())
+    val nParts = widthCache.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    if (nParts < target) df.repartition(target) else df
   }
+
+  private val widthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Int]
 
   /** Columns whose DISTINCT count the oracle takes over the VARCHAR
     * rendering instead of the native value. Two cases:

@@ -51,6 +51,26 @@ object DedupOps {
     (a, b)
   }
 
+  /** Shared compiled kernel for the md5/simhash/minhash/shingle hot loops —
+    * same math as the interpreted higher-order formulations (see
+    * [[TextHashKernel]] for the bit-identical contract; DedupOpsSpec asserts
+    * it against the interpreted expressions on real data).
+    */
+  private val kernel = new TextHashKernel(
+    hashCoeffs.map(_._1).toArray,
+    hashCoeffs.map(_._2).toArray,
+    HashPrime,
+    ShingleSize
+  )
+
+  private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  private def simhashCol(toks: Column): Column  = bridged(SimHash32(exprOf(toks), kernel))
+  private def minhashCol(toks: Column): Column  = bridged(MinHashSig(exprOf(toks), kernel))
+  private def shinglesCol(toks: Column): Column = bridged(ShingleArray(exprOf(toks), kernel))
+
   // --- shared shingle machinery --------------------------------------------
 
   /** Raw (doc_id, shingle) occurrences: lowercased whitespace tokens joined
@@ -63,20 +83,8 @@ object DedupOps {
   def shingleDF(docs0: DataFrame): DataFrame = {
     val docs = graft.Tables.widen(docs0)
     val toks = split(lower(col("text")), " ")
-    val n    = ShingleSize
-    val idxs =
-      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
-    val shingles = transform(
-      idxs,
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
-    )
-    docs.select(col("doc_id"), explode(shingles).as("shingle"))
+    docs.select(col("doc_id"), explode(shinglesCol(toks)).as("shingle"))
   }
-
-  /** 32-bit hash of a string: first 8 md5 hex digits as a BIGINT. */
-  private def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
   private val oracleShingleCte =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
@@ -107,17 +115,21 @@ object DedupOps {
 
   // --- tier 2: MinHash + LSH ------------------------------------------------
 
-  /** Per-doc MinHash signature (s0..s31). One explode + one hash-shuffle on
-    * doc_id; signature width is constant, so the aggregate state is 32 longs
-    * regardless of document size. Duplicate shingle occurrences need no
-    * pre-distinct: min() is duplicate-insensitive.
+  /** Per-doc MinHash signature (s0..s31), computed entirely PER ROW by the
+    * native [[MinHashSig]] kernel: no shingle explode, no per-doc shuffle —
+    * signature generation is an embarrassingly parallel map pass (the old
+    * explode + 32-min groupBy formulation shuffled every shingle occurrence).
+    * Docs shorter than one shingle drop out, as before. Duplicate shingle
+    * occurrences need no pre-distinct: min is duplicate-insensitive.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingleDF(docs).withColumn("x", hash32(col("shingle")))
-    val mins = hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("x") + lit(b)) % lit(HashPrime)).as(s"s$i")
-    }
-    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val toks = split(lower(col("text")), " ")
+    val sigCols = (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"s$i"))
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) >= ShingleSize)
+      .select(col("doc_id"), minhashCol(col("__toks")).as("__sig"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH candidate near-dup pairs: band the signature, bucket by (band, key),
@@ -169,8 +181,10 @@ object DedupOps {
 
   // --- tier 3: SimHash ------------------------------------------------------
 
-  /** 32-bit SimHash per document, computed entirely per-row (higher-order
-    * array functions; token hashes computed once into `ths`) — zero shuffle,
+  /** 32-bit SimHash per document, computed entirely per-row by the native
+    * [[SimHash32]] kernel (a compiled token-hash + bit-count loop; the old
+    * nested interpreted `aggregate(sequence(0,31), … aggregate(ths, …))`
+    * walked an expression tree 32 × |tokens| times per doc) — zero shuffle,
     * embarrassingly parallel at any scale. Bit j is 1 iff the sum over token
     * occurrences of ±1 (per token-hash bit j) is positive.
     */
@@ -178,20 +192,7 @@ object DedupOps {
     graft.Tables.widen(docs)
       .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn(
-        "ths",
-        expr("transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))")
-      )
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(sequence(0, 31), 0L, (acc, j) ->
-            |  acc + IF(aggregate(ths, 0L,
-            |             (a, t) -> a + IF((t DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1, 1L, -1L)) > 0,
-            |           CAST(pow(2, j) AS BIGINT), 0L))""".stripMargin
-        )
-      )
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), simhashCol(col("toks")).as("simhash"))
       .orderBy("doc_id")
 
   def oracleSimhash: String =
@@ -207,22 +208,41 @@ object DedupOps {
       |  CAST(sum(CASE WHEN wj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Disjoint bit-bands covering all 32 signature bits, one more band than
+    * the hamming radius: ≤ maxHamming flipped bits touch at most maxHamming
+    * of the maxHamming+1 bands, so every qualifying pair shares at least one
+    * band EXACTLY (the pigeonhole that makes the bucketed join complete at
+    * any radius; the r2 formulation hard-coded 4 byte-bands, which silently
+    * loses pairs for maxHamming ≥ 4). Returns (bitOffset, bitWidth) per band;
+    * at the declared maxHamming=3 this is exactly the four 8-bit bytes.
+    */
+  def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming must be in [0, 32) (got $maxHamming)")
+    val bands = maxHamming + 1
+    val width = 32 / bands
+    val rem   = 32 % bands // first `rem` bands are one bit wider
+    (0 until bands).scanLeft((0, 0)) { case ((off, w), k) =>
+      (off + w, if (k < rem) width + 1 else width)
+    }.tail
+  }
+
   /** SimHash near-dup pairs: hamming(simhash) ≤ maxHamming, found WITHOUT an
-    * all-pairs scan via the byte-band pigeonhole — ≤3 flipped bits touch at
-    * most 3 of the 4 bytes, so every qualifying pair shares at least one
-    * exact byte; banding on (byte index, byte value) and exploding bucket
-    * pairs reaches all of them, then the exact hamming filter prunes the
-    * rest. Same bucketed-pair shape as the MinHash tier.
+    * all-pairs scan via the band pigeonhole (see [[simhashBandLayout]]) —
+    * banding on (band index, band value) and exploding bucket pairs reaches
+    * every qualifying pair, then the exact hamming filter prunes the rest.
+    * Same bucketed-pair shape as the MinHash tier. Wider radii mean narrower
+    * bands and denser buckets — the recall/cost dial.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-    val bandArgs = (0 until 4)
-      .map(k => s"$k, (simhash >> ${8 * k}) & 255")
+    val sig    = simhash(docs)
+    val layout = simhashBandLayout(maxHamming)
+    val bandArgs = layout.zipWithIndex
+      .map { case ((off, w), k) => s"$k, (simhash >> $off) & ${(1L << w) - 1}" }
       .mkString(", ")
     val bands = sig.selectExpr(
       "doc_id",
       "simhash",
-      s"stack(4, $bandArgs) AS (band, byteval)"
+      s"stack(${layout.size}, $bandArgs) AS (band, byteval)"
     )
     bands
       .groupBy(col("band"), col("byteval"))
@@ -243,8 +263,10 @@ object DedupOps {
 
   def oracleSimhashPairs(maxHamming: Int = 3): String = {
     val simCte = oracleSimhash.replace("ORDER BY doc_id", "")
-    val bands = (0 until 4)
-      .map(k => s"SELECT doc_id, simhash, $k AS band, (simhash >> ${8 * k}) & 255 AS byteval FROM sig")
+    val bands = simhashBandLayout(maxHamming).zipWithIndex
+      .map { case ((off, w), k) =>
+        s"SELECT doc_id, simhash, $k AS band, (simhash >> $off) & ${(1L << w) - 1} AS byteval FROM sig"
+      }
       .mkString("\nUNION ALL\n")
     s"""WITH sig AS ($simCte),
        |bands AS ($bands)
@@ -279,9 +301,12 @@ object DedupOps {
     // shared (ReuseExchange) rather than recomputed for a separate per-doc
     // aggregation. The df-cap filters the posting lists themselves, keeping
     // capped sizes and capped intersections consistent.
+    // collect_set order is nondeterministic but irrelevant: pairs are ordered
+    // by the a<b filter and aggregated by key, sizes are counts — no
+    // sort_array needed (saves a per-posting sort)
     val postings0 = shingleDF(docs)
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(collect_set(col("doc_id")).as("ids"))
     val postings = maxShingleDf match {
       case Some(cap) => postings0.where(size(col("ids")) <= cap)
       case None      => postings0

@@ -8,8 +8,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 /** Sequential-fold dot product helper shared by interpreted eval and the
   * generated code. The summation order (index 0 → n-1, one running double)
   * is EXACTLY the order the previous `aggregate(zip_with(a, b, _*_), 0d, _+_)`
-  * formulation used — the produced doubles are bit-identical, so every
-  * declared oracle hash stays valid.
+  * formulation used, so on this library's inputs the produced doubles are
+  * bit-identical and every declared oracle hash stays valid.
+  *
+  * PRECONDITION: equal-length arrays with no null elements (all call sites
+  * pass `transform(embedding, …)` projections of a fixed-dim vector column).
+  * Outside that domain the kernel diverges from the higher-order
+  * formulation: it truncates to the shorter length where `zip_with`
+  * null-pads (yielding null products), and a null element slot reads as 0.0
+  * instead of nulling the sum.
   */
 final class DotProductKernel extends Serializable {
   def dot(a: ArrayData, b: ArrayData): Double = {

@@ -15,6 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
 final class PatternBankMatcher(val regexes: Array[String]) extends Serializable {
   import java.util.regex.{Matcher, Pattern}
 
+  // one bit per pattern in a Long mask; beyond 64 the 1L << i shift would
+  // silently wrap (mod 64) and alias counts onto the wrong patterns
+  require(regexes.length <= 64, s"pattern bank exceeds the 64-bit mask (${regexes.length} patterns)")
+
   @transient private lazy val compiled: Array[Pattern] = regexes.map(Pattern.compile)
 
   @transient private lazy val local: ThreadLocal[Array[Matcher]] =

@@ -8,7 +8,7 @@ import graft.model.ColumnStats
 import graft.pattern.PatternRules
 
 import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration.{Duration, SECONDS}
 import scala.util.{Failure, Success, Try}
 
 /** The distributed measurement layer of the profiler.
@@ -94,7 +94,22 @@ object StatsPass {
         * identical. 0 disables. MapType columns are excluded (not
         * groupable).
         */
-      lowCardThreshold: Int = 4096
+      lowCardThreshold: Int = 4096,
+      /** scans at or below this many bytes (catalog/file-size estimate) take
+        * the SMALL-TABLE FAST PATH: one combined job with counts + patterns +
+        * exact distincts together. Mixing distinct aggregates in DOES plan
+        * through Expand (a (D+1)× row multiplication — the exact thing the
+        * split-job design avoids at scale), but under this threshold the
+        * multiplied row count is still trivial and the win is paying ONE
+        * job-scheduling round instead of two serialized rounds plus a widen
+        * shuffle (r2 verdict: profile_nation, 25 rows, 4.3 s of pure
+        * orchestration). Results are exactly identical. 0 disables.
+        */
+      smallScanBytes: Long = 4L << 20,
+      /** upper bound on any one concurrent measurement job (a production
+        * engine must not hang forever on a lost stage; was Duration.Inf)
+        */
+      awaitTimeoutSec: Long = 3600
   )
 
   /** Measure every column of `df`: non-null count, distinct count, and for
@@ -120,6 +135,8 @@ object StatsPass {
         }
       }
     if (perColumn.isEmpty) return Seq.empty
+
+    if (isSmallScan(df, config)) return computeSmall(df, perColumn, config)
 
     val data = maybeRepartition(df, config)
 
@@ -153,7 +170,7 @@ object StatsPass {
     // column's pattern strategy; with the adaptive path disabled the regex
     // jobs launch concurrently with the distinct jobs — no strategy to pick.
     val distinctRowsEarly: Option[Seq[Row]] =
-      if (config.lowCardThreshold > 0) Some(Await.result(distinctF, Duration.Inf)) else None
+      if (config.lowCardThreshold > 0) Some(await(distinctF, config)) else None
 
     val (lowCard, highCard) = perColumn.partition { case (f, i) =>
       distinctRowsEarly.exists { rows =>
@@ -191,10 +208,10 @@ object StatsPass {
       })
       else None
 
-    val regexRows    = Await.result(regexF, Duration.Inf)
-    val lowRows      = Await.result(lowF, Duration.Inf)
-    val countRows    = countF.map(f => Seq(Await.result(f, Duration.Inf)))
-    val distinctRows = distinctRowsEarly.getOrElse(Await.result(distinctF, Duration.Inf))
+    val regexRows    = await(regexF, config)
+    val lowRows      = await(lowF, config)
+    val countRows    = countF.map(f => Seq(await(f, config)))
+    val distinctRows = distinctRowsEarly.getOrElse(await(distinctF, config))
 
     val patternKeys = PatternRules.measuredPatterns.map(_.key)
 
@@ -226,6 +243,57 @@ object StatsPass {
         patternMatches = matches,
         sampleValues = samples.getOrElse(f.name, Seq.empty),
         patternDenominator = sampledNn
+      )
+    }
+  }
+
+  /** Bounded await on a concurrent measurement job ([[Config.awaitTimeoutSec]]). */
+  private def await[T](f: Future[T], config: Config): T =
+    Await.result(f, Duration(config.awaitTimeoutSec, SECONDS))
+
+  /** Catalog/file-size estimate says the whole scan is trivially small (see
+    * [[Config.smallScanBytes]]). Falls closed: if the estimate is
+    * unavailable, take the scalable path. Sampled pattern measurement always
+    * takes the scalable path — the fast path full-scans, and callers asking
+    * for sampling expect a sampled denominator.
+    */
+  private def isSmallScan(df: DataFrame, config: Config): Boolean =
+    config.smallScanBytes > 0 &&
+      config.patternSampleFraction.isEmpty &&
+      Try(df.queryExecution.optimizedPlan.stats.sizeInBytes <= config.smallScanBytes)
+        .getOrElse(false)
+
+  /** Small-table fast path: ONE combined job — counts + pattern bank + exact
+    * distincts for every column together. The Expand this plans through is
+    * harmless at this size; the win is a single job-scheduling round and no
+    * widen shuffle. Identical counts to the split-job path.
+    */
+  private def computeSmall(
+      df: DataFrame,
+      perColumn: Seq[(StructField, Int)],
+      config: Config
+  ): Seq[ColumnStats] = {
+    val aggs = count(lit(1)).as("__total") +: perColumn.flatMap { case (f, i) =>
+      patternAggsFor(f, i, config) :+ distinctAggFor(f, i, config)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def lookup(name: String): Long = {
+      val idx = row.fieldIndex(name)
+      if (row.isNullAt(idx)) 0L else row.getLong(idx)
+    }
+    val total       = lookup("__total")
+    val patternKeys = PatternRules.measuredPatterns.map(_.key)
+    val samples: Map[String, Seq[String]] =
+      if (config.withSamples) sampleValues(df, perColumn.map(_._1.name), config)
+      else Map.empty
+    perColumn.map { case (f, i) =>
+      ColumnStats(
+        name = f.name,
+        totalRows = total,
+        nonNullCount = lookup(s"c${i}__nn"),
+        uniqueCount = lookup(s"c${i}__uniq"),
+        patternMatches = patternKeys.map(k => k -> lookup(s"c${i}__$k")).toMap,
+        sampleValues = samples.getOrElse(f.name, Seq.empty)
       )
     }
   }
@@ -285,7 +353,7 @@ object StatsPass {
         data.agg(aggs.head, aggs.tail: _*).collect()(0)
       }
     }
-    val rows = Await.result(rowsF, Duration.Inf)
+    val rows = await(rowsF, config)
     val total = rows.head.getAs[Long]("__total")
     def lookup(name: String): Long =
       rows.iterator.flatMap { r =>
@@ -305,13 +373,10 @@ object StatsPass {
   }
 
   /** Round-robin small inputs out to cluster width (no-op for wide inputs —
-    * see object scaladoc).
+    * see object scaladoc; delegates to the memoized [[graft.Tables.widen]]).
     */
-  private def maybeRepartition(df: DataFrame, config: Config): DataFrame = {
-    if (!config.autoRepartition) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def maybeRepartition(df: DataFrame, config: Config): DataFrame =
+    if (!config.autoRepartition) df else graft.Tables.widen(df)
 
   private def rawCol(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
 

@@ -94,13 +94,21 @@ object Sessionize {
       state.remove()
       return Iterator(ClosedSession(userId, s.start, s.end, s.n))
     }
-    val sorted = events.toSeq.sortBy(e => (e.tMicros, e.eventId))
+    // Drop watermark-late rows explicitly: flatMapGroupsWithState does NOT
+    // pre-filter them (unlike windowed aggs), and admitting one would mutate
+    // a session the batch twin considers closed. getCurrentWatermarkMs is 0
+    // on the first batch — no event is dropped before a watermark exists.
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+    val sorted = events.toSeq.filter(_.tMicros >= wmMicros).sortBy(e => (e.tMicros, e.eventId))
     var open   = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
     for (e <- sorted) {
       open match {
         case Some(s) if e.tMicros - s.end <= gapUs =>
-          open = Some(OpenSession(s.start, math.max(s.end, e.tMicros), s.n + 1))
+          // min-track start: a not-yet-late out-of-order event can precede
+          // the open session's start (negative gap passes the merge test) —
+          // matching the batch twin, which sessions on sorted event time
+          open = Some(OpenSession(math.min(s.start, e.tMicros), math.max(s.end, e.tMicros), s.n + 1))
         case Some(s) =>
           closed += ClosedSession(userId, s.start, s.end, s.n)
           open = Some(OpenSession(e.tMicros, e.tMicros, 1))

@@ -77,8 +77,10 @@ object TextOps {
   // --- corpus statistics ----------------------------------------------------
 
   /** Corpus statistics grouped by the labeled language: doc counts, token
-    * sums, char ranges, exact-division averages. One scan + one partial-agg
-    * shuffle on a low-cardinality key.
+    * sums, char ranges, averages rounded to 6 decimals (the repo-wide float
+    * canonicalization convention — identical IEEE quotients can still render
+    * differently across engines). One scan + one partial-agg shuffle on a
+    * low-cardinality key.
     */
   def textStats(docs: DataFrame): DataFrame = {
     val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
@@ -91,13 +93,13 @@ object TextOps {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars")
       )
-      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("avg_tokens", round(col("total_tokens").cast("double") / col("n_docs"), 6))
       .orderBy("lang")
   }
 
   def oracleTextStats: String =
     s"""SELECT lang, n_docs, total_tokens, total_chars, min_chars, max_chars,
-       |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+       |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens
        |FROM (
        |  SELECT lang,
        |    count(*) AS n_docs,

@@ -198,8 +198,10 @@ object DataVault {
   def fkCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration.{Duration, SECONDS}
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // bounded: a lost stage must fail the op, not hang the driver forever
+    val timeout = Duration(3600, SECONDS)
 
     val dfs = relationalTables.map(t => t -> Tables.load(spark, dir, t)).toMap
     val uniqF: Map[(String, String), Future[Boolean]] =
@@ -219,11 +221,11 @@ object DataVault {
           .count()
         (ct, cc, pt, pc, orphans)
       }.map { case (ct, cc, pt, pc, orphans) =>
-        val uniq = Await.result(uniqF((pt, pc)), Duration.Inf)
+        val uniq = Await.result(uniqF((pt, pc)), timeout)
         (ct, cc, pt, pc, orphans, uniq, orphans == 0L && uniq)
       }
     }
-    val rows = Await.result(rowsF, Duration.Inf)
+    val rows = Await.result(rowsF, timeout)
     rows
       .toDF("child_table", "child_column", "parent_table", "parent_column",
         "orphan_count", "parent_is_unique", "is_fk")

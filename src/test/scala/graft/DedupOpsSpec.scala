@@ -84,6 +84,82 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(m(1L) != m(2L)) // permuted stream → different rolling hash
   }
 
+  // --- native-kernel parity: the compiled TextHashKernel expressions must be
+  // bit-identical to the interpreted higher-order formulations they replaced
+  // (every declared dedup oracle hash depends on this) — asserted on the real
+  // sf0.001 documents table, not a toy fixture
+
+  private lazy val realDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("kernel parity: simhash equals the interpreted nested-fold formulation") {
+    import org.apache.spark.sql.functions._
+    val interpreted = realDocs
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn(
+        "ths",
+        expr("transform(toks, t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))")
+      )
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 31), 0L, (acc, j) ->
+            |  acc + IF(aggregate(ths, 0L,
+            |             (a, t) -> a + IF((t DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1, 1L, -1L)) > 0,
+            |           CAST(pow(2, j) AS BIGINT), 0L))""".stripMargin
+        )
+      )
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = DedupOps.simhash(realDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == interpreted)
+  }
+
+  test("kernel parity: minhash signatures equal the explode+groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val hashed = DedupOps.shingleDF(realDocs)
+      .withColumn("x", conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val mins = DedupOps.hashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % lit(DedupOps.HashPrime)).as(s"s$i")
+    }
+    val interpreted = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val native = DedupOps.minhashSignatures(realDocs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(native == interpreted)
+  }
+
+  test("kernel parity: shingle array equals the sequence+transform formulation") {
+    import org.apache.spark.sql.functions._
+    val toks = split(lower(col("text")), " ")
+    val n    = DedupOps.ShingleSize
+    val idxs =
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    val shingles = transform(
+      idxs,
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+    )
+    val interpreted = realDocs.select(col("doc_id"), explode(shingles).as("shingle"))
+      .groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = DedupOps.shingleDF(realDocs)
+      .groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == interpreted)
+  }
+
+  test("simhashBandLayout: disjoint cover of all 32 bits, byte layout at h=3") {
+    assert(DedupOps.simhashBandLayout(3) == Seq((0, 8), (8, 8), (16, 8), (24, 8)))
+    for (h <- 0 until 32) {
+      val layout = DedupOps.simhashBandLayout(h)
+      assert(layout.size == h + 1)
+      val bits = layout.flatMap { case (off, w) => off until (off + w) }
+      assert(bits.sorted == (0 until 32), s"h=$h layout $layout")
+    }
+  }
+
   test("jaccardPairs: planted pair above threshold with correct J; df-cap is recall-lossy not additive") {
     val df = docs((1L, base), (2L, nearDup), (3L, other))
     val rows = DedupOps.jaccardPairs(df, threshold = 0.5).collect()

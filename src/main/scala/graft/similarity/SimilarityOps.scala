@@ -205,7 +205,40 @@ object SimilarityOps {
       .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[ivfTopK]]: assignment CTE (max-cosine centroid per
+    * vector), probe cells = the query's `nprobe` closest centroids, exact
+    * rerank over only those cells' members.
+    */
+  def oracleIvfTopK(
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT b.vec_id, b.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c),
+       |cells AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, centroid_id
+       |  FROM assigned WHERE vec_id IN ($ids) AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, m.vec_id, list_cosine_similarity(m.v, p.qv) AS sim
+       |  FROM cells m JOIN probes p ON m.centroid_id = p.centroid_id),
+       |r AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   // --- embedding-cosine near-dup --------------------------------------------
@@ -276,6 +309,119 @@ object SimilarityOps {
       .distinct() // a vector can be reached via multiple probes
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim_r"))
       .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[annTopK]]: the quantized-bucket CTE, the hamming-≤1
+    * probe set (bucket XOR each single-bit mask, plus 0), bucket equi-join,
+    * exact rerank. Note the top-k is over the CANDIDATES — an approximate
+    * answer by design, identical approximation on both engines.
+    */
+  def oracleAnnTopK(
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      maxHamming: Int = 1
+  ): String = {
+    val ids = queryIds.mkString(", ")
+    val probeOffsets: Seq[Long] =
+      0L +: (if (maxHamming >= 1) (0 until NumPlanes).map(j => 1L << j) else Seq.empty)
+    val planeDots = hyperplanes.zipWithIndex.map { case (h, j) =>
+      val signs = h.mkString("[", ", ", "]")
+      val dotE  = s"list_sum(list_transform(list_zip(qv, $signs), p -> p[1] * p[2]))"
+      s"(CASE WHEN $dotE > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    val bucket = planeDots.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS qvd, xor(bucket, probe) AS pbucket
+       |  FROM bk CROSS JOIN (SELECT unnest([${probeOffsets.mkString(", ")}]) AS probe)
+       |  WHERE vec_id IN ($ids)),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, m.vec_id, list_cosine_similarity(m.v, q.qvd) AS sim
+       |  FROM bk m JOIN q ON m.bucket = q.pbucket),
+       |r AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  // --- banded LSH near-dup pairs (the declared dedup-by-embedding route) ----
+
+  /** Number of bands the 16-bit sketch splits into for near-dup candidate
+    * generation (4 bands × 4 bits). Collision probability per pair at
+    * per-bit agreement p is 1-(1-p⁴)⁴ — an S-curve that passes real
+    * candidates while suppressing random ones; widen bands (more bits) for
+    * tighter thresholds at scale.
+    */
+  val DupBands = 4
+
+  /** Embedding near-dup pairs via the SCALE-SAFE route: band the 16-bit
+    * hyperplane sketch, bucket-join per (band, band-value) — work scales
+    * with bucket occupancy, never |V|² — then EXACT cosine rerank against
+    * the threshold. Approximate recall (a qualifying pair missed by all
+    * bands is lost — the LSH trade), exact precision (every emitted sim is
+    * a real dot product ≥ threshold). The all-pairs [[cosineDupPairs]]
+    * remains the spec-tested exact verifier tier; THIS is the operator a
+    * 100 TB pipeline actually runs, and the declared query since round 3
+    * (the r2 declared surface was the quadratic exact tier, with a
+    * threshold the corpus never reached — a vacuous 0-row oracle).
+    */
+  def cosineDupPairsBanded(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val bandBits = NumPlanes / DupBands
+    val mask     = (1L << bandBits) - 1
+    val base = graft.Tables.widen(emb)
+      .select(col("vec_id"), dv.as("v"), qvec.as("qv"))
+      .withColumn("bucket", bucketExpr("qv"))
+      .withColumn("n2", norm2(col("v")))
+      .drop("qv")
+    val bandArgs = (0 until DupBands)
+      .map(kb => s"$kb, (bucket >> ${kb * bandBits}) & $mask")
+      .mkString(", ")
+    val banded = base.selectExpr("vec_id", "v", "n2", s"stack($DupBands, $bandArgs) AS (band, bval)")
+    val a = banded.select(col("band"), col("bval"), col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("na"))
+    val b = banded.select(col("band"), col("bval"), col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
+    val sim = DotProduct(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))
+    a.join(b, Seq("band", "bval"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("sim", sim)
+      .where(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+      .distinct() // a pair can collide in several bands
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[cosineDupPairsBanded]] — same bucket CTE, band split,
+    * band equi-join, exact rerank, distinct.
+    */
+  def oracleCosineDupPairsBanded(threshold: Double = 0.45): String = {
+    val bandBits = NumPlanes / DupBands
+    val mask     = (1L << bandBits) - 1
+    val planeDots = hyperplanes.zipWithIndex.map { case (h, j) =>
+      val signs = h.mkString("[", ", ", "]")
+      val dotE  = s"list_sum(list_transform(list_zip(qv, $signs), p -> p[1] * p[2]))"
+      s"(CASE WHEN $dotE > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    val bucket = planeDots.mkString(" + ")
+    val bands = (0 until DupBands)
+      .map(kb => s"SELECT vec_id, v, $kb AS band, (bucket >> ${kb * bandBits}) & $mask AS bval FROM bk")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS sim_r
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 }

@@ -95,17 +95,22 @@ object StatsPass {
         * groupable).
         */
       lowCardThreshold: Int = 4096,
-      /** scans at or below this many bytes (catalog/file-size estimate) take
-        * the SMALL-TABLE FAST PATH: one combined job with counts + patterns +
-        * exact distincts together. Mixing distinct aggregates in DOES plan
-        * through Expand (a (D+1)× row multiplication — the exact thing the
-        * split-job design avoids at scale), but under this threshold the
-        * multiplied row count is still trivial and the win is paying ONE
-        * job-scheduling round instead of two serialized rounds plus a widen
-        * shuffle (r2 verdict: profile_nation, 25 rows, 4.3 s of pure
-        * orchestration). Results are exactly identical. 0 disables.
+      /** scans at or below this many bytes (catalog/file-size estimate,
+        * compressed) skip the adaptive low-cardinality strategy: its regex
+        * savings are real only when the table is large enough that
+        * |rows| ≫ |distinct|, while its cost — serializing the regex jobs on
+        * the distinct job's completion — is a fixed extra scheduling round
+        * that DOMINATES small and medium scans (r2 verdict: profile_nation,
+        * 25 rows, 4.3 s of pure orchestration). Under the threshold, regex
+        * and distinct jobs all launch concurrently instead. Results are
+        * exactly identical either way. 0 disables.
         */
-      smallScanBytes: Long = 4L << 20,
+      smallScanBytes: Long = 64L << 20,
+      /** scans at or below this many bytes also skip the widening
+        * repartition — the extra exchange buys nothing when the whole table
+        * fits in one task's stride.
+        */
+      tinyScanBytes: Long = 2L << 20,
       /** upper bound on any one concurrent measurement job (a production
         * engine must not hang forever on a lost stage; was Duration.Inf)
         */
@@ -121,7 +126,7 @@ object StatsPass {
     * reference's per-column error isolation, `pattern_classifier.py:117-123`);
     * the returned seq preserves `df.columns` order for the surviving columns.
     */
-  def compute(df: DataFrame, config: Config = Config()): Seq[ColumnStats] = {
+  def compute(df: DataFrame, config0: Config = Config()): Seq[ColumnStats] = {
     val fields: Seq[StructField] = df.schema.fields.toSeq
     if (fields.isEmpty) return Seq.empty
 
@@ -129,14 +134,25 @@ object StatsPass {
     // arbitrary column names never collide with alias syntax.
     val perColumn: Seq[(StructField, Int)] =
       fields.zipWithIndex.flatMap { case (f, i) =>
-        Try(patternAggsFor(f, i, config)) match {
+        Try(patternAggsFor(f, i, config0)) match {
           case Success(_) => Some((f, i))
           case Failure(_) => None
         }
       }
     if (perColumn.isEmpty) return Seq.empty
 
-    if (isSmallScan(df, config)) return computeSmall(df, perColumn, config)
+    // Small/medium scans: drop the adaptive low-card strategy (and its
+    // serializing distinct round); tiny scans also skip the widen shuffle.
+    // See Config.smallScanBytes / tinyScanBytes.
+    val est = scanSizeEstimate(df)
+    val config =
+      if (config0.smallScanBytes > 0 && config0.patternSampleFraction.isEmpty &&
+          est.exists(_ <= config0.smallScanBytes))
+        config0.copy(
+          lowCardThreshold = 0,
+          autoRepartition = config0.autoRepartition && est.exists(_ > config0.tinyScanBytes)
+        )
+      else config0
 
     val data = maybeRepartition(df, config)
 
@@ -251,52 +267,11 @@ object StatsPass {
   private def await[T](f: Future[T], config: Config): T =
     Await.result(f, Duration(config.awaitTimeoutSec, SECONDS))
 
-  /** Catalog/file-size estimate says the whole scan is trivially small (see
-    * [[Config.smallScanBytes]]). Falls closed: if the estimate is
-    * unavailable, take the scalable path. Sampled pattern measurement always
-    * takes the scalable path — the fast path full-scans, and callers asking
-    * for sampling expect a sampled denominator.
+  /** Compressed-bytes size estimate of the scan (file listing / catalog
+    * stats). None if unavailable — callers fall closed to the at-scale path.
     */
-  private def isSmallScan(df: DataFrame, config: Config): Boolean =
-    config.smallScanBytes > 0 &&
-      config.patternSampleFraction.isEmpty &&
-      Try(df.queryExecution.optimizedPlan.stats.sizeInBytes <= config.smallScanBytes)
-        .getOrElse(false)
-
-  /** Small-table fast path: ONE combined job — counts + pattern bank + exact
-    * distincts for every column together. The Expand this plans through is
-    * harmless at this size; the win is a single job-scheduling round and no
-    * widen shuffle. Identical counts to the split-job path.
-    */
-  private def computeSmall(
-      df: DataFrame,
-      perColumn: Seq[(StructField, Int)],
-      config: Config
-  ): Seq[ColumnStats] = {
-    val aggs = count(lit(1)).as("__total") +: perColumn.flatMap { case (f, i) =>
-      patternAggsFor(f, i, config) :+ distinctAggFor(f, i, config)
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def lookup(name: String): Long = {
-      val idx = row.fieldIndex(name)
-      if (row.isNullAt(idx)) 0L else row.getLong(idx)
-    }
-    val total       = lookup("__total")
-    val patternKeys = PatternRules.measuredPatterns.map(_.key)
-    val samples: Map[String, Seq[String]] =
-      if (config.withSamples) sampleValues(df, perColumn.map(_._1.name), config)
-      else Map.empty
-    perColumn.map { case (f, i) =>
-      ColumnStats(
-        name = f.name,
-        totalRows = total,
-        nonNullCount = lookup(s"c${i}__nn"),
-        uniqueCount = lookup(s"c${i}__uniq"),
-        patternMatches = patternKeys.map(k => k -> lookup(s"c${i}__$k")).toMap,
-        sampleValues = samples.getOrElse(f.name, Seq.empty)
-      )
-    }
-  }
+  private def scanSizeEstimate(df: DataFrame): Option[BigInt] =
+    Try(df.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
 
   /** Low-cardinality pattern measurement for one column: group by value
     * (map-side combinable — the exchange carries at most `lowCardThreshold`

@@ -21,12 +21,14 @@ class ContractSpec extends AnyFunSuite {
       assert(name.matches("[a-z0-9_]+"), s"bad query name: $name")
   }
 
-  test("oracle SQL references only catalog tables") {
+  test("oracle SQL references only catalog tables or its own CTEs") {
     val tables = Tables.columns.keySet
     for ((name, sql) <- SparkEntry.oracleSql) {
       val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
-      val unknown = froms -- tables - "documents" - "sig" - "sess" - "flg" - "e" - "base" -
-        "cents" - "sims" - "toks" - "sh" - "hx" - "bands" - "sizes" - "inter" - "q" - "r" - "s" - "th" - "w"
+      // names the SQL itself introduces: CTEs (`x AS (`) and one-letter
+      // subquery aliases
+      val ctes = "(?i)([a-z_]+)\\s+AS\\s*\\(".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      val unknown = froms -- tables -- ctes -- froms.filter(_.length == 1)
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }
   }

@@ -95,7 +95,17 @@ object SparkEntry {
       "minhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.minhashCandidatePairs(docs(s, d))),
       "simhash_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhash(docs(s, d))),
       "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d))),
-      "simhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhashPairs(docs(s, d)))
+      "simhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhashPairs(docs(s, d))),
+      // pairwise evidence → transitive KEEP/DROP decisions (r3)
+      "dedup_clusters_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupClusters.dedupClusters(docs(s, d)))
+    )
+    val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "sample_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.sampleByHash(docs(s, d), "doc_id", 0.25).orderBy("doc_id")),
+      "stratified_sample_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.stratifiedSampleByHash(
+          docs(s, d), "doc_id", "lang", SparkEntry.stratifiedFractions, defaultFraction = 0.05
+        ).orderBy("doc_id"))
     )
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -140,8 +150,14 @@ object SparkEntry {
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events")))
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }
+
+  /** Language-rebalancing fractions for the declared stratified-sample query
+    * (keep all of the low-resource languages, halve the dominant one).
+    */
+  val stratifiedFractions: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver records
@@ -173,7 +189,15 @@ object SparkEntry {
       "minhash_pairs_documents" -> graft.dedup.DedupOps.oracleMinhashCandidatePairs,
       "simhash_documents"       -> graft.dedup.DedupOps.oracleSimhash,
       "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs(),
-      "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs()
+      "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs(),
+      "dedup_clusters_documents" -> graft.dedup.DedupOps.oracleDedupClusters
+    )
+    val docCols = Tables.columns("documents")
+    val sampling = Seq(
+      "sample_documents" -> graft.sampling.Sampling.oracleSampleByHash(
+        "documents", "doc_id", docCols, 0.25),
+      "stratified_sample_documents" -> graft.sampling.Sampling.oracleStratifiedSampleByHash(
+        "documents", "doc_id", "lang", docCols, stratifiedFractions, defaultFraction = 0.05)
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
@@ -202,6 +226,6 @@ object SparkEntry {
       "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
       "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions()
     )
-    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sim ++ vault ++ extra).toMap
+    (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }
 }

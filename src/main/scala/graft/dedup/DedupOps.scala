@@ -160,7 +160,11 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  def oracleMinhashCandidatePairs: String = {
+  /** The CTE chain computing minhash LSH candidate pairs, shared by the
+    * pairs oracle and the clusters oracle (which embeds it under WITH
+    * RECURSIVE).
+    */
+  private def oracleMinhashPairsCtes: String = {
     val sigCols = hashCoeffs.zipWithIndex
       .map { case ((a, b), i) => s"min(($a*x + $b) % $HashPrime) AS s$i" }
       .mkString(", ")
@@ -170,14 +174,36 @@ object DedupOps {
         s"SELECT doc_id, $j AS band, concat_ws(':', $ks) AS key FROM sig"
       }
       .mkString("\nUNION ALL\n")
-    s"""WITH $oracleShingleCte,
+    s"""$oracleShingleCte,
        |hx AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
-       |bands AS ($bands)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |bands AS ($bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  def oracleMinhashCandidatePairs: String =
+    s"""WITH $oracleMinhashPairsCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of [[DedupClusters.dedupClusters]]: min-reachable-label
+    * connected components over the minhash candidate pairs, as a recursive
+    * CTE (UNION dedups the frontier, so the fixpoint terminates). Every doc
+    * appears; singletons label themselves.
+    */
+  def oracleDedupClusters: String =
+    s"""WITH RECURSIVE $oracleMinhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   // --- tier 3: SimHash ------------------------------------------------------
 

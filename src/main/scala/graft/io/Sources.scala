@@ -41,4 +41,26 @@ object Sources {
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** JSON-lines reader — the lingua franca of LLM training-data interchange
+    * (one JSON object per line, splittable, append-friendly). Schema-explicit
+    * by default for the same reason as CSV; inference scans the input once.
+    * Malformed lines land in the PERMISSIVE-mode `_corrupt_record` column
+    * when the schema declares one — at pipeline scale you quarantine those,
+    * not crash on them.
+    */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[StructType] = None
+  ): DataFrame = {
+    val base = spark.read.option("mode", "PERMISSIVE")
+    schema match {
+      case Some(s) => base.schema(s).json(path)
+      case None    => base.json(path)
+    }
+  }
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
 }

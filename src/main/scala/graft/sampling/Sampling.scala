@@ -1,0 +1,100 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — the data-mix levers of a
+  * training pipeline (downsample a source, rebalance languages/classes,
+  * carve reproducible eval slices).
+  *
+  * Engine-native `sample()` is NOT portable (each engine's RNG and split
+  * semantics differ) and not stable under repartitioning. Hash gating is
+  * both: a row is kept iff the first 8 md5 hex digits of
+  * `"<key>:<salt>"` — a uniform 32-bit integer, identical in Spark and
+  * DuckDB — fall below `fraction · 2³²`. Properties a pipeline needs:
+  *
+  *  - '''Reproducible''': same key+salt+fraction → same decision, on any
+  *    engine, any partitioning, any day.
+  *  - '''Stable under fraction growth''': the 10% sample is a SUBSET of the
+  *    20% sample (same hash, higher threshold) — growing a training mix
+  *    never churns previously selected rows.
+  *  - '''Disjoint by salt''': train/eval splits use different salts, giving
+  *    independent gates on the same keys.
+  *
+  * Per-row projection + filter: no shuffle, trivially parallel at 100 TB,
+  * and the filter sits directly on the scan.
+  */
+object Sampling {
+
+  /** 2³² as a long — the hash-space size of the 8-hex-digit gate. */
+  val HashSpace: Long = 4294967296L
+
+  private def gate(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt)).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
+    math.floor(fraction * HashSpace).toLong
+  }
+
+  /** Keep ≈`fraction` of rows, decided per row by the key's hash gate. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double, salt: String = "graft"): DataFrame =
+    df.where(gate(col(keyCol), salt) < threshold(fraction))
+
+  /** Per-stratum fractions (e.g. language rebalancing: keep 100% of the
+    * low-resource languages, 10% of the dominant one). Strata absent from
+    * the map fall back to `defaultFraction`.
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"
+  ): DataFrame = {
+    val thr = fractions.foldLeft(lit(threshold(defaultFraction))) { case (acc, (stratum, fr)) =>
+      when(col(strataCol) === stratum, lit(threshold(fr))).otherwise(acc)
+    }
+    df.where(gate(col(keyCol), salt) < thr)
+  }
+
+  // --- oracles --------------------------------------------------------------
+
+  private def oracleGate(keyCol: String, salt: String): String =
+    s"CAST('0x' || substr(md5($keyCol || ':$salt'), 1, 8) AS BIGINT)"
+
+  /** DuckDB twin of [[sampleByHash]] over `table`, emitting `cols` ordered
+    * by the key.
+    */
+  def oracleSampleByHash(
+      table: String,
+      keyCol: String,
+      cols: Seq[String],
+      fraction: Double,
+      salt: String = "graft"
+  ): String =
+    s"""SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, salt)} < ${threshold(fraction)}
+       |ORDER BY $keyCol""".stripMargin
+
+  /** DuckDB twin of [[stratifiedSampleByHash]]. */
+  def oracleStratifiedSampleByHash(
+      table: String,
+      keyCol: String,
+      strataCol: String,
+      cols: Seq[String],
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = "graft"
+  ): String = {
+    // mirror the foldLeft's LAST-ENTRY-WINS when-cascade order
+    val cases = fractions.toSeq.reverse
+      .map { case (stratum, fr) => s"WHEN $strataCol = '$stratum' THEN ${threshold(fr)}" }
+      .mkString(" ")
+    s"""SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, salt)} < (CASE $cases ELSE ${threshold(defaultFraction)} END)
+       |ORDER BY $keyCol""".stripMargin
+  }
+}

@@ -27,7 +27,8 @@ class ContractSpec extends AnyFunSuite {
       val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
       // names the SQL itself introduces: CTEs (`x AS (`) and one-letter
       // subquery aliases
-      val ctes = "(?i)([a-z_]+)\\s+AS\\s*\\(".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      val ctes = "(?i)([a-z_]+)\\s*(?:\\([a-z_,\\s]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = froms -- tables -- ctes -- froms.filter(_.length == 1)
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }

@@ -148,7 +148,14 @@ object SparkEntry {
       "media_features_documents" -> ((s: SparkSession, d: String) =>
         graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
       "sessions_events" -> ((s: SparkSession, d: String) =>
-        graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events")))
+        graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
+      // numeric envelope + fixed-width histogram (r3)
+      "numstats_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.numericStats(Tables.load(s, d, "lineitem"), SparkEntry.lineitemNumericCols)),
+      "numstats_orders" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.numericStats(Tables.load(s, d, "orders"), Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+      "hist_lineitem_price" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.histogram(Tables.load(s, d, "lineitem"), "l_extendedprice", 5000.0))
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }
@@ -158,6 +165,12 @@ object SparkEntry {
     */
   val stratifiedFractions: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25)
+
+  /** The numeric lineitem columns the declared numstats query measures. */
+  val lineitemNumericCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver records
@@ -224,7 +237,11 @@ object SparkEntry {
     val extra = Seq(
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
       "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
-      "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions()
+      "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions(),
+      "numstats_lineitem" -> graft.stats.NumericStats.oracleNumericStats("lineitem", lineitemNumericCols),
+      "numstats_orders" -> graft.stats.NumericStats.oracleNumericStats(
+        "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
+      "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0)
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{KMeans, SimilarityOps}
+import graft.stats.NumericStats
+
+/** Round-3 numeric envelope / histogram / k-means training. Cross-engine
+  * agreement of the declared numstats/hist queries is covered by the oracle
+  * gate; these assert the semantics and the training-quality claim.
+  */
+class NumericKMeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("numericStats: exact envelope on a known frame, nulls excluded from count") {
+    val df = Seq(
+      (Some(1L), Some(2.5)),
+      (Some(5L), None),
+      (None, Some(-1.25)),
+      (Some(3L), Some(0.75))
+    ).toDF("a", "b")
+    val rows = NumericStats.numericStats(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n_nonnull") == 3L)
+    assert(a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 5.0)
+    assert(a.getAs[String]("sum_str") == "9.000000")
+    val b = rows("b")
+    assert(b.getAs[Long]("n_nonnull") == 3L)
+    assert(b.getAs[Double]("min_v") == -1.25 && b.getAs[Double]("max_v") == 2.5)
+    assert(b.getAs[String]("sum_str") == "2.000000")
+  }
+
+  test("histogram: fixed-width buckets partition the rows, nulls dropped") {
+    val df = Seq(Some(0.0), Some(4.99), Some(5.0), Some(12.0), Some(-0.01), None)
+      .toDF("x")
+    val h = NumericStats.histogram(df, "x", 5.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(-1L -> 1L, 0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("histogram counts sum to non-null rows on real data") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val total = NumericStats.histogram(li, "l_extendedprice", 5000.0)
+      .agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0)
+    assert(total == li.where(li("l_extendedprice").isNotNull).count())
+  }
+
+  test("kmeans: training improves quantization quality over first-K centroids") {
+    // clustered fixture: trained centroids must fit the clusters better than
+    // the first-16 vectors (which all come from clusters 0-2 + noise)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = Array.fill(SimilarityOps.Dim)((rnd.nextDouble() - 0.5).toFloat)
+    val rows = (0 until 8).flatMap { c =>
+      val center = unit()
+      (0 until 10).map { m =>
+        val v = center.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+        ((c * 10 + m).toLong, v, c)
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val init    = KMeans.firstKCentroids(emb, k = 8)
+    val trained = KMeans.trainCentroids(emb, k = 8, iters = 5)
+    val qInit    = KMeans.assignmentQuality(emb, init)
+    val qTrained = KMeans.assignmentQuality(emb, trained)
+    assert(qTrained > qInit, s"trained $qTrained vs init $qInit")
+    assert(qTrained > 0.95, s"clusters are tight; trained centroids should fit: $qTrained")
+  }
+
+  test("kmeans: deterministic across runs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = KMeans.trainCentroids(emb, k = 4, iters = 2)
+    val b = KMeans.trainCentroids(emb, k = 4, iters = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}

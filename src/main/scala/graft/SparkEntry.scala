@@ -155,7 +155,10 @@ object SparkEntry {
       "numstats_orders" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.numericStats(Tables.load(s, d, "orders"), Seq("o_orderkey", "o_custkey", "o_totalprice"))),
       "hist_lineitem_price" -> ((s: SparkSession, d: String) =>
-        graft.stats.NumericStats.histogram(Tables.load(s, d, "lineitem"), "l_extendedprice", 5000.0))
+        graft.stats.NumericStats.histogram(Tables.load(s, d, "lineitem"), "l_extendedprice", 5000.0)),
+      // the end-to-end curation composition (quality ∧ langid ∧ survivor)
+      "curated_documents" -> ((s: SparkSession, d: String) =>
+        graft.curation.Curation.curatedDocuments(docs(s, d)))
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }
@@ -241,7 +244,8 @@ object SparkEntry {
       "numstats_lineitem" -> graft.stats.NumericStats.oracleNumericStats("lineitem", lineitemNumericCols),
       "numstats_orders" -> graft.stats.NumericStats.oracleNumericStats(
         "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
-      "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0)
+      "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0),
+      "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }

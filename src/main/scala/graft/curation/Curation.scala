@@ -1,0 +1,60 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupClusters, DedupOps}
+import graft.text.TextOps
+
+/** The end-to-end corpus-curation pass — the composition a training-data
+  * pipeline actually ships: KEEP a document iff it
+  *
+  *  1. clears the quality gate ([[TextOps.quality]] class ≠ 'poor'),
+  *  2. has an identifiable language ([[TextOps.langId]] ≠ 'und'), and
+  *  3. is its near-dup cluster's canonical survivor
+  *     ([[DedupClusters.dedupClusters]] cluster_id = doc_id).
+  *
+  * Each stage is one of the declared operators; the composition is itself a
+  * declared query (`curated_documents`) whose DuckDB oracle composes the
+  * stage oracles as CTEs — so the integration (joins, filter order,
+  * survivor rule) is hash-checked end-to-end, not just the parts.
+  *
+  * Plan shape: three independent single-scan pipelines over the documents
+  * table joined on doc_id — at 100 TB each stage is the operator's own
+  * scalable plan (per-row quality/langid projections, bucketed pair
+  * generation + bounded label propagation), and the final join keys on the
+  * (already hash-distributed) doc_id. Filters are conjunctive so stage
+  * ORDER is a pure cost choice; the declared form filters after the join
+  * for one canonical shape.
+  */
+object Curation {
+
+  def curatedDocuments(docs: DataFrame): DataFrame = {
+    val q = TextOps.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_class"))
+    val l = TextOps.langId(docs)
+      .select(col("doc_id").as("l_doc_id"), col("lang"), col("pred_lang"))
+    val cl = DedupClusters.dedupClusters(docs)
+      .select(col("doc_id").as("c_doc_id"), col("cluster_id"))
+    q.join(l, q("doc_id") === l("l_doc_id"))
+      .join(cl, q("doc_id") === cl("c_doc_id"))
+      .where(
+        col("quality_class") =!= "poor" &&
+          col("pred_lang") =!= "und" &&
+          col("cluster_id") === col("doc_id")
+      )
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality_class"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def oracleCuratedDocuments: String = {
+    val q = TextOps.oracleQuality.replace("ORDER BY doc_id", "")
+    val l = TextOps.oracleLangId.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE ${DedupOps.oracleClusterCtes},
+       |q AS ($q),
+       |l AS ($l)
+       |SELECT q.doc_id, l.lang, l.pred_lang, q.quality_class, q.n_tokens
+       |FROM q JOIN l ON l.doc_id = q.doc_id JOIN cl ON cl.doc_id = q.doc_id
+       |WHERE q.quality_class <> 'poor' AND l.pred_lang <> 'und' AND cl.cluster_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+  }
+}

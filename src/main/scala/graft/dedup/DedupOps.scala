@@ -187,13 +187,14 @@ object DedupOps {
     s"""WITH $oracleMinhashPairsCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
-  /** DuckDB twin of [[DedupClusters.dedupClusters]]: min-reachable-label
-    * connected components over the minhash candidate pairs, as a recursive
-    * CTE (UNION dedups the frontier, so the fixpoint terminates). Every doc
-    * appears; singletons label themselves.
+  /** The full CTE chain from documents to a `cl(doc_id, cluster_id)`
+    * relation (min-reachable-label connected components over the minhash
+    * candidate pairs; UNION dedups the recursive frontier, so the fixpoint
+    * terminates). Must be placed under `WITH RECURSIVE`. Shared by the
+    * clusters oracle and the curation-composition oracle.
     */
-  def oracleDedupClusters: String =
-    s"""WITH RECURSIVE $oracleMinhashPairsCtes,
+  private[graft] def oracleClusterCtes: String =
+    s"""$oracleMinhashPairsCtes,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
@@ -201,9 +202,15 @@ object DedupOps {
        |reach(id, lab) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-       |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
-       |GROUP BY id ORDER BY doc_id""".stripMargin
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB twin of [[DedupClusters.dedupClusters]]. Every doc appears;
+    * singletons label themselves.
+    */
+  def oracleDedupClusters: String =
+    s"""WITH RECURSIVE $oracleClusterCtes
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
   // --- tier 3: SimHash ------------------------------------------------------
 

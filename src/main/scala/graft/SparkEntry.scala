@@ -97,7 +97,13 @@ object SparkEntry {
       "jaccard_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.jaccardPairs(docs(s, d))),
       "simhash_pairs_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.simhashPairs(docs(s, d))),
       // pairwise evidence → transitive KEEP/DROP decisions (r3)
-      "dedup_clusters_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupClusters.dedupClusters(docs(s, d)))
+      "dedup_clusters_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupClusters.dedupClusters(docs(s, d))),
+      // benchmark-leak screening against a hash-gated eval slice (r3)
+      "contamination_documents" -> ((s: SparkSession, d: String) => {
+        val dd = docs(s, d)
+        val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
+        graft.dedup.Contamination.contaminatedPairs(dd, bench)
+      })
     )
     val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "sample_documents" -> ((s: SparkSession, d: String) =>
@@ -206,7 +212,8 @@ object SparkEntry {
       "simhash_documents"       -> graft.dedup.DedupOps.oracleSimhash,
       "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs(),
       "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs(),
-      "dedup_clusters_documents" -> graft.dedup.DedupOps.oracleDedupClusters
+      "dedup_clusters_documents" -> graft.dedup.DedupOps.oracleDedupClusters,
+      "contamination_documents"  -> graft.dedup.Contamination.oracleContaminatedPairs()
     )
     val docCols = Tables.columns("documents")
     val sampling = Seq(

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination screening: find corpus documents sharing at
+  * least `minShared` distinct 3-token shingles with any document of a
+  * benchmark/eval set — the decontamination pass every serious training
+  * corpus runs so eval answers don't leak into training data.
+  *
+  * Shape: the same inverted-index discipline as the Jaccard tier — join
+  * the (distinct) corpus shingle postings against the (small) benchmark
+  * side on shingle identity, count distinct shared shingles per
+  * (corpus doc, benchmark doc), threshold. Work scales with posting-list
+  * co-occurrence, never |corpus|×|benchmark|; at 100 TB the benchmark side
+  * is small enough to broadcast, making this a map-side join against a
+  * corpus-wide shingle scan, and hot shingles take the same df-cap escape
+  * hatch as [[DedupOps.jaccardPairs]].
+  *
+  * The threshold is on an ABSOLUTE shared-shingle count, not a ratio:
+  * contamination screening wants recall (a 10-shingle verbatim quote inside
+  * a long document is a leak even though its Jaccard is tiny).
+  */
+object Contamination {
+
+  /** Contaminated (corpus doc, benchmark doc, shared-shingle count) pairs.
+    *
+    * @param benchIds single-column `doc_id` frame naming the benchmark docs
+    *   (typically a hash-gated sample or an external id list); benchmark
+    *   docs themselves are not reported against each other or themselves.
+    * @param maxShingleDf drop shingles occurring in more than this many
+    *   corpus docs before the join (the hot-key guard; bounded recall loss).
+    */
+  def contaminatedPairs(
+      docs: DataFrame,
+      benchIds: DataFrame,
+      minShared: Long = 5L,
+      maxShingleDf: Option[Int] = None
+  ): DataFrame = {
+    val sh0 = DedupOps.shingleDF(docs).distinct()
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df")).where(col("df") > cap)
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      case None => sh0
+    }
+    val bench = sh
+      .join(benchIds.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("bench_doc_id"), col("shingle"))
+    sh
+      .join(bench, Seq("shingle"))
+      .where(col("doc_id") =!= col("bench_doc_id"))
+      .groupBy(col("doc_id"), col("bench_doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("doc_id", "bench_doc_id")
+  }
+
+  /** DuckDB twin for the declared form: benchmark = the md5-gated sample of
+    * the documents table at `benchFraction` with salt `benchSalt`.
+    */
+  def oracleContaminatedPairs(
+      minShared: Long = 5L,
+      benchFraction: Double = 0.05,
+      benchSalt: String = "bench"
+  ): String = {
+    val thr = math.floor(benchFraction * graft.sampling.Sampling.HashSpace).toLong
+    s"""WITH ${DedupOps.oracleShingleCte},
+       |bench AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CAST('0x' || substr(md5(doc_id || ':$benchSalt'), 1, 8) AS BIGINT) < $thr)
+       |SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS shared
+       |FROM sh c
+       |JOIN sh b ON c.s = b.s
+       |JOIN bench ON b.doc_id = bench.doc_id
+       |WHERE c.doc_id <> b.doc_id
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(*) >= $minShared
+       |ORDER BY c.doc_id, bench_doc_id""".stripMargin
+  }
+}

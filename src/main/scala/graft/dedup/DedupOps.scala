@@ -86,7 +86,7 @@ object DedupOps {
     docs.select(col("doc_id"), explode(shinglesCol(toks)).as("shingle"))
   }
 
-  private val oracleShingleCte =
+  private[graft] val oracleShingleCte =
     """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-1), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS s

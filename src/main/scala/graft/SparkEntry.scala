@@ -88,7 +88,8 @@ object SparkEntry {
       "langid_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.langId(docs(s, d))),
       "quality_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.quality(docs(s, d))),
       "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d))),
-      "toptokens_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topTokens(docs(s, d)))
+      "toptokens_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topTokens(docs(s, d))),
+      "topbigrams_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topBigrams(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -164,7 +165,16 @@ object SparkEntry {
         graft.stats.NumericStats.histogram(Tables.load(s, d, "lineitem"), "l_extendedprice", 5000.0)),
       // the end-to-end curation composition (quality ∧ langid ∧ survivor)
       "curated_documents" -> ((s: SparkSession, d: String) =>
-        graft.curation.Curation.curatedDocuments(docs(s, d)))
+        graft.curation.Curation.curatedDocuments(docs(s, d))),
+      // exact interpolated quantiles (profiling tier)
+      "quantiles_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.quantiles(
+          Tables.load(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95))),
+      // product-analytics layer over events
+      "funnel_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.funnel(Tables.load(s, d, "events"), SparkEntry.funnelSteps)),
+      "retention_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.retention(Tables.load(s, d, "events")))
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }
@@ -180,6 +190,9 @@ object SparkEntry {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax"
   )
+
+  /** The declared conversion funnel (signup → view → purchase, 7 days). */
+  val funnelSteps: Seq[String] = Seq("signup", "view", "purchase")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver records
@@ -204,7 +217,8 @@ object SparkEntry {
       "langid_documents"      -> graft.text.TextOps.oracleLangId,
       "quality_documents"     -> graft.text.TextOps.oracleQuality,
       "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints,
-      "toptokens_documents"   -> graft.text.TextOps.oracleTopTokens()
+      "toptokens_documents"   -> graft.text.TextOps.oracleTopTokens(),
+      "topbigrams_documents"  -> graft.text.TextOps.oracleTopBigrams()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
@@ -252,7 +266,11 @@ object SparkEntry {
       "numstats_orders" -> graft.stats.NumericStats.oracleNumericStats(
         "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
       "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0),
-      "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments
+      "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments,
+      "quantiles_lineitem" -> graft.stats.NumericStats.oracleQuantiles(
+        "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
+      "funnel_events"    -> graft.analytics.EventOps.oracleFunnel(funnelSteps),
+      "retention_events" -> graft.analytics.EventOps.oracleRetention
     )
     (profiles ++ summaries ++ piiSummaries ++ stats ++ text ++ dedup ++ sampling ++ sim ++ vault ++ extra).toMap
   }

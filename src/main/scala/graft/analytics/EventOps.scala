@@ -1,0 +1,108 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the events stream — the funnel /
+  * retention layer every event pipeline ships next to sessionization.
+  * All time math is integer microseconds / integer days (no float time),
+  * so results are engine-portable and order-free.
+  *
+  * Scale shapes:
+  *  - [[funnel]] is a chain of per-user min-aggregates and equi-joins on
+  *    user_id — each step is one hash-shuffle on the SAME key, so Spark
+  *    reuses the partitioning across steps; no windows over unbounded
+  *    partitions, no per-user state beyond one timestamp per step.
+  *  - [[retention]] is two aggregations on user/day grain — both map-side
+  *    combinable; the cohort join keys on user_id.
+  */
+object EventOps {
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Ordered-step conversion funnel: a user converts step k iff they have
+    * an event of step k's type STRICTLY after their step-(k-1) conversion
+    * time, within `windowSeconds` of their FIRST-step time. Earliest
+    * qualifying times are used throughout (the standard unordered-window
+    * funnel definition). Output: (step, event_type, n_users), step 1-based.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], windowSeconds: Long = 7L * 86400): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    val winUs = windowSeconds * 1000000L
+    val ev = graft.Tables.widen(events)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+
+    // per-user earliest chain: t_k = min t of step k with t > t_{k-1} ∧ t ≤ t_1 + window
+    var converted: DataFrame = ev
+      .where(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("t")).as("t1"))
+      .withColumn("tprev", col("t1"))
+    val counts = scala.collection.mutable.ArrayBuffer(converted.count())
+    for (k <- 1 until steps.size) {
+      converted = ev
+        .where(col("event_type") === steps(k))
+        .join(converted, Seq("user_id"))
+        .where(col("t") > col("tprev") && col("t") <= col("t1") + winUs)
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("t")).as("tk"))
+        .withColumn("tprev", col("tk"))
+        .drop("tk")
+      counts += converted.count()
+    }
+    import spark.implicits._
+    counts.toSeq.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, steps(i), n) }
+      .toDF("step", "event_type", "n_users")
+      .orderBy("step")
+  }
+
+  /** DuckDB twin of [[funnel]] — the same chain as CTEs. */
+  def oracleFunnel(steps: Seq[String], windowSeconds: Long = 7L * 86400): String = {
+    val winUs = windowSeconds * 1000000L
+    val s1 =
+      s"""s1 AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS t1, min(epoch_us(ts)) AS tprev
+         |  FROM events WHERE event_type = '${steps.head}' GROUP BY user_id)""".stripMargin
+    val rest = (1 until steps.size).map { k =>
+      s"""s${k + 1} AS (
+         |  SELECT e.user_id, s$k.t1, min(epoch_us(e.ts)) AS tprev
+         |  FROM events e JOIN s$k ON e.user_id = s$k.user_id
+         |  WHERE e.event_type = '${steps(k)}'
+         |    AND epoch_us(e.ts) > s$k.tprev AND epoch_us(e.ts) <= s$k.t1 + $winUs
+         |  GROUP BY e.user_id, s$k.t1)""".stripMargin
+    }
+    val selects = steps.indices
+      .map(k => s"SELECT ${k + 1} AS step, '${steps(k)}' AS event_type, (SELECT count(*) FROM s${k + 1}) AS n_users")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${(s1 +: rest).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users
+       |FROM ($selects) ORDER BY step""".stripMargin
+  }
+
+  /** Day-grain retention cohorts: cohort_day = a user's first active day
+    * (µs-epoch integer-divided by 86400·10⁶), day_offset = active day −
+    * cohort day; n_users = distinct users from the cohort active at that
+    * offset (offset 0 = cohort size).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = graft.Tables.widen(events)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
+      .distinct()
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def oracleRetention: String =
+    s"""WITH ev AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS day FROM events),
+       |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+       |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+       |  count(DISTINCT e.user_id) AS n_users
+       |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+}

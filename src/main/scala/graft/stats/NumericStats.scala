@@ -81,4 +81,40 @@ object NumericStats {
     s"""SELECT CAST(floor(CAST($c AS DOUBLE) / $width) AS BIGINT) AS bucket, count(*) AS n
        |FROM $table WHERE $c IS NOT NULL
        |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Exact linear-interpolation quantiles for several columns in one scan:
+    * (column_name, q_r, value_r). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·q interpolation convention, so on the
+    * same values the results agree (both rounded to 6 as the usual float
+    * canonicalization). EXACT quantiles buffer the column per aggregate at
+    * scale — the declared form is for the profiling tier; at 100 TB use
+    * `approx_percentile` (t-digest, not engine-portable, hence not
+    * declared).
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty && qs.nonEmpty, "quantiles needs columns and probabilities")
+    val aggs = cols.flatMap { c =>
+      qs.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(`$c`, $q)").as(s"${c}__q$i")
+      }
+    }
+    val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .flatMap(c => qs.zipWithIndex.map { case (q, i) => s"'$c', ${q}d, round(`${c}__q$i`, 6)" })
+      .mkString(", ")
+    agged
+      .selectExpr(s"stack(${cols.size * qs.size}, $stackArgs) AS (column_name, q_r, value_r)")
+      .orderBy("column_name", "q_r")
+  }
+
+  def oracleQuantiles(table: String, cols: Seq[String], qs: Seq[Double]): String =
+    cols
+      .flatMap { c =>
+        qs.map { q =>
+          s"""SELECT '$c' AS column_name, CAST($q AS DOUBLE) AS q_r,
+             |  round(quantile_cont(CAST($c AS DOUBLE), $q), 6) AS value_r
+             |FROM $table""".stripMargin
+        }
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name, q_r")
 }

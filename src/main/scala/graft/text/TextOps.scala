@@ -233,6 +233,39 @@ object TextOps {
        |  FROM documents
        |) GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** 2-token window builder — only the compiled shingle loop of
+    * [[graft.dedup.TextHashKernel]] is used (the hash coefficients are
+    * inert placeholders for this instance).
+    */
+  private val bigramKernel = new graft.dedup.TextHashKernel(Array(1L), Array(0L), 3L, 2)
+
+  /** Corpus-wide top-K bigram histogram over non-empty lowercased tokens —
+    * the collocation/phrase-discovery pass next to [[topTokens]]. Same plan
+    * shape: per-row compiled window construction (no interpreted lambda),
+    * explode → map-side-combinable count → TakeOrdered.
+    */
+  def topBigrams(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = expr("filter(split(lower(text), ' '), t -> t != '')")
+    val bigrams = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.dedup.ShingleArray(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks),
+        bigramKernel
+      )
+    )
+    graft.Tables.widen(docs)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def oracleTopBigrams(k: Int = 50): String =
+    s"""SELECT bigram, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(range(1, len(ts)), i -> concat(ts[i], ' ', ts[i+1]))) AS bigram
+       |  FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t != '') AS ts FROM documents)
+       |) GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Rolling-hash base/modulus (Karp-Rabin over per-token 32-bit hashes):

@@ -37,6 +37,34 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("JSONL round-trip preserves rows; malformed lines quarantine, not crash") {
+    val df = Seq(
+      (1L, "hello world", "en"),
+      (2L, "zweite zeile", "de")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/t"
+    Sources.writeJsonl(df, dir)
+    val back = Sources.readJsonl(spark, dir, schema = Some(df.schema))
+    assert(back.orderBy("doc_id").collect().toSeq == df.orderBy("doc_id").collect().toSeq)
+
+    // PERMISSIVE quarantine: a corrupt line lands in _corrupt_record
+    val corruptDir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(corruptDir, "part.jsonl"),
+      """{"doc_id": 1, "text": "ok", "lang": "en"}
+        |this is not json
+        |{"doc_id": 2, "text": "also ok", "lang": "en"}""".stripMargin
+    )
+    val schemaWithCorrupt = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType)
+    )
+    val got = Sources.readJsonl(spark, corruptDir, schema = Some(schemaWithCorrupt)).cache()
+    assert(got.where("_corrupt_record IS NULL").count() == 2)
+    assert(got.where("_corrupt_record IS NOT NULL").count() == 1)
+    got.unpersist()
+  }
+
   test("streaming windowed profile equals the batch equivalent (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingProfiler.eventWindowCounts(spark, dir).collect()

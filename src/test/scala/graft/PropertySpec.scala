@@ -109,6 +109,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TextHashKernel fuzz: bit-identity against the hex-string/BigInt formulation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = new graft.dedup.TextHashKernel(
+      graft.dedup.DedupOps.hashCoeffs.map(_._1).toArray,
+      graft.dedup.DedupOps.hashCoeffs.map(_._2).toArray,
+      graft.dedup.DedupOps.HashPrime,
+      graft.dedup.DedupOps.ShingleSize
+    )
+    // independent ground truth: the HEX-STRING md5 path (what the oracle SQL
+    // does) with BigInt affine arithmetic (catches long overflow in the
+    // kernel) and DIV-based bit extraction (the interpreted formulation)
+    def hash32hex(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def expSimhash(toks: Seq[String]): Long = {
+      val counts = new Array[Int](32)
+      for (t <- toks; x = hash32hex(t); j <- 0 until 32)
+        counts(j) += (if ((x / (1L << j)) % 2 == 1) 1 else -1)
+      (0 until 32).map(j => if (counts(j) > 0) 1L << j else 0L).sum
+    }
+    def expMinhash(toks: Seq[String]): Seq[Long] =
+      graft.dedup.DedupOps.hashCoeffs.map { case (a, b) =>
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).map { sh =>
+          ((BigInt(a) * hash32hex(sh) + b) mod BigInt(graft.dedup.DedupOps.HashPrime)).toLong
+        }.foldLeft(Long.MaxValue)(math.min)
+      }
+    // unicode-heavy tokens exercise the UTF-8 byte path
+    val tokenGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', 'ß', '中', '✓', '-', '.'))))
+    val toksGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokenGen))
+    forAll(toksGen, n = 150) { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      assert(kernel.simhash(arr) == expSimhash(toks), s"simhash on $toks")
+      val gotShingles = kernel.shingles(arr)
+      val expShingles = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(
+        (0 until gotShingles.numElements()).map(i => gotShingles.getUTF8String(i).toString) == expShingles,
+        s"shingles on $toks"
+      )
+      if (toks.size >= 3) {
+        val got = kernel.minhashSig(arr)
+        assert((0 until got.numElements()).map(got.getLong) == expMinhash(toks), s"minhash on $toks")
+      }
+    }
+  }
+
   test("fuzz: email-shaped and numeric-shaped strings hit their banks") {
     val emailGen = for {
       u <- Gen.stringOfN(5, Gen.alphaLowerChar)

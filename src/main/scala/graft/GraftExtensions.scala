@@ -79,7 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.size >= 2, s"graft_pattern_mask expects a value and at least one pattern")
           val patterns = exprs.tail.map {
             case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
-              e.eval().toString
+              val v = e.eval()
+              if (v == null)
+                throw new IllegalArgumentException("pattern arguments must be non-null string literals")
+              v.toString
             case other =>
               throw new IllegalArgumentException(s"pattern arguments must be string literals, got $other")
           }

@@ -44,12 +44,22 @@ object Tables {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val key    = (df.sparkSession, df.queryExecution.analyzed.semanticHash())
+    if (widthCache.size > WidthCacheMax) widthCache.clear() // bound memory + session pinning
     val nParts = widthCache.getOrElseUpdate(key, df.rdd.getNumPartitions)
     if (nParts < target) df.repartition(target) else df
   }
 
+  /** Memo is an optimization only: entries can go stale if the files behind
+    * a path change mid-session (worst case the widen decision is off until
+    * the cache cycles) and the 32-bit plan hash can in principle collide —
+    * both bounded by the cap-and-clear policy. Callers needing an exact
+    * decision for a just-rewritten path can `widthCacheClear()`.
+    */
+  private val WidthCacheMax = 1024
   private val widthCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Int]
+
+  def widthCacheClear(): Unit = widthCache.clear()
 
   /** Columns whose DISTINCT count the oracle takes over the VARCHAR
     * rendering instead of the native value. Two cases:

@@ -30,8 +30,13 @@ object EventOps {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     val winUs = windowSeconds * 1000000L
+    // ev materialized once; each step's survivors are localCheckpointed so
+    // the per-step count (an eager action by design — the funnel's RESULT is
+    // the counts) does not re-execute the whole prior join chain (O(S²)
+    // scans otherwise)
     val ev = graft.Tables.widen(events)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .localCheckpoint()
 
     // per-user earliest chain: t_k = min t of step k with t > t_{k-1} ∧ t ≤ t_1 + window
     var converted: DataFrame = ev
@@ -39,6 +44,7 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(min(col("t")).as("t1"))
       .withColumn("tprev", col("t1"))
+      .localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer(converted.count())
     for (k <- 1 until steps.size) {
       converted = ev
@@ -49,6 +55,7 @@ object EventOps {
         .agg(min(col("t")).as("tk"))
         .withColumn("tprev", col("tk"))
         .drop("tk")
+        .localCheckpoint()
       counts += converted.count()
     }
     import spark.implicits._
@@ -85,6 +92,11 @@ object EventOps {
     * (µs-epoch integer-divided by 86400·10⁶), day_offset = active day −
     * cohort day; n_users = distinct users from the cohort active at that
     * offset (offset 0 = cohort size).
+    *
+    * PRECONDITION: non-negative event times (epoch 1970+). Spark `div`
+    * truncates toward zero while DuckDB `//` floors, so the declared twin
+    * agrees only on non-negative µs values — true of any real event stream
+    * and of the testdata.
     */
   def retention(events: DataFrame): DataFrame = {
     val ev = graft.Tables.widen(events)

@@ -47,9 +47,12 @@ object Contamination {
     val bench = sh
       .join(benchIds.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id").as("bench_doc_id"), col("shingle"))
-    sh
+    // corpus side excludes the benchmark docs themselves: the screening
+    // contract reports TRAINING docs that leak a bench doc, never bench
+    // docs against each other (they are not training candidates)
+    val corpus = sh.join(benchIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    corpus
       .join(bench, Seq("shingle"))
-      .where(col("doc_id") =!= col("bench_doc_id"))
       .groupBy(col("doc_id"), col("bench_doc_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
@@ -73,7 +76,7 @@ object Contamination {
        |FROM sh c
        |JOIN sh b ON c.s = b.s
        |JOIN bench ON b.doc_id = bench.doc_id
-       |WHERE c.doc_id <> b.doc_id
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM bench)
        |GROUP BY c.doc_id, b.doc_id
        |HAVING count(*) >= $minShared
        |ORDER BY c.doc_id, bench_doc_id""".stripMargin

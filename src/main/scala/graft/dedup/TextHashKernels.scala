@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -53,6 +53,14 @@ final class TextHashKernel(
     ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) | ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
   }
 
+  private def tokenAt(toks: ArrayData, i: Int): UTF8String = {
+    val t = toks.getUTF8String(i)
+    // clear failure for SQL callers passing arrays with null elements — the
+    // library's own call sites (split/filter output) never produce them
+    if (t == null) throw new IllegalArgumentException(s"null token at index $i")
+    t
+  }
+
   /** 32-bit SimHash over the token array (tokens hashed as-is; callers
     * pre-filter empties to match the declared formulation).
     */
@@ -61,7 +69,7 @@ final class TextHashKernel(
     val counts = new Array[Int](32)
     var i = 0
     while (i < n) {
-      val x = hash32(toks.getUTF8String(i).getBytes)
+      val x = hash32(tokenAt(toks, i).getBytes)
       var j = 0
       while (j < 32) {
         if (((x >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -92,10 +100,10 @@ final class TextHashKernel(
     val sig = Array.fill[Any](coeffA.length)(Long.MaxValue)
     var i = 0
     while (i <= n - w) {
-      var s = toks.getUTF8String(i)
+      var s = tokenAt(toks, i)
       var j = 1
       while (j < w) {
-        s = UTF8String.concat(s, Space, toks.getUTF8String(i + j))
+        s = UTF8String.concat(s, Space, tokenAt(toks, i + j))
         j += 1
       }
       val x = hash32(s.getBytes)
@@ -122,10 +130,10 @@ final class TextHashKernel(
     val out = new Array[Any](n - w + 1)
     var i = 0
     while (i <= n - w) {
-      var s = toks.getUTF8String(i)
+      var s = tokenAt(toks, i)
       var j = 1
       while (j < w) {
-        s = UTF8String.concat(s, Space, toks.getUTF8String(i + j))
+        s = UTF8String.concat(s, Space, tokenAt(toks, i + j))
         j += 1
       }
       out(i) = s
@@ -138,7 +146,9 @@ final class TextHashKernel(
 /** Native 32-bit SimHash of an `array<string>` token column. Null-intolerant
   * (null input → null), like the higher-order formulation it replaces.
   */
-case class SimHash32(child: Expression, kernel: TextHashKernel) extends UnaryExpression {
+case class SimHash32(child: Expression, kernel: TextHashKernel) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = kernel.simhash(input.asInstanceOf[ArrayData])
@@ -157,7 +167,9 @@ case class SimHash32(child: Expression, kernel: TextHashKernel) extends UnaryExp
 /** Native MinHash signature (`array<long>`, one slot per affine hash) of an
   * `array<string>` token column.
   */
-case class MinHashSig(child: Expression, kernel: TextHashKernel) extends UnaryExpression {
+case class MinHashSig(child: Expression, kernel: TextHashKernel) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = kernel.minhashSig(input.asInstanceOf[ArrayData])
@@ -176,7 +188,9 @@ case class MinHashSig(child: Expression, kernel: TextHashKernel) extends UnaryEx
 /** Native shingle construction: `array<string>` tokens → `array<string>` of
   * consecutive space-joined shingles.
   */
-case class ShingleArray(child: Expression, kernel: TextHashKernel) extends UnaryExpression {
+case class ShingleArray(child: Expression, kernel: TextHashKernel) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = kernel.shingles(input.asInstanceOf[ArrayData])

@@ -1,9 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Sequential-fold dot product helper shared by interpreted eval and the
   * generated code. The summation order (index 0 → n-1, one running double)
@@ -41,7 +41,11 @@ final class DotProductKernel extends Serializable {
   * whole-stage codegen. Null if either side is null (null-intolerant binary
   * semantics, same as the higher-order formulation on null arrays).
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   @transient private lazy val kernel = new DotProductKernel
 

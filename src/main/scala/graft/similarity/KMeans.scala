@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Cosine assignment is scale-invariant, so cell means are used unnormalized
   * (spherical k-means' normalization would not change any assignment).
-  * Deterministic: first-K init, deterministic tie-breaks, fixed rounds —
-  * same input → same centroids, which keeps downstream search results
-  * reproducible. Not oracle-declared (a multi-round iterative fixpoint is
+  * Deterministic: farthest-point seeding, deterministic tie-breaks, fixed
+  * rounds — same input → same centroids, which keeps downstream search
+  * results reproducible. Not oracle-declared (a multi-round iterative fixpoint is
   * not one SQL statement); quality and convergence are spec-asserted
   * (SimilarityOpsSpec) and the declared IVF queries keep the first-K
   * centroids so their oracles stay closed-form.
@@ -35,10 +35,15 @@ object KMeans {
     * optimum; farthest-point guarantees seed spread. Cost: k bounded
     * single-row argmin aggregates — no data rows to the driver.
     */
-  def farthestPointInit(emb: DataFrame, k: Int = SimilarityOps.IvfCentroids): Array[Array[Double]] = {
-    val base = graft.Tables.widen(emb)
+  def farthestPointInit(emb: DataFrame, k: Int = SimilarityOps.IvfCentroids): Array[Array[Double]] =
+    farthestPointInitOn(prepare(emb), k)
+
+  private def prepare(emb: DataFrame): DataFrame =
+    graft.Tables.widen(emb)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .localCheckpoint()
+
+  private def farthestPointInitOn(base: DataFrame, k: Int): Array[Array[Double]] = {
     val first = base.orderBy("vec_id").select("v").first().getSeq[Double](0).toArray
     val chosen = scala.collection.mutable.ArrayBuffer(first)
     val n2 = DotProduct(col("v"), col("v"))
@@ -69,11 +74,10 @@ object KMeans {
       k: Int = SimilarityOps.IvfCentroids,
       iters: Int = 5
   ): Array[Array[Double]] = {
-    val base = graft.Tables.widen(emb)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .localCheckpoint() // reused every round; truncate lineage once
+    // one materialized projection shared by seeding and every Lloyd's round
+    val base = prepare(emb)
 
-    var centroids: Array[Array[Double]] = farthestPointInit(emb, k)
+    var centroids: Array[Array[Double]] = farthestPointInitOn(base, k)
 
     for (_ <- 0 until iters) {
       val assigned = assignCells(base, centroids)

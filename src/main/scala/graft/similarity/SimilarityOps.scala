@@ -275,6 +275,20 @@ object SimilarityOps {
 
   // --- bucketed ANN ---------------------------------------------------------
 
+  /** All XOR masks flipping at most `maxHamming` of the 16 sketch bits —
+    * the complete multiprobe set for that radius (the r2 construction only
+    * ever emitted single-bit masks, silently degrading any radius ≥ 2 to 1).
+    * Probe count is Σ C(16,h), so the radius is capped where multiprobing
+    * stops making sense (beyond ~3, partition the corpus by band instead —
+    * the [[cosineDupPairsBanded]] shape).
+    */
+  def annProbeOffsets(maxHamming: Int): Seq[Long] = {
+    require(maxHamming >= 0 && maxHamming <= 3, s"multiprobe radius must be in [0, 3] (got $maxHamming)")
+    (0 to maxHamming).flatMap(h =>
+      (0 until NumPlanes).combinations(h).map(_.foldLeft(0L)((m, j) => m | (1L << j))).toSeq
+    )
+  }
+
   /** Approximate top-k: candidates = vectors whose bucket is within hamming
     * distance `maxHamming` of the query's bucket (multiprobe by exploding the
     * probe set), reranked exactly. The join key is the bucket — at scale this
@@ -291,8 +305,7 @@ object SimilarityOps {
       .withColumn("bucket", bucketExpr("qv"))
       .withColumn("n2", norm2(col("v")))
       .drop("qv")
-    val probeOffsets: Seq[Long] =
-      0L +: (if (maxHamming >= 1) (0 until NumPlanes).map(j => 1L << j) else Seq.empty)
+    val probeOffsets: Seq[Long] = annProbeOffsets(maxHamming)
     val q = base
       .where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("v").as("qvd"), col("n2").as("qn2"), col("bucket").as("qbucket"))
@@ -324,8 +337,7 @@ object SimilarityOps {
       maxHamming: Int = 1
   ): String = {
     val ids = queryIds.mkString(", ")
-    val probeOffsets: Seq[Long] =
-      0L +: (if (maxHamming >= 1) (0 until NumPlanes).map(j => 1L << j) else Seq.empty)
+    val probeOffsets: Seq[Long] = annProbeOffsets(maxHamming)
     val planeDots = hyperplanes.zipWithIndex.map { case (h, j) =>
       val signs = h.mkString("[", ", ", "]")
       val dotE  = s"list_sum(list_transform(list_zip(qv, $signs), p -> p[1] * p[2]))"

@@ -1,8 +1,8 @@
 package graft.stats
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Precompiled regex bank evaluated against one value in a single call,
@@ -46,7 +46,10 @@ final class PatternBankMatcher(val regexes: Array[String]) extends Serializable 
   * mask). Null-intolerant: null child → null mask (aggregating sums skip
   * it, matching `rlike`'s null semantics).
   */
-case class MultiPatternMask(child: Expression, regexes: Seq[String]) extends UnaryExpression {
+case class MultiPatternMask(child: Expression, regexes: Seq[String]) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
 
   @transient private lazy val bank = new PatternBankMatcher(regexes.toArray)
 

@@ -104,11 +104,19 @@ object Sessionize {
     val closed = Seq.newBuilder[ClosedSession]
     for (e <- sorted) {
       open match {
-        case Some(s) if e.tMicros - s.end <= gapUs =>
-          // min-track start: a not-yet-late out-of-order event can precede
-          // the open session's start (negative gap passes the merge test) —
-          // matching the batch twin, which sessions on sorted event time
+        case Some(s) if e.tMicros >= s.start - gapUs && e.tMicros - s.end <= gapUs =>
+          // within one gap of the open session's interval on either side:
+          // merge, min-tracking start for not-yet-late out-of-order events
+          // (the batch twin sessions on sorted event time)
           open = Some(OpenSession(math.min(s.start, e.tMicros), math.max(s.end, e.tMicros), s.n + 1))
+        case Some(s) if e.tMicros < s.start - gapUs =>
+          // pre-session straggler MORE than a gap before the open session's
+          // start: it belongs to an earlier session that the batch twin
+          // would have formed. Emit it as its own closed session — an
+          // approximation (a second straggler inside ITS gap window would
+          // have merged with it in batch); exact parity under arbitrary
+          // reordering requires buffering events until the watermark.
+          closed += ClosedSession(userId, e.tMicros, e.tMicros, 1)
         case Some(s) =>
           closed += ClosedSession(userId, s.start, s.end, s.n)
           open = Some(OpenSession(e.tMicros, e.tMicros, 1))

@@ -24,12 +24,13 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL references only catalog tables or its own CTEs") {
     val tables = Tables.columns.keySet
     for ((name, sql) <- SparkEntry.oracleSql) {
-      val froms = "(?i)FROM\\s+([a-z_]+)".r.findAllMatchIn(sql).map(_.group(1)).toSet
-      // names the SQL itself introduces: CTEs (`x AS (`) and one-letter
-      // subquery aliases
-      val ctes = "(?i)([a-z_]+)\\s*(?:\\([a-z_,\\s]*\\))?\\s+AS\\s*\\(".r
+      // digit-aware identifier capture: `s2` must parse as "s2", not "s" —
+      // otherwise numbered CTE references escape the check entirely
+      val froms = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      // names the SQL itself introduces: CTEs (`x AS (` / `x(cols) AS (`)
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
-      val unknown = froms -- tables -- ctes -- froms.filter(_.length == 1)
+      val unknown = froms -- tables -- ctes
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }
   }

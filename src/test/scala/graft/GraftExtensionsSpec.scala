@@ -73,6 +73,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(shingles == Seq("alpha beta gamma", "beta gamma delta", "gamma delta eps"))
   }
 
+  test("wrong-typed SQL arguments fail analysis, not executors") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      extSpark.sql("SELECT graft_simhash32('not an array')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      extSpark.sql("SELECT graft_dot(array(1.0d), 'nope')").collect()
+    }
+  }
+
   test("SQL graft_pattern_mask evaluates a literal bank as a bitmask") {
     val m = extSpark
       .sql("""SELECT graft_pattern_mask('user@host.com', '^[^@]+@[^@]+\\.[a-z]+$', '^\\d+$') AS m""")

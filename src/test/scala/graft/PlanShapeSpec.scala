@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression net for the scale story: the properties PLANS.md
+  * documents are asserted here so a refactor that silently reintroduces a
+  * shuffle, an all-pairs join, or a per-row recomputation fails CI instead
+  * of a bench round.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val emb  = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("minhash signatures are shuffle-free (per-row kernel, no explode/groupBy)") {
+    val p = plan(graft.dedup.DedupOps.minhashSignatures(docs))
+    // the only allowed exchange is the widen round-robin on the narrow input
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("RoundRobin")), s"unexpected exchanges: $exchanges\n$p")
+    assert(!p.contains("Generate"), s"signature plan should not explode:\n$p")
+    assert(p.contains("graft_minhash_sig"), s"native kernel missing from plan:\n$p")
+  }
+
+  test("minhash kernel is projected once, not inlined 32 times") {
+    val p = plan(graft.dedup.DedupOps.minhashSignatures(docs))
+    val kernelCalls = "graft_minhash_sig".r.findAllMatchIn(p).size
+    assert(kernelCalls <= 2, s"kernel appears $kernelCalls times — CollapseProject inlined it:\n$p")
+  }
+
+  test("simhash is a pure projection (no shuffle beyond widen, no explode)") {
+    val p = plan(graft.dedup.DedupOps.simhash(docs))
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    // widen round-robin + the declared orderBy's range exchange only
+    assert(
+      exchanges.forall(e => e.startsWith("RoundRobin") || e.startsWith("rangepartitioning")),
+      s"unexpected exchanges: $exchanges\n$p"
+    )
+    assert(!p.contains("Generate"), s"simhash should not explode:\n$p")
+  }
+
+  test("no declared pair generator plans an all-pairs operator") {
+    val quadratic = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    val plans = Map(
+      "minhash_pairs" -> plan(graft.dedup.DedupOps.minhashCandidatePairs(docs)),
+      "simhash_pairs" -> plan(graft.dedup.DedupOps.simhashPairs(docs)),
+      "jaccard_pairs" -> plan(graft.dedup.DedupOps.jaccardPairs(docs)),
+      "cosine_dups_banded" -> plan(graft.similarity.SimilarityOps.cosineDupPairsBanded(emb)),
+      "contamination" -> plan(
+        graft.dedup.Contamination.contaminatedPairs(
+          docs, graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.05, "bench").select("doc_id"))
+      )
+    )
+    for ((name, p) <- plans; op <- quadratic)
+      assert(!p.contains(op), s"$name plans $op — an all-pairs scale-killer:\n$p")
+  }
+
+  test("sampling filters sit on the scan — no shuffle at all") {
+    val p = plan(graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.25))
+    assert(!p.contains("Exchange") || "Exchange (\\w+)".r.findAllMatchIn(p).forall(_.group(1).startsWith("RoundRobin")),
+      s"sampling should be a pure filter:\n$p")
+  }
+}

@@ -104,6 +104,15 @@ object SparkEntry {
         val dd = docs(s, d)
         val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
         graft.dedup.Contamination.contaminatedPairs(dd, bench)
+      }),
+      // the daily-ingest shape: new slice deduped against stored signatures
+      "incremental_pairs_documents" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        val dd = docs(s, d)
+        graft.dedup.DedupOps.incrementalMinhashPairs(
+          graft.dedup.DedupOps.minhashSignatures(dd.where(col("doc_id") < SparkEntry.incrementalSplit)),
+          graft.dedup.DedupOps.minhashSignatures(dd.where(col("doc_id") >= SparkEntry.incrementalSplit))
+        )
       })
     )
     val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -194,6 +203,9 @@ object SparkEntry {
   /** The declared conversion funnel (signup → view → purchase, 7 days). */
   val funnelSteps: Seq[String] = Seq("signup", "view", "purchase")
 
+  /** History/new-slice split for the declared incremental-dedup query. */
+  val incrementalSplit: Long = 400L
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver records
     * a weaker rows-only check).
@@ -227,7 +239,8 @@ object SparkEntry {
       "jaccard_pairs_documents" -> graft.dedup.DedupOps.oracleJaccardPairs(),
       "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs(),
       "dedup_clusters_documents" -> graft.dedup.DedupOps.oracleDedupClusters,
-      "contamination_documents"  -> graft.dedup.Contamination.oracleContaminatedPairs()
+      "contamination_documents"  -> graft.dedup.Contamination.oracleContaminatedPairs(),
+      "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit)
     )
     val docCols = Tables.columns("documents")
     val sampling = Seq(

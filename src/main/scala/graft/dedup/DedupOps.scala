@@ -160,6 +160,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental LSH candidate pairs: dedup a NEW slice against the stored
+    * signature history without re-finding history-vs-history pairs (those
+    * were emitted by earlier runs). This is the daily-ingest shape at
+    * 100 TB: signatures are per-row ([[minhashSignatures]]) and thus
+    * trivially incremental — persist them once per slice, then each run
+    * bands only `newSigs` against `history ∪ new` and keeps pairs with at
+    * least one new member. Work scales with |new| × bucket occupancy, never
+    * with |history|²; the history side is touched only through the band
+    * join.
+    *
+    * Contract (spec-asserted): `previousPairs ∪ incremental = full-batch
+    * pairs over history ∪ new`.
+    *
+    * @param historySigs stored signature table (doc_id, s0..s31) — the
+    *   output schema of [[minhashSignatures]]
+    * @param newSigs the new slice's signatures, same schema
+    */
+  def incrementalMinhashPairs(historySigs: DataFrame, newSigs: DataFrame): DataFrame = {
+    val stackArgs = (0 until NumBands)
+      .map { j =>
+        val ks = (0 until BandRows).map(r => s"s${j * BandRows + r}").mkString(", ")
+        s"$j, concat_ws(':', $ks)"
+      }
+      .mkString(", ")
+    def bands(df: DataFrame) =
+      df.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
+    val newBands = bands(newSigs)
+    val allBands = bands(historySigs.unionByName(newSigs))
+    newBands
+      .select(col("band"), col("key"), col("doc_id").as("new_doc"))
+      .join(allBands, Seq("band", "key"))
+      .where(col("doc_id") =!= col("new_doc"))
+      .select(
+        least(col("doc_id"), col("new_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("new_doc")).as("doc_b")
+      )
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The CTE chain computing minhash LSH candidate pairs, shared by the
     * pairs oracle and the clusters oracle (which embeds it under WITH
     * RECURSIVE).
@@ -186,6 +226,17 @@ object DedupOps {
   def oracleMinhashCandidatePairs: String =
     s"""WITH $oracleMinhashPairsCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of the declared incremental run: the full pair set
+    * restricted to pairs touching the new slice (doc_id ≥ splitAt) — exactly
+    * what [[incrementalMinhashPairs]] must produce when history is the
+    * docs below the split.
+    */
+  def oracleIncrementalMinhashPairs(splitAt: Long): String =
+    s"""WITH $oracleMinhashPairsCtes
+       |SELECT doc_a, doc_b FROM pairs
+       |WHERE doc_a >= $splitAt OR doc_b >= $splitAt
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The full CTE chain from documents to a `cl(doc_id, cluster_id)`
     * relation (min-reachable-label connected components over the minhash

@@ -160,6 +160,23 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash pairs: previous ∪ incremental == full batch (real corpus split)") {
+    import org.apache.spark.sql.functions.col
+    // split the real corpus into "history" and a "new slice"
+    val history = realDocs.where(col("doc_id") < 400)
+    val fresh   = realDocs.where(col("doc_id") >= 400)
+    val histSigs = DedupOps.minhashSignatures(history)
+    val newSigs  = DedupOps.minhashSignatures(fresh)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val previous    = pairSet(DedupOps.minhashCandidatePairs(history))
+    val incremental = pairSet(DedupOps.incrementalMinhashPairs(histSigs, newSigs))
+    val full        = pairSet(DedupOps.minhashCandidatePairs(realDocs))
+    assert((previous ++ incremental) == full, s"missing=${full -- previous -- incremental} extra=${(previous ++ incremental) -- full}")
+    // every incremental pair involves a new doc
+    assert(incremental.forall { case (a, b) => a >= 400 || b >= 400 })
+  }
+
   test("jaccardPairs: planted pair above threshold with correct J; df-cap is recall-lossy not additive") {
     val df = docs((1L, base), (2L, nearDup), (3L, other))
     val rows = DedupOps.jaccardPairs(df, threshold = 0.5).collect()

@@ -89,7 +89,9 @@ object SparkEntry {
       "quality_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.quality(docs(s, d))),
       "fingerprint_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.fingerprints(docs(s, d))),
       "toptokens_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topTokens(docs(s, d))),
-      "topbigrams_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topBigrams(docs(s, d)))
+      "topbigrams_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topBigrams(docs(s, d))),
+      // document-level PII scrubbing (r3)
+      "redacted_documents" -> ((s: SparkSession, d: String) => graft.text.Redaction.redact(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -230,7 +232,8 @@ object SparkEntry {
       "quality_documents"     -> graft.text.TextOps.oracleQuality,
       "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints,
       "toptokens_documents"   -> graft.text.TextOps.oracleTopTokens(),
-      "topbigrams_documents"  -> graft.text.TextOps.oracleTopBigrams()
+      "topbigrams_documents"  -> graft.text.TextOps.oracleTopBigrams(),
+      "redacted_documents"    -> graft.text.Redaction.oracleRedact
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory approximate heavy hitters — the 100 TB path for
+  * vocabulary discovery. The exact [[TextOps.topTokens]] aggregate carries
+  * |vocabulary| state (fine for word-vocabularies, fatal for n-gram or URL
+  * vocabularies at corpus scale); this variant bounds BOTH sides of the
+  * problem:
+  *
+  *  - '''counts''' come from a Count-Min sketch (Spark's built-in mergeable
+  *    `org.apache.spark.util.sketch.CountMinSketch` via
+  *    `df.stat.countMinSketch`) — fixed width×depth memory, one-sided
+  *    (over-)estimates, and `mergeInPlace` composes per-slice sketches
+  *    exactly like [[graft.stats.MergeableStats]] composes profiles;
+  *  - '''candidates''' come from per-partition Misra-Gries summaries
+  *    (`counterBudget` counters per partition, the classic frequent-items
+  *    guarantee: any token with local frequency > |partition|/budget
+  *    survives), unioned across partitions. A true heavy hitter is frequent
+  *    in at least one partition, so the union contains every global top-K
+  *    token for budgets ≫ K.
+  *
+  * Final answer: candidates ranked by sketch estimate (desc, token
+  * tie-break). Approximate by construction — the spec asserts it recovers
+  * the exact top-K on the test corpus, not equality in general.
+  */
+object ApproxVocab {
+
+  /** Misra-Gries frequent-items summary of one partition's token stream. */
+  private def misraGries(it: Iterator[String], budget: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    for (t <- it) {
+      if (counters.contains(t)) counters(t) += 1
+      else if (counters.size < budget) counters(t) = 1
+      else {
+        // decrement-all step; drop zeroed counters
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        for ((k, v) <- counters) {
+          if (v == 1) dead += k else counters(k) = v - 1
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  def approxTopTokens(
+      docs: DataFrame,
+      k: Int = 50,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      counterBudget: Int = 4096
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.Tables.widen(docs)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .localCheckpoint() // scanned twice: sketch + candidates
+    val cms = toks.stat.countMinSketch("token", eps, confidence, 42)
+    val candidates = toks
+      .select("token")
+      .as[String]
+      .mapPartitions(it => misraGries(it, counterBudget))
+      .distinct()
+      .collect() // bounded: ≤ budget × partitions candidate tokens
+    candidates.toSeq
+      .map(t => (t, cms.estimateCount(t)))
+      .sortBy { case (t, n) => (-n, t) }
+      .take(k)
+      .toDF("token", "n_est")
+  }
+
+  /** Merge per-slice sketches — the incremental-vocabulary shape: each daily
+    * slice contributes (sketch, candidates); the union of candidates ranked
+    * by the merged sketch is the running corpus vocabulary without any
+    * re-scan of history.
+    */
+  def mergeSketches(
+      a: org.apache.spark.util.sketch.CountMinSketch,
+      b: org.apache.spark.util.sketch.CountMinSketch
+  ): org.apache.spark.util.sketch.CountMinSketch =
+    a.mergeInPlace(b)
+
+  /** Row-level accessor used by specs: exact counts for the same tokens. */
+  def exactCounts(docs: DataFrame): Map[String, Long] =
+    TextOps.topTokens(docs, Int.MaxValue).collect()
+      .map((r: Row) => r.getString(0) -> r.getLong(1)).toMap
+}

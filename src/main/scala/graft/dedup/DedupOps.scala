@@ -140,15 +140,23 @@ object DedupOps {
     * construction (LSH spreads non-dups), so the per-bucket pair explosion is
     * bounded; at 100 TB add a bucket-size cap before exploding.
     */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+  /** (doc_id, band, key) rows of a signature table — ONE definition of the
+    * band layout, shared by the batch and incremental pair generators (a
+    * divergence between them would silently break the
+    * `previous ∪ incremental = full` contract).
+    */
+  private def bandedKeys(sig: DataFrame): DataFrame = {
     val stackArgs = (0 until NumBands)
       .map { j =>
         val ks = (0 until BandRows).map(r => s"s${j * BandRows + r}").mkString(", ")
         s"$j, concat_ws(':', $ks)"
       }
       .mkString(", ")
-    val bands = sig.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
+    sig.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
+  }
+
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = bandedKeys(minhashSignatures(docs))
     bands
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -178,16 +186,8 @@ object DedupOps {
     * @param newSigs the new slice's signatures, same schema
     */
   def incrementalMinhashPairs(historySigs: DataFrame, newSigs: DataFrame): DataFrame = {
-    val stackArgs = (0 until NumBands)
-      .map { j =>
-        val ks = (0 until BandRows).map(r => s"s${j * BandRows + r}").mkString(", ")
-        s"$j, concat_ws(':', $ks)"
-      }
-      .mkString(", ")
-    def bands(df: DataFrame) =
-      df.selectExpr("doc_id", s"stack($NumBands, $stackArgs) AS (band, key)")
-    val newBands = bands(newSigs)
-    val allBands = bands(historySigs.unionByName(newSigs))
+    val newBands = bandedKeys(newSigs)
+    val allBands = bandedKeys(historySigs.unionByName(newSigs))
     newBands
       .select(col("band"), col("key"), col("doc_id").as("new_doc"))
       .join(allBands, Seq("band", "key"))

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *  - '''candidates''' come from per-partition Misra-Gries summaries
   *    (`counterBudget` counters per partition, the classic frequent-items
   *    guarantee: any token with local frequency > |partition|/budget
-  *    survives), unioned across partitions. A true heavy hitter is frequent
-  *    in at least one partition, so the union contains every global top-K
-  *    token for budgets ≫ K.
+  *    survives), unioned across partitions. Tokens with local relative
+  *    frequency above 1/(budget+1) in SOME partition are guaranteed
+  *    candidates; a global top-K token whose rate is everywhere below that
+  *    bound can still be missed — size `counterBudget` against the target
+  *    vocabulary's tail, not against K.
   *
   * Final answer: candidates ranked by sketch estimate (desc, token
   * tie-break). Approximate by construction — the spec asserts it recovers
@@ -54,10 +56,13 @@ object ApproxVocab {
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // scanned twice (sketch + candidates) but deliberately NOT cached: the
+    // exploded token stream is the one thing this operator must never
+    // materialize (bounded memory is its whole point); the projection is
+    // trivially recomputable from the scan
     val toks = graft.Tables.widen(docs)
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
-      .localCheckpoint() // scanned twice: sketch + candidates
     val cms = toks.stat.countMinSketch("token", eps, confidence, 42)
     val candidates = toks
       .select("token")
@@ -75,13 +80,20 @@ object ApproxVocab {
   /** Merge per-slice sketches — the incremental-vocabulary shape: each daily
     * slice contributes (sketch, candidates); the union of candidates ranked
     * by the merged sketch is the running corpus vocabulary without any
-    * re-scan of history.
+    * re-scan of history. PURE: neither input is mutated (Spark's
+    * `mergeInPlace` mutates its receiver, which would silently double-count
+    * a slice reused across merges — the receiver here is a serialized copy).
     */
   def mergeSketches(
       a: org.apache.spark.util.sketch.CountMinSketch,
       b: org.apache.spark.util.sketch.CountMinSketch
-  ): org.apache.spark.util.sketch.CountMinSketch =
-    a.mergeInPlace(b)
+  ): org.apache.spark.util.sketch.CountMinSketch = {
+    val buf = new java.io.ByteArrayOutputStream()
+    a.writeTo(buf)
+    val copy = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(buf.toByteArray))
+    copy.mergeInPlace(b)
+  }
 
   /** Row-level accessor used by specs: exact counts for the same tokens. */
   def exactCounts(docs: DataFrame): Map[String, Long] =

@@ -70,6 +70,10 @@ object Packing {
       .agg(sum("nTokens").as("toks"))
       .where(col("toks") <= maxTokens)
     val row = byPack.agg(sum("toks").as("filled"), count(lit(1)).as("packs")).first()
-    row.getAs[Long]("filled").toDouble / (row.getAs[Long]("packs") * maxTokens)
+    val packs = row.getAs[Long]("packs")
+    // degenerate corpora (empty, or every doc over budget) have no packable
+    // sequence — efficiency is 0 by definition, not a division by zero
+    if (packs == 0L || row.isNullAt(row.fieldIndex("filled"))) 0.0
+    else row.getAs[Long]("filled").toDouble / (packs * maxTokens)
   }
 }

@@ -24,34 +24,36 @@ object Redaction {
     ("phone", """\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}""", "[PHONE]")
   )
 
-  /** `text` rewritten with every rule applied in order; other columns pass
-    * through. Adds `n_redactions` = how many replacements happened (length
-    * delta is not usable — replacements change length — so it recounts the
-    * placeholder tokens).
+  /** `text` rewritten (as `redacted_text`) with every rule applied in
+    * order; every other column passes through. `n_redactions` counts the
+    * ACTUAL matches of each rule against the text as-of its application
+    * (rule 2 counts on rule 1's output), so pre-existing literal
+    * placeholder strings in source text do not inflate it.
     */
   def redact(docs: DataFrame): DataFrame = {
-    val red = rules.foldLeft(col("text")) { case (c, (_, re, repl)) =>
-      regexp_replace(c, re, repl)
+    val (red, counts) = rules.foldLeft((col("text"), lit(0))) {
+      case ((c, n), (_, re, repl)) =>
+        (regexp_replace(c, re, repl), n + size(regexp_extract_all(c, lit(re), lit(0))))
     }
-    val counts = rules.map { case (label, _, repl) =>
-      val quoted = java.util.regex.Pattern.quote(repl)
-      size(split(col("redacted_text"), quoted)) - 1
-    }
+    val others = docs.columns.filterNot(c => c == "text" || c == "doc_id").map(col)
     graft.Tables.widen(docs)
-      .select(col("doc_id"), red.as("redacted_text"))
-      .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
+      .select(
+        (col("doc_id") +: others) :+ red.as("redacted_text") :+
+          counts.cast("long").as("n_redactions"): _*
+      )
       .orderBy("doc_id")
   }
 
   def oracleRedact: String = {
-    val red = rules.foldLeft("text") { case (c, (_, re, repl)) =>
-      s"regexp_replace($c, '${re.replace("'", "''")}', '$repl', 'g')"
+    val (red, counts) = rules.foldLeft(("text", List.empty[String])) {
+      case ((c, ns), (_, re, repl)) =>
+        val esc = re.replace("'", "''")
+        (s"regexp_replace($c, '$esc', '$repl', 'g')",
+          ns :+ s"len(regexp_extract_all($c, '$esc'))")
     }
-    val counts = rules
-      .map { case (_, _, repl) => s"len(string_split(redacted_text, '$repl')) - 1" }
-      .mkString(" + ")
-    s"""SELECT doc_id, redacted_text, CAST($counts AS BIGINT) AS n_redactions
-       |FROM (SELECT doc_id, $red AS redacted_text FROM documents)
+    s"""SELECT doc_id, lang, source, n_chars, $red AS redacted_text,
+       |  CAST(${counts.mkString(" + ")} AS BIGINT) AS n_redactions
+       |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
 }

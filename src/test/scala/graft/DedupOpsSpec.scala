@@ -162,9 +162,10 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("incremental minhash pairs: previous ∪ incremental == full batch (real corpus split)") {
     import org.apache.spark.sql.functions.col
-    // split the real corpus into "history" and a "new slice"
-    val history = realDocs.where(col("doc_id") < 400)
-    val fresh   = realDocs.where(col("doc_id") >= 400)
+    // split the real corpus at the DECLARED query's split point
+    val split   = SparkEntry.incrementalSplit
+    val history = realDocs.where(col("doc_id") < split)
+    val fresh   = realDocs.where(col("doc_id") >= split)
     val histSigs = DedupOps.minhashSignatures(history)
     val newSigs  = DedupOps.minhashSignatures(fresh)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
@@ -174,7 +175,7 @@ class DedupOpsSpec extends AnyFunSuite {
     val full        = pairSet(DedupOps.minhashCandidatePairs(realDocs))
     assert((previous ++ incremental) == full, s"missing=${full -- previous -- incremental} extra=${(previous ++ incremental) -- full}")
     // every incremental pair involves a new doc
-    assert(incremental.forall { case (a, b) => a >= 400 || b >= 400 })
+    assert(incremental.forall { case (a, b) => a >= split || b >= split })
   }
 
   test("jaccardPairs: planted pair above threshold with correct J; df-cap is recall-lossy not additive") {

@@ -22,16 +22,20 @@ class RedactionVocabSpec extends AnyFunSuite {
       (2L, "no pii here just words and the number 42")
     )
     val m = Redaction.redact(df).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Long]("n_redactions"))).toMap
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("redacted_text"), r.getAs[Long]("n_redactions"))).toMap
     assert(m(1L)._1 == "contact me at [EMAIL] or call [PHONE] today", m(1L)._1)
     assert(m(1L)._2 == 2L)
     assert(m(2L)._1 == "no pii here just words and the number 42")
     assert(m(2L)._2 == 0L)
+    // non-text columns pass through
+    val cols = Redaction.redact(df).columns.toSet
+    assert(Set("doc_id", "lang", "source", "n_chars", "redacted_text", "n_redactions").subsetOf(cols))
   }
 
   test("redact: bare integers in running text survive (conservative phone rule)") {
     val df = docs((1L, "the year 2024 had 365 days and 8760000000 microfortnights"))
-    val out = Redaction.redact(df).first().getString(1)
+    val out = Redaction.redact(df).first().getAs[String]("redacted_text")
     assert(out.contains("2024") && out.contains("8760000000"), out)
   }
 

@@ -62,6 +62,62 @@ object DedupClusters {
     labels
   }
 
+  /** Connected components in O(log n) ROUNDS via alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the formulation for adversarial component shapes: where
+    * min-label propagation needs DIAMETER rounds (a 10⁶-node chain needs
+    * 10⁶ rounds), star contraction needs ~log rounds regardless of shape.
+    * Each round is two groupBy-min aggregates + a join, all data-parallel.
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node points its smaller-or-equal neighbors (and
+    *    itself) at that minimum.
+    *
+    * The fixpoint is a star forest: every node's single neighbor is its
+    * component minimum. Same output contract as [[connectedComponents]]
+    * (spec-asserted equal on random graphs and chains).
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical form throughout: oriented (src > dst), no self-loops, distinct
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    var e         = canon(edges).localCheckpoint()
+    var converged = false
+    var i         = 0
+    while (!converged && i < maxIter) {
+      // large-star works on the full bidirectional adjacency:
+      // m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for every v ∈ Γ(u) with v > u
+      val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mL    = bidir.groupBy(col("src")).agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = bidir
+        .join(mL, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      // small-star on the min-oriented result: every node and its smaller
+      // neighbors connect to the neighborhood minimum
+      val oriented = canon(large)
+      val mS       = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val next = canon(
+        oriented
+          .join(mS, Seq("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(mS.select(col("src"), col("m").as("dst")))
+      ).localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint is a star forest oriented (node > root): non-roots appear as
+    // src exactly once; roots and isolated nodes label themselves
+    nodes
+      .join(e.select(col("src").as("id"), col("dst").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Doc-level dedup clustering: components over the MinHash LSH candidate
     * pairs. Every doc gets a cluster_id = min doc_id of its component;
     * `doc_id == cluster_id` marks the canonical survivor, so the dedup'd

@@ -83,6 +83,29 @@ class SamplingClustersSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("star contraction equals min-label propagation on random graphs and chains") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val n     = 30L
+      val nodes = (1L to n).toDF("id")
+      val edges = Seq.fill(25)((rnd.nextLong(n) + 1, rnd.nextLong(n) + 1))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val simple = DedupClusters.connectedComponents(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = DedupClusters.connectedComponentsStar(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == simple, s"trial $trial: star=$star simple=$simple")
+    }
+    // the adversarial shape star contraction exists for: a long chain
+    val n     = 40L
+    val nodes = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val star = DedupClusters.connectedComponentsStar(nodes, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.values.toSet == Set(1L))
+  }
+
   test("dedupClusters: planted near-dups collapse to one cluster, survivors = min ids") {
     val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     def salad(seed: Int, m: Int): String = {

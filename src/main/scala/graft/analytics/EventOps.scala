@@ -31,9 +31,11 @@ object EventOps {
     val spark = events.sparkSession
     val winUs = windowSeconds * 1000000L
     // ev materialized once; each step's survivors are localCheckpointed so
-    // the per-step count (an eager action by design — the funnel's RESULT is
-    // the counts) does not re-execute the whole prior join chain (O(S²)
-    // scans otherwise)
+    // step k's join reads step k-1's materialized rows instead of
+    // re-executing the whole prior join chain (O(S²) scans otherwise). The
+    // counts themselves are NOT per-step actions: the S single-row count
+    // aggregates over the checkpointed frames union into one plan collected
+    // once (r3 ran S+1 count() actions and paid S+1 per-job floors).
     val ev = graft.Tables.widen(events)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
       .localCheckpoint()
@@ -45,7 +47,7 @@ object EventOps {
       .agg(min(col("t")).as("t1"))
       .withColumn("tprev", col("t1"))
       .localCheckpoint()
-    val counts = scala.collection.mutable.ArrayBuffer(converted.count())
+    val stepFrames = scala.collection.mutable.ArrayBuffer(converted)
     for (k <- 1 until steps.size) {
       converted = ev
         .where(col("event_type") === steps(k))
@@ -56,11 +58,15 @@ object EventOps {
         .withColumn("tprev", col("tk"))
         .drop("tk")
         .localCheckpoint()
-      counts += converted.count()
+      stepFrames += converted
     }
+    val countPlan = stepFrames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users")).select(lit(i + 1).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    val counts = countPlan.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     import spark.implicits._
-    counts.toSeq.zipWithIndex
-      .map { case (n, i) => ((i + 1).toLong, steps(i), n) }
+    steps.indices
+      .map(i => ((i + 1).toLong, steps(i), counts(i + 1)))
       .toDF("step", "event_type", "n_users")
       .orderBy("step")
   }

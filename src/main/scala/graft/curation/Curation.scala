@@ -29,11 +29,19 @@ import graft.text.TextOps
   */
 object Curation {
 
-  def curatedDocuments(docs: DataFrame): DataFrame = {
+  def curatedDocuments(docs: DataFrame): DataFrame =
+    curatedDocuments(docs, DedupClusters.dedupClusters(docs))
+
+  /** Variant taking precomputed cluster labels (schema: doc_id, cluster_id) —
+    * the CC fixpoint is the expensive stage, and a pipeline that has already
+    * run `dedup_clusters` should reuse those labels rather than re-running
+    * the loop (SparkEntry shares them across declared queries this way).
+    */
+  def curatedDocuments(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val q = TextOps.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_class"))
     val l = TextOps.langId(docs)
       .select(col("doc_id").as("l_doc_id"), col("lang"), col("pred_lang"))
-    val cl = DedupClusters.dedupClusters(docs)
+    val cl = clusters
       .select(col("doc_id").as("c_doc_id"), col("cluster_id"))
     q.join(l, q("doc_id") === l("l_doc_id"))
       .join(cl, q("doc_id") === cl("c_doc_id"))

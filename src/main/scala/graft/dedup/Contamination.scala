@@ -37,7 +37,12 @@ object Contamination {
       minShared: Long = 5L,
       maxShingleDf: Option[Int] = None
   ): DataFrame = {
-    val sh0 = DedupOps.shingleDF(docs).distinct()
+    // materialized once: the distinct postings feed BOTH join sides (and the
+    // df filter when capped) — without the checkpoint each consumer re-runs
+    // the tokenize+explode+distinct subtree (r3 housekeeping #4). At 100 TB
+    // the same reuse is a persisted/bucketed postings table instead of an
+    // in-memory checkpoint.
+    val sh0 = DedupOps.shingleDF(docs).distinct().localCheckpoint()
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df")).where(col("df") > cap)
@@ -75,6 +80,34 @@ object Contamination {
        |SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS shared
        |FROM sh c
        |JOIN sh b ON c.s = b.s
+       |JOIN bench ON b.doc_id = bench.doc_id
+       |WHERE c.doc_id NOT IN (SELECT doc_id FROM bench)
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(*) >= $minShared
+       |ORDER BY c.doc_id, bench_doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of the CAPPED declared form — identical hot-shingle filter:
+    * document frequency measured on the full distinct postings (benchmark
+    * docs included, same as the Spark side), shingles with df > cap dropped
+    * from BOTH join sides before co-occurrence counting.
+    */
+  def oracleContaminatedPairsCapped(
+      minShared: Long = 5L,
+      benchFraction: Double = 0.05,
+      benchSalt: String = "bench",
+      maxShingleDf: Int = 100
+  ): String = {
+    val thr = math.floor(benchFraction * graft.sampling.Sampling.HashSpace).toLong
+    s"""WITH ${DedupOps.oracleShingleCte},
+       |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxShingleDf),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold ON sh.s = cold.s),
+       |bench AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CAST('0x' || substr(md5(doc_id || ':$benchSalt'), 1, 8) AS BIGINT) < $thr)
+       |SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS shared
+       |FROM shc c
+       |JOIN shc b ON c.s = b.s
        |JOIN bench ON b.doc_id = bench.doc_id
        |WHERE c.doc_id NOT IN (SELECT doc_id FROM bench)
        |GROUP BY c.doc_id, b.doc_id

@@ -42,8 +42,10 @@ object DedupOps {
 
   val ShingleSize = 3
 
-  /** Deterministic affine coefficients (aᵢ, bᵢ), LCG-derived; aᵢ < 2³¹ keeps
-    * aᵢ·x below 2⁶³ for x < 2³².
+  /** Deterministic affine coefficients (aᵢ, bᵢ), LCG-derived. aᵢ < 2³¹−1
+    * keeps aᵢ·x below 2⁶³ − 2³³ for x < 2³², and bᵢ < p ≈ 2³² fits in the
+    * remaining ≈1.07·10¹⁰ headroom — ranges enforced by the
+    * [[TextHashKernel]] constructor.
     */
   val hashCoeffs: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
     val a = (1103515245L * (i + 1) + 12345L)  % 2147483647L

@@ -29,8 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - SimHash bit j from the sign of Σ±1 over token-hash bit j, with
   *     `(x DIV 2^j) % 2 ≡ (x >>> j) & 1` for the unsigned-32 hash values;
   *   - MinHash slot k = min over shingles of (aₖ·x + bₖ) mod p in signed-64
-  *     arithmetic (aₖ < 2³¹, x < 2³², b < 2²² keeps aₖ·x + bₖ < 2⁶³ — no
-  *     overflow, same as the SQL formulation).
+  *     arithmetic. Overflow proof: aₖ < 2³¹−1 and x < 2³² give
+  *     aₖ·x ≤ (2³¹−2)(2³²−1) = 2⁶³ − 2³³ − 2³¹ + 2, leaving ≈ 1.07·10¹⁰
+  *     (> 2³³) of headroom below 2⁶³−1, and bₖ < p ≈ 2³² fits inside it —
+  *     no overflow, same as the SQL formulation. The constructor enforces
+  *     these coefficient ranges so a future coefficient change cannot
+  *     silently wrap.
   */
 final class TextHashKernel(
     val coeffA: Array[Long],
@@ -38,6 +42,14 @@ final class TextHashKernel(
     val prime: Long,
     val shingleSize: Int
 ) extends Serializable {
+  require(
+    coeffA.forall(a => a >= 0 && a < 2147483647L),
+    "coeffA out of range: aₖ ∈ [0, 2³¹−1) is required for overflow-free aₖ·x"
+  )
+  require(
+    coeffB.forall(b => b >= 0 && b <= 10737418237L),
+    "coeffB out of range: bₖ must fit the ~1.07e10 aₖ·x headroom below 2⁶³−1"
+  )
   import java.security.MessageDigest
 
   @transient private lazy val md5Local: ThreadLocal[MessageDigest] =

@@ -63,4 +63,15 @@ object Sources {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Full JSONL round-trip: write `df` as JSON lines, read it back with the
+    * SAME explicit schema. Declared as a query (`jsonl_roundtrip_documents`)
+    * whose oracle is the identity over the source parquet — so the JSON
+    * writer/reader pair (escaping, nulls, numeric types) is hash-checked
+    * end-to-end, not just spec-tested (r3 verdict missing #2).
+    */
+  def jsonlRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
+    writeJsonl(df, path)
+    readJsonl(df.sparkSession, path, Some(df.schema)).orderBy(orderCol)
+  }
 }

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: ONE scan assigns every vector to its max-cosine
   * centroid (broadcast of k×dim doubles — tiny by construction), then a
   * (cell, dimension) sum/count aggregate. The driver receives exactly
-  * k×dim aggregate rows (16×64 here) to rebuild centroids — never data
-  * rows; the iteration count is a fixed small constant. That is the
+  * k×dim aggregate rows (16×64 here) to rebuild centroids plus one bounded
+  * seeding sample ([[SeedSampleCap]] × dim) — never unbounded data rows;
+  * the iteration count is a fixed small constant. That is the
   * standard distributed k-means: cost = iters × (1 scan + 1 bounded
   * aggregate).
   *
@@ -20,20 +21,37 @@ import org.apache.spark.sql.functions._
   * (spherical k-means' normalization would not change any assignment).
   * Deterministic: farthest-point seeding, deterministic tie-breaks, fixed
   * rounds — same input → same centroids, which keeps downstream search
-  * results reproducible. Not oracle-declared (a multi-round iterative fixpoint is
-  * not one SQL statement); quality and convergence are spec-asserted
-  * (SimilarityOpsSpec) and the declared IVF queries keep the first-K
-  * centroids so their oracles stay closed-form.
+  * results reproducible. The training loop itself is not one SQL statement,
+  * but because the output is deterministic the DECLARED IVF queries (since
+  * r4) run against these trained centroids: SparkEntry trains once per
+  * (session, dir), canonicalizes the centroids through decimal strings
+  * ([[SimilarityOps.canonicalizeCentroids]]), and the oracle inlines the
+  * identical literals. Quality and convergence remain spec-asserted
+  * (SimilarityOpsSpec).
   */
 object KMeans {
 
+  /** Seeding-sample bound: the driver pulls at most this many vectors for
+    * farthest-point seeding (cap × dim doubles ≈ 1 MB at 2048×64) — the
+    * standard bounded-sample seeding every distributed k-means uses; the
+    * Lloyd's rounds that actually fit centroids to the corpus stay fully
+    * distributed.
+    */
+  val SeedSampleCap = 2048
+
   /** Deterministic farthest-point initialization (the greedy k-center /
-    * k-means++-without-randomness seeding): start from the lowest vec_id,
-    * then repeatedly add the vector LEAST similar to every chosen centroid
-    * (argmin of max-cosine, lowest-vec_id tie-break). First-K init can put
-    * every seed inside one dense cluster and strand Lloyd's in a local
-    * optimum; farthest-point guarantees seed spread. Cost: k bounded
-    * single-row argmin aggregates — no data rows to the driver.
+    * k-means++-without-randomness seeding) over a bounded deterministic
+    * sample: the `SeedSampleCap` vectors with the smallest md5(vec_id) —
+    * partitioning-independent, so the seeds (and hence the trained
+    * centroids) are reproducible. Start from the lowest vec_id in the
+    * sample, then repeatedly add the sample vector LEAST similar to every
+    * chosen seed (argmin of max-cosine, lowest-vec_id tie-break).
+    *
+    * First-K init can put every seed inside one dense cluster and strand
+    * Lloyd's in a local optimum; farthest-point guarantees seed spread. The
+    * r3 formulation ran the greedy argmin as k sequential Spark actions —
+    * correct but each step compiled a fresh codegen plan (~1 s × k of pure
+    * scheduling/compile cost); seeding quality never needed the full corpus.
     */
   def farthestPointInit(emb: DataFrame, k: Int = SimilarityOps.IvfCentroids): Array[Array[Double]] =
     farthestPointInitOn(prepare(emb), k)
@@ -44,23 +62,41 @@ object KMeans {
       .localCheckpoint()
 
   private def farthestPointInitOn(base: DataFrame, k: Int): Array[Array[Double]] = {
-    val first = base.orderBy("vec_id").select("v").first().getSeq[Double](0).toArray
-    val chosen = scala.collection.mutable.ArrayBuffer(first)
-    val n2 = DotProduct(col("v"), col("v"))
+    // ONE bounded action: the deterministic seed sample (zero vectors are
+    // never eligible as seeds — a zero-norm centroid has no defined cosine)
+    val sample: Array[(Long, Array[Double])] = base
+      .where(DotProduct(col("v"), col("v")) > 0)
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":seed"))))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(SeedSampleCap)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "farthestPointInit: no non-zero vectors to seed from")
+    require(sample.length >= k, s"farthestPointInit: only ${sample.length} seedable vectors for k=$k")
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    // incremental max-sim to the chosen set, classic O(k·n) greedy
+    val maxSim = Array.fill(sample.length)(-2.0)
     while (chosen.size < k) {
-      val sims = chosen.toSeq.map { c =>
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        DotProduct(col("v"), array(c.map(lit): _*)) / (sqrt(n2) * lit(cn))
+      val last = chosen.last
+      var best = -1
+      var i = 0
+      while (i < sample.length) {
+        val s = cos(sample(i)._2, last)
+        if (s > maxSim(i)) maxSim(i) = s
+        // strict < keeps the LOWEST vec_id on ties (sample is sorted by id)
+        if (best < 0 || maxSim(i) < maxSim(best)) best = i
+        i += 1
       }
-      val maxSim = sims.reduce((a, b) => when(a >= b, a).otherwise(b))
-      val next = base
-        .select(col("vec_id"), col("v"), maxSim.as("ms"))
-        .orderBy(col("ms").asc, col("vec_id").asc)
-        .select("v")
-        .first()
-        .getSeq[Double](0)
-        .toArray
-      chosen += next
+      chosen += sample(best)._2
     }
     chosen.toArray
   }
@@ -104,17 +140,26 @@ object KMeans {
     */
   private def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val n2 = DotProduct(col("v"), col("v"))
-    // sim_c = dot(v, c) / (|v| |c|); argmax with lowest-id tie-break
+    // sim_c = dot(v, c) / (|v| |c|); argmax with lowest-id tie-break.
+    // Zero-norm guard: a zero vector would yield NaN cosine, and NaN compares
+    // GREATER under Spark ordering — it would land in the last cell and
+    // poison that cell's mean into all-NaN centroids. Pin it to cell 0 via
+    // sim = -2 (below any real cosine) instead.
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       val lit_c = array(c.map(lit): _*)
       val cn    = math.sqrt(c.map(x => x * x).sum)
-      (DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn)), i)
+      (when(n2 > 0, DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn))).otherwise(lit(-2.0)), i)
     }
-    val best = sims.foldLeft(lit(-2.0).as("bs") -> lit(-1).as("bc")) { case ((bs, bc), (s, i)) =>
-      val better = s > bs
-      (when(better, s).otherwise(bs), when(better, lit(i)).otherwise(bc))
+    // argmax via greatest + first-index-equal cascade (lowest-id tie-break).
+    // NOT an incremental (best, bestIdx) when-fold: that embeds the running
+    // best twice per step → 2^k expression nodes (OOM at k=16); this shape
+    // is O(k²) nodes.
+    val simCols = sims.map(_._1)
+    val ms      = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+    val cell = sims.reverse.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(s === ms, lit(i)).otherwise(acc)
     }
-    base.select(col("vec_id"), col("v"), best._2.cast("int").as("cell"))
+    base.select(col("vec_id"), col("v"), cell.cast("int").as("cell"))
   }
 
   /** Mean cosine of each vector to its assigned centroid — the quantization
@@ -127,9 +172,10 @@ object KMeans {
     val sims = centroids.map { c =>
       val lit_c = array(c.map(lit): _*)
       val cn    = math.sqrt(c.map(x => x * x).sum)
-      DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn))
-    }
-    val bestSim = sims.reduce((a, b) => when(a >= b, a).otherwise(b))
+      when(n2 > 0, DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn))).otherwise(lit(-2.0))
+    }.toSeq
+    // variadic greatest — see assignCells for why not a when-reduce
+    val bestSim = if (sims.size == 1) sims.head else greatest(sims: _*)
     base.agg(avg(bestSim)).first().getDouble(0)
   }
 

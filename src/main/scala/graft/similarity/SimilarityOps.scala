@@ -172,6 +172,139 @@ object SimilarityOps {
        |SELECT vec_id, centroid_id, round(sim, 6) AS sim_r
        |FROM sims WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // --- IVF against TRAINED centroids (the declared route since r4) ---------
+
+  /** Canonicalize trained centroids for cross-engine declaration: every
+    * component becomes the nearest double of its 9-decimal rendering. BOTH
+    * engines then parse the SAME decimal strings ([[centroidSqlLiterals]]
+    * emits them, the Spark side uses the parsed doubles), so the centroid
+    * bits are identical on the two sides — the oracle can inline the trained
+    * centroids as literals (they are deterministic: farthest-point seeding +
+    * fixed Lloyd's rounds).
+    */
+  def canonicalizeCentroids(centroids: Array[Array[Double]]): Array[Array[Double]] =
+    centroids.map(_.map(x =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toString.toDouble))
+
+  /** The 9-decimal renderings of canonicalized centroids — the shared source
+    * both engines parse. Rendering a canonicalized component always
+    * round-trips (it IS the nearest double of this string).
+    */
+  def centroidStrings(centroids: Array[Array[Double]]): Array[Array[String]] =
+    centroids.map(_.map(x => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toString))
+
+  /** Literal centroid relation (centroid_id, cv, cn2) for the Spark side. */
+  private def centroidDF(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq
+      .toDF("centroid_id", "cv")
+      .withColumn("cn2", DotProduct(col("cv"), col("cv")))
+  }
+
+  /** DuckDB VALUES relation for the same centroids: every component is
+    * CAST('decimal-string' AS DOUBLE), bit-identical to the Spark literals.
+    */
+  def centroidSqlCte(centroids: Array[Array[Double]]): String = {
+    val rows = centroidStrings(centroids).zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(s => s"CAST('$s' AS DOUBLE)").mkString(", ")}])"
+    }
+    s"cents AS (SELECT * FROM (VALUES ${rows.mkString(",\n    ")}) AS t(centroid_id, cv))"
+  }
+
+  /** [[ivfAssign]] against explicit (trained) centroids: same plan — one
+    * broadcast of k×dim literal doubles, map-side max-cosine assignment.
+    */
+  def ivfAssignTrained(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val cents = centroidDF(emb, centroids)
+    val dot = DotProduct(col("v"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    base
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", dot / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("vec_id")
+  }
+
+  def oracleIvfAssignTrained(centroids: Array[Array[Double]]): String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${centroidSqlCte(centroids)},
+       |sims AS (
+       |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c)
+       |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, round(sim, 6) AS sim_r
+       |FROM sims WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** [[ivfTopK]] against explicit (trained) centroids — assignment and
+    * probing both use the literal centroid relation.
+    */
+  def ivfTopKTrained(
+      emb: DataFrame,
+      centroids: Array[Array[Double]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val cents = centroidDF(emb, centroids)
+    val cdot = DotProduct(col("v"), col("cv"))
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = base
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cdot / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(aw))
+    val cells = assigned.where(col("rn") === 1).select(col("vec_id"), col("v"), col("n2"), col("centroid_id"))
+    val probes = assigned
+      .where(col("vec_id").isInCollection(queryIds) && col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("centroid_id"))
+    val qdot = DotProduct(col("v"), col("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cells
+      .join(probes, Seq("centroid_id"))
+      .withColumn("sim", qdot / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("qid", "rank")
+  }
+
+  def oracleIvfTopKTrained(
+      centroids: Array[Array[Double]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${centroidSqlCte(centroids)},
+       |assigned AS (
+       |  SELECT b.vec_id, b.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c),
+       |cells AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, centroid_id
+       |  FROM assigned WHERE vec_id IN ($ids) AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, m.vec_id, list_cosine_similarity(m.v, p.qv) AS sim
+       |  FROM cells m JOIN probes p ON m.centroid_id = p.centroid_id),
+       |r AS (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim_r
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** IVF probing search: exact cosine over only the vectors in the query's
     * `nprobe` closest cells, reranked. Candidate volume ≈ nprobe/K of the
     * corpus instead of all of it.

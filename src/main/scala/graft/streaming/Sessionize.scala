@@ -19,10 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * task's memory beyond the window sort.
   *
   * Streaming shape: `groupByKey(user).flatMapGroupsWithState` with
-  * event-time timeout — state per user is ONE open session (constant size);
-  * sessions close either by an explicit gap-exceeding event or by the
-  * watermark passing the session end + gap (timeout), so state is bounded
-  * and emission is exactly the batch semantics for closed sessions.
+  * event-time timeout — state per user is the set of open session ISLANDS
+  * (normally one; stragglers within the allowed lateness open earlier ones,
+  * so the count is bounded by lateness/gap, never per-event). An island
+  * closes when the watermark passes its end + gap (by sealing during event
+  * processing or by event-time timeout); emission is exactly the batch
+  * semantics for closed sessions under watermark-bounded disorder.
   */
 object Sessionize {
 
@@ -77,59 +79,75 @@ object Sessionize {
     */
   final case class SessionEvent(userId: Long, eventId: Long, tMicros: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Per-user state: every session island not yet past its watermark
+    * horizon, sorted by start. Usually exactly one element; out-of-order
+    * stragglers can open earlier islands, bounded by (allowed lateness /
+    * gap) — still constant-bounded state, never per-event buffering.
+    */
+  final case class OpenSessions(islands: Seq[OpenSession])
   final case class ClosedSession(userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
 
-  /** Per-user custom-state transition: merge the batch's events into the one
-    * open session, emitting every session that closes (gap exceeded inside
-    * the batch, or event-time timeout = watermark passed end + gap).
+  /** Per-user custom-state transition: merge the batch's events into the
+    * open session ISLANDS, emitting every island the watermark has sealed
+    * (no admissible future event can touch an island once the watermark
+    * passes end + gap — a non-late event after that point is > gap away by
+    * construction). Buffering stragglers as islands until their horizon
+    * passes gives EXACT batch parity under watermark-bounded disorder (the
+    * r3 approximation emitted each pre-session straggler immediately as a
+    * 1-event session, permanently splitting sessions the batch twin merges).
     */
   def sessionStateFn(gapSeconds: Long)(
       userId: Long,
       events: Iterator[SessionEvent],
-      state: GroupState[OpenSession]
+      state: GroupState[OpenSessions]
   ): Iterator[ClosedSession] = {
     val gapUs = gapSeconds * 1000000L
+    // getCurrentWatermarkMs is 0 on the first batch — nothing is sealed or
+    // dropped before a watermark exists
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+
+    def seal(islands: Seq[OpenSession]): (Seq[OpenSession], Seq[OpenSession]) =
+      islands.partition(s => s.end + gapUs < wmMicros) // (closed, still open)
+
+    def park(live: Seq[OpenSession]): Unit =
+      if (live.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(OpenSessions(live.sortBy(s => (s.start, s.end))))
+        // wake when the watermark passes the EARLIEST island's gap horizon;
+        // must be strictly beyond the current watermark (ms truncation of a
+        // boundary-equal horizon would otherwise throw)
+        val horizonMs = live.map(s => s.end / 1000L + gapSeconds * 1000L).min
+        state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+      }
+
+    def emit(closed: Seq[OpenSession]): Iterator[ClosedSession] =
+      closed.sortBy(s => (s.start, s.end))
+        .map(s => ClosedSession(userId, s.start, s.end, s.n)).iterator
+
     if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator(ClosedSession(userId, s.start, s.end, s.n))
+      val (done, live) = seal(state.get.islands)
+      park(live)
+      return emit(done)
     }
     // Drop watermark-late rows explicitly: flatMapGroupsWithState does NOT
     // pre-filter them (unlike windowed aggs), and admitting one would mutate
-    // a session the batch twin considers closed. getCurrentWatermarkMs is 0
-    // on the first batch — no event is dropped before a watermark exists.
-    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+    // a session the batch twin considers closed.
     val sorted = events.toSeq.filter(_.tMicros >= wmMicros).sortBy(e => (e.tMicros, e.eventId))
-    var open   = state.getOption
-    val closed = Seq.newBuilder[ClosedSession]
+    var islands = state.getOption.map(_.islands).getOrElse(Seq.empty)
     for (e <- sorted) {
-      open match {
-        case Some(s) if e.tMicros >= s.start - gapUs && e.tMicros - s.end <= gapUs =>
-          // within one gap of the open session's interval on either side:
-          // merge, min-tracking start for not-yet-late out-of-order events
-          // (the batch twin sessions on sorted event time)
-          open = Some(OpenSession(math.min(s.start, e.tMicros), math.max(s.end, e.tMicros), s.n + 1))
-        case Some(s) if e.tMicros < s.start - gapUs =>
-          // pre-session straggler MORE than a gap before the open session's
-          // start: it belongs to an earlier session that the batch twin
-          // would have formed. Emit it as its own closed session — an
-          // approximation (a second straggler inside ITS gap window would
-          // have merged with it in batch); exact parity under arbitrary
-          // reordering requires buffering events until the watermark.
-          closed += ClosedSession(userId, e.tMicros, e.tMicros, 1)
-        case Some(s) =>
-          closed += ClosedSession(userId, s.start, s.end, s.n)
-          open = Some(OpenSession(e.tMicros, e.tMicros, 1))
-        case None =>
-          open = Some(OpenSession(e.tMicros, e.tMicros, 1))
+      // an event can bridge several islands (it is within one gap of each):
+      // fold them all plus the event into one island
+      val (touched, rest) = islands.partition(s =>
+        e.tMicros >= s.start - gapUs && e.tMicros - s.end <= gapUs)
+      val merged = touched.foldLeft(OpenSession(e.tMicros, e.tMicros, 1L)) { (acc, s) =>
+        OpenSession(math.min(acc.start, s.start), math.max(acc.end, s.end), acc.n + s.n)
       }
+      islands = merged +: rest
     }
-    open.foreach { s =>
-      state.update(s)
-      // close when the watermark passes the session's gap horizon
-      state.setTimeoutTimestamp(s.end / 1000L + gapSeconds * 1000L)
-    }
-    closed.result().iterator
+    val (done, live) = seal(islands)
+    park(live)
+    emit(done)
   }
 
   /** Streaming sessionization over a watermarked event stream. Returns the

@@ -98,7 +98,10 @@ object TextOps {
   }
 
   def oracleTextStats: String =
-    s"""SELECT lang, n_docs, total_tokens, total_chars, min_chars, max_chars,
+    s"""SELECT lang, n_docs,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(total_chars AS BIGINT) AS total_chars,
+       |  min_chars, max_chars,
        |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens
        |FROM (
        |  SELECT lang,

@@ -10,6 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   test("every declared query has an oracle and vice versa") {
+    // the trained-IVF oracles inline centroid literals cached by a query run
+    // (Verify's flow); train on the smallest SF so the invariant covers them
+    SparkEntry.queries("ivf_assign_embeddings")(SparkTestBase.spark, "/root/testdata/sf0.001")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(q == o, s"query/oracle drift: only-query=${q -- o}, only-oracle=${o -- q}")

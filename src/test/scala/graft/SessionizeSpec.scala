@@ -73,6 +73,36 @@ class SessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("two stragglers inside one gap window merge into one island (batch parity)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    // generous lateness so the out-of-order stragglers are NOT watermark-late
+    val stream = input.toDF().toDF("ts", "user_id", "event_id").withWatermark("ts", "3 hours")
+    val name = "graft_sessions_straggler"
+    val q = Sessionize.streamingSessions(stream, gapSeconds = 600)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // the open session starts at 12:00; then two stragglers from 9:30 and
+      // 9:35 arrive out of order (inside the 3h lateness, clear of the
+      // watermark boundary) — more than a gap before the open session,
+      // within one gap of EACH OTHER. The r3 approximation emitted each as
+      // its own 1-event session; batch merges them.
+      input.addData((ts(12, 0), 1L, 1L))
+      q.processAllAvailable()
+      input.addData((ts(9, 30), 1L, 2L), (ts(9, 35), 1L, 3L))
+      q.processAllAvailable()
+      input.addData((ts(23, 0), 99L, 9L)) // watermark push seals everything
+      q.processAllAvailable()
+      val streamed = spark.table(name).as[Sessionize.ClosedSession].collect()
+        .filter(_.userId == 1L)
+        .map(s => (s.sessionStart, s.sessionEnd, s.nEvents)).toSet
+      assert(streamed == Set((us(9, 30), us(9, 35), 2L), (us(12, 0), us(12, 0), 1L)))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP VIEW IF EXISTS $name")
+    }
+  }
+
   test("streaming closed sessions match the batch twin for the same events") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Long)]

@@ -134,32 +134,39 @@ object KMeans {
     centroids
   }
 
-  /** Max-cosine cell per vector against literal centroids (broadcast as a
-    * codegen'd when-cascade over the native DotProduct — no join needed for
-    * a k this small).
+  /** Max-cosine cell per vector: broadcast the k×dim centroid relation,
+    * argmax via a map-side-combinable `max(struct(sim, -cell))` aggregate
+    * (lowest-id tie-break). A literal-expression cascade would be
+    * re-codegenned every Lloyd's round (the centroid literals change) at
+    * ~seconds of compile time per round; the join shape keeps the compiled
+    * expressions tiny and constant-shaped, and the ×k expansion collapses in
+    * the partial aggregate — the plan a 1000-executor run wants too.
+    *
+    * Zero-norm guard: a zero vector would yield NaN cosine, and NaN compares
+    * GREATER under Spark ordering — it would land in the last cell and
+    * poison that cell's mean into all-NaN centroids. sim = -2 (below any
+    * real cosine) pins it to cell 0 via the tie-break instead.
     */
   private def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val n2 = DotProduct(col("v"), col("v"))
-    // sim_c = dot(v, c) / (|v| |c|); argmax with lowest-id tie-break.
-    // Zero-norm guard: a zero vector would yield NaN cosine, and NaN compares
-    // GREATER under Spark ordering — it would land in the last cell and
-    // poison that cell's mean into all-NaN centroids. Pin it to cell 0 via
-    // sim = -2 (below any real cosine) instead.
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      val lit_c = array(c.map(lit): _*)
-      val cn    = math.sqrt(c.map(x => x * x).sum)
-      (when(n2 > 0, DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn))).otherwise(lit(-2.0)), i)
-    }
-    // argmax via greatest + first-index-equal cascade (lowest-id tie-break).
-    // NOT an incremental (best, bestIdx) when-fold: that embeds the running
-    // best twice per step → 2^k expression nodes (OOM at k=16); this shape
-    // is O(k²) nodes.
-    val simCols = sims.map(_._1)
-    val ms      = if (simCols.size == 1) simCols.head else greatest(simCols: _*)
-    val cell = sims.reverse.foldLeft(lit(-1)) { case (acc, (s, i)) =>
-      when(s === ms, lit(i)).otherwise(acc)
-    }
-    base.select(col("vec_id"), col("v"), cell.cast("int").as("cell"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "cv")
+      .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
+      .select(col("cell"), col("cv"), col("cn"))
+    val sim = when(
+      col("vn") > 0,
+      DotProduct(col("v"), col("cv")) / (col("vn") * col("cn"))
+    ).otherwise(lit(-2.0))
+    base
+      .withColumn("vn", sqrt(DotProduct(col("v"), col("v"))))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), struct(sim.as("s"), (-col("cell")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.negc")).cast("int").as("cell"))
   }
 
   /** Mean cosine of each vector to its assigned centroid — the quantization

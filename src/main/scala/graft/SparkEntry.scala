@@ -125,7 +125,10 @@ object SparkEntry {
       "toptokens_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topTokens(docs(s, d))),
       "topbigrams_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.topBigrams(docs(s, d))),
       // document-level PII scrubbing (r3)
-      "redacted_documents" -> ((s: SparkSession, d: String) => graft.text.Redaction.redact(docs(s, d)))
+      "redacted_documents" -> ((s: SparkSession, d: String) => graft.text.Redaction.redact(docs(s, d))),
+      // within-doc repetition + unigram-LM quality signals (r4)
+      "repetition_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.repetition(docs(s, d))),
+      "unigram_scores_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.unigramScores(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -299,7 +302,9 @@ object SparkEntry {
       "fingerprint_documents" -> graft.text.TextOps.oracleFingerprints,
       "toptokens_documents"   -> graft.text.TextOps.oracleTopTokens(),
       "topbigrams_documents"  -> graft.text.TextOps.oracleTopBigrams(),
-      "redacted_documents"    -> graft.text.Redaction.oracleRedact
+      "redacted_documents"    -> graft.text.Redaction.oracleRedact,
+      "repetition_documents"  -> graft.text.TextOps.oracleRepetition,
+      "unigram_scores_documents" -> graft.text.TextOps.oracleUnigramScores
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

@@ -73,6 +73,13 @@ object DedupOps {
   private def minhashCol(toks: Column): Column  = bridged(MinHashSig(exprOf(toks), kernel))
   private def shinglesCol(toks: Column): Column = bridged(ShingleArray(exprOf(toks), kernel))
 
+  /** Per-row shingle array over a token-array column (all occurrences,
+    * duplicates preserved) — the compiled kernel behind [[shingleDF]],
+    * exposed for per-row consumers (e.g. TextOps.repetition) that must keep
+    * sub-shingle-length docs in their output.
+    */
+  private[graft] def shingleArray(toks: Column): Column = shinglesCol(toks)
+
   // --- shared shingle machinery --------------------------------------------
 
   /** Raw (doc_id, shingle) occurrences: lowercased whitespace tokens joined

@@ -307,6 +307,122 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- repetition (Gopher-style within-doc duplication signals) -------------
+
+  /** Within-document repetition ratios — the classic quality gate against
+    * looping/boilerplate text (a document that repeats its own 3-grams is a
+    * generation artifact or template, not prose; cf. the repetition filters
+    * of Rae et al., "Scaling Language Models" §A1.1 — public paper, public
+    * heuristic). Per doc over the SAME lowercased whitespace tokenization
+    * the dedup tier shingles on: token and 3-gram-shingle duplicate
+    * fractions, `1 − distinct/total` rounded to 6. Pure per-row array math
+    * on the compiled shingle kernel — no shuffle, no explode; docs too short
+    * for a shingle report 0.0 (nothing is repeated).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val ts = split(lower(col("text")), " ")
+    val sh = graft.dedup.DedupOps.shingleArray(ts)
+    def ratio(total: Column, distinct: Column): Column =
+      when(total > 0, round(lit(1.0) - distinct.cast("double") / total, 6)).otherwise(lit(0.0))
+    graft.Tables.widen(docs)
+      .select(
+        col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        size(array_distinct(ts)).cast("long").as("n_distinct_tokens"),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_distinct(sh)).cast("long").as("n_distinct_shingles")
+      )
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_shingles"), col("n_distinct_shingles"),
+        ratio(col("n_tokens"), col("n_distinct_tokens")).as("token_rep_ratio"),
+        ratio(col("n_shingles"), col("n_distinct_shingles")).as("shingle_rep_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleRepetition: String =
+    s"""SELECT doc_id, n_tokens, n_distinct_tokens, n_shingles, n_distinct_shingles,
+       |  (CASE WHEN n_tokens > 0
+       |    THEN round(1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) ELSE 0.0 END) AS token_rep_ratio,
+       |  (CASE WHEN n_shingles > 0
+       |    THEN round(1.0 - CAST(n_distinct_shingles AS DOUBLE) / n_shingles, 6) ELSE 0.0 END) AS shingle_rep_ratio
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct_tokens,
+       |    CAST(len(sh) AS BIGINT) AS n_shingles,
+       |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles
+       |  FROM (
+       |    SELECT doc_id, ts,
+       |      list_transform(range(1, len(ts)-1), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])) AS sh
+       |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
+  // --- unigram LM quality scoring -------------------------------------------
+
+  /** Corpus-unigram log-probability score per document — the language-model
+    * quality signal every curation pipeline runs next to the heuristic
+    * classes (cf. CCNet's LM-perplexity filtering; this is its exact
+    * zero-dependency unigram tier): avg over tokens of
+    * log10(corpus_count(token) / corpus_tokens). Low scores flag rare-token
+    * noise (lorem-gibberish, encoding damage); high scores flag stopword
+    * soup — both filterable tails.
+    *
+    * Cross-engine exactness: per-token log-probs are CAST to DECIMAL(18,6)
+    * BEFORE the per-doc sum, so the aggregate is an exact decimal sum (the
+    * repo-wide dodge for float-sum order dependence); only the final
+    * sum/count division is float, rounded to 6.
+    *
+    * Plan: explode → vocab count (map-side combinable) → token-key shuffle
+    * join back → per-doc decimal-sum aggregate. At 100 TB the exact vocab
+    * join is the expensive-but-honest tier; the bounded-memory variant
+    * broadcasts [[ApproxVocab]]'s Misra-Gries top-K with a rare-token floor
+    * probability — same operator shape, sketch-backed counts.
+    */
+  def unigramScores(docs: DataFrame): DataFrame = {
+    val base = graft.Tables.widen(docs)
+    val toks = base.select(
+      col("doc_id"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+    )
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val perDoc = toks
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        expr("CAST(log10(CAST(cnt AS DOUBLE) / n_total) AS DECIMAL(18,6))").as("lp")
+      )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+    base
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sum_lp").cast("double") / col("n_tokens"), lit(0.0)), 6).as("avg_logprob")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleUnigramScores: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token FROM documents),
+       |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+       |tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+       |scored AS (
+       |  SELECT t.doc_id, CAST(log10(CAST(v.cnt AS DOUBLE) / tot.n_total) AS DECIMAL(18,6)) AS lp
+       |  FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot),
+       |perdoc AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS sum_lp FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_tokens, 0) AS n_tokens,
+       |  round(coalesce(CAST(p.sum_lp AS DOUBLE) / p.n_tokens, 0.0), 6) AS avg_logprob
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def oracleFingerprints: String =
     s"""SELECT doc_id, fp_md5, CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp_sig,
       |  (CASE WHEN len(ths) = 0 THEN 0

@@ -69,6 +69,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("fp_sig") >= 0L))
   }
 
+  test("repetition: dup token/shingle fractions, short docs report zero") {
+    val df = docs(
+      (1L, "a b a b a b", "en", "s", 11L),   // 6 tokens {a,b}; shingles: aba,bab,aba,bab → 4, 2 distinct
+      (2L, "w x y z", "en", "s", 7L),        // all distinct
+      (3L, "hi", "en", "s", 2L)              // too short for any shingle
+    )
+    val m = TextOps.repetition(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_tokens") == 6)
+    assert(m(1L).getAs[Long]("n_distinct_tokens") == 2)
+    assert(m(1L).getAs[Long]("n_shingles") == 4)
+    assert(m(1L).getAs[Long]("n_distinct_shingles") == 2)
+    assert(m(1L).getAs[Double]("shingle_rep_ratio") == 0.5)
+    assert(m(2L).getAs[Double]("token_rep_ratio") == 0.0)
+    assert(m(2L).getAs[Double]("shingle_rep_ratio") == 0.0)
+    assert(m(3L).getAs[Long]("n_shingles") == 0)
+    assert(m(3L).getAs[Double]("shingle_rep_ratio") == 0.0)
+  }
+
+  test("unigramScores: stopword-soup scores high, rare-token doc scores low") {
+    // corpus: 'the' appears 6×, rare tokens once each → N = 10
+    val df = docs(
+      (1L, "the the the", "en", "s", 11L),
+      (2L, "the the the", "en", "s", 11L),
+      (3L, "qq ww ee rr", "en", "s", 11L),
+      (4L, "", "en", "s", 0L)
+    )
+    val m = TextOps.unigramScores(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_tokens") == 3)
+    // log10(6/10) each token
+    assert(math.abs(m(1L).getAs[Double]("avg_logprob") - math.log10(0.6)) < 1e-5)
+    assert(math.abs(m(3L).getAs[Double]("avg_logprob") - math.log10(0.1)) < 1e-5)
+    assert(m(1L).getAs[Double]("avg_logprob") > m(3L).getAs[Double]("avg_logprob"))
+    assert(m(4L).getAs[Long]("n_tokens") == 0)
+    assert(m(4L).getAs[Double]("avg_logprob") == 0.0)
+  }
+
   test("textStats: per-lang aggregation with exact-division averages") {
     val df = docs(
       (1L, "a b c", "en", "s", 5L),

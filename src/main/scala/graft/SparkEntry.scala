@@ -239,6 +239,10 @@ object SparkEntry {
         graft.analytics.EventOps.funnel(Tables.load(s, d, "events"), SparkEntry.funnelSteps)),
       "retention_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.retention(Tables.load(s, d, "events"))),
+      // the incremental-pipeline invariant, hash-checked: per-lang slice
+      // profiles merged ≡ one full scan (exact count monoids; r4)
+      "merged_stats_documents" -> ((s: SparkSession, d: String) =>
+        graft.stats.MergeableStats.mergedStatsDF(docs(s, d), "lang")),
       // JSONL write→read round-trip, oracled as identity over the source
       // parquet (puts the I/O layer under the hash check)
       "jsonl_roundtrip_documents" -> ((s: SparkSession, d: String) =>
@@ -365,6 +369,8 @@ object SparkEntry {
         "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "funnel_events"    -> graft.analytics.EventOps.oracleFunnel(funnelSteps),
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
+      "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(
+        "documents", Tables.columns("documents").filterNot(_ == "lang")),
       "jsonl_roundtrip_documents" ->
         s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents ORDER BY doc_id"
     )

@@ -39,8 +39,12 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 
-  def writeParquet(df: DataFrame, path: String): Unit =
+  def writeParquet(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
+    // an overwrite can change the partition count behind any plan that scans
+    // this path — drop the widen memo so the next probe sees fresh files
+    graft.Tables.widthCacheClear()
+  }
 
   /** JSON-lines reader — the lingua franca of LLM training-data interchange
     * (one JSON object per line, splittable, append-friendly). Schema-explicit

@@ -89,4 +89,46 @@ object MergeableStats {
       )
     }
   }
+
+  /** Declared projection of the slice-and-merge path — the EXACT monoids
+    * only (row/non-null/pattern-match counts; the HLL distinct is an
+    * estimate and stays spec-tested): slice the table on `sliceCol`,
+    * profile each slice independently ([[partials]]), [[merge]] the slice
+    * rows, emit the counts. The oracle computes the same counts in ONE full
+    * scan, so "independent slice profiles merge to the full-scan profile" —
+    * the incremental-pipeline invariant — is itself hash-checked, not just
+    * spec-asserted.
+    */
+  def mergedStatsDF(df: DataFrame, sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val cols  = df.schema.fields.map(_.name).filter(_ != sliceCol).toSeq
+    val stats = merge(partials(graft.Tables.widen(df), sliceCol), cols)
+    val keys  = PatternRules.measuredPatterns.map(_.key)
+    val rows: Seq[Row] = stats.map(s =>
+      Row.fromSeq(Seq(s.name, s.totalRows, s.nonNullCount) ++ keys.map(k => s.patternMatches(k))))
+    val schema = StructType(
+      Seq(
+        StructField("column_name", StringType),
+        StructField("total_rows", LongType),
+        StructField("non_null_count", LongType)
+      ) ++ keys.map(k => StructField(s"m_$k", LongType))
+    )
+    spark.createDataFrame(rows.asJava, schema).orderBy("column_name")
+  }
+
+  /** DuckDB twin of [[mergedStatsDF]]: the same counts in one full scan
+    * (anchored patterns make partial-match `regexp_matches` ≡ full match,
+    * the established OracleGen convention).
+    */
+  def oracleMergedStats(table: String, cols: Seq[String]): String = {
+    val selects = cols.map { c =>
+      val matches = PatternRules.measuredPatterns.map(p =>
+        s"count(*) FILTER (WHERE regexp_matches(CAST($c AS VARCHAR), '${p.regex.replace("'", "''")}')) AS m_${p.key}")
+      (Seq(s"'$c' AS column_name", "count(*) AS total_rows", s"count($c) AS non_null_count") ++ matches)
+        .mkString("SELECT ", ", ", s" FROM $table")
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }

@@ -31,12 +31,31 @@ object Bench {
     graft.dedup.DedupOps.exactDuplicates(Tables.load(spark, "/root/testdata/sf0.001", "documents")).count()
     graft.similarity.SimilarityOps.lshBuckets(Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
 
+    // training-producer queries run before their cache consumers (train →
+    // assign, the order a real pipeline uses), so ivf_centroids carries the
+    // one-time k-means cost and ivf_assign/ivf_topk time cache-fed
+    // assignment/search only; alphabetical otherwise.
+    val producerFirst = Set("ivf_centroids_embeddings")
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (if (producerFirst(n)) 0 else 1, n) }
+
+    // Per-query MEDIAN of 3 full passes (r4 verdict ask #5: the single-pass
+    // band was 2.2× wide on pure box contention, drowning regressions).
+    // Caches cleared between passes so each pass re-executes shared stages;
+    // WITHIN a pass the cache sharing is identical to a single driver run.
+    val Reps = 3
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => errors += name -> e.toString.take(200) }
-      name -> (System.nanoTime() - t0) / 1e9
+    val passes: Seq[Map[String, Double]] = (1 to Reps).map { _ =>
+      SparkEntry.clearCaches()
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => errors += name -> e.toString.take(200) }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name)).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>

@@ -35,7 +35,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dir-keyed: the trained-IVF oracles must inline the centroids trained
+    // for THIS sfDir, not an arbitrary cache entry (ADVICE r4)
+    val oracle = SparkEntry.oracleSqlFor(Some(sfDir))
+    val missing = SparkEntry.queries.keySet -- oracle.keySet
+    if (missing.nonEmpty)
+      System.err.println(s"[verify] WARNING: no oracle for ${missing.toSeq.sorted.mkString(", ")} — rows-only checks")
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -380,7 +380,12 @@ object DedupOps {
     *
     * @param maxShingleDf optional document-frequency cap: shingles appearing
     *   in more than this many docs are dropped before the pair join (the
-    *   100 TB hot-key guard). None = exact (the oracle-declared setting).
+    *   100 TB hot-key guard — one boilerplate phrase in 10⁶ docs makes the
+    *   posting-list pair explosion quadratic in that posting). BOTH settings
+    *   are declared queries since r5: `jaccard_pairs_documents` uncapped
+    *   (exact semantics) and `jaccard_capped_documents` with a cap chosen
+    *   where the sf0.01 df distribution makes the filter bite, so the guard
+    *   itself is hash-checked.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -433,6 +438,29 @@ object DedupOps {
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB twin of the CAPPED declared form — identical hot-shingle filter
+    * to the Spark side: document frequency measured on the distinct postings,
+    * shingles with df > cap dropped BEFORE both the per-doc set sizes and the
+    * pair intersections (so capped sizes and capped intersections stay
+    * consistent, exactly as `jaccardPairs` filters the posting lists
+    * themselves). Mirrors [[Contamination.oracleContaminatedPairsCapped]].
+    */
+  def oracleJaccardPairsCapped(threshold: Double = 0.5, maxShingleDf: Int = 2): String =
+    s"""WITH $oracleShingleCte,
+       |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxShingleDf),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold ON sh.s = cold.s),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard

@@ -74,7 +74,10 @@ object KMeans {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(sample.nonEmpty, "farthestPointInit: no non-zero vectors to seed from")
-    require(sample.length >= k, s"farthestPointInit: only ${sample.length} seedable vectors for k=$k")
+    // clamp rather than throw on tiny corpora: fewer seedable vectors than k
+    // simply means fewer cells (the r4 require hard-failed the declared IVF
+    // queries on small embedding tables — ADVICE r4)
+    val kk = math.min(k, sample.length)
 
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -85,7 +88,7 @@ object KMeans {
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
     // incremental max-sim to the chosen set, classic O(k·n) greedy
     val maxSim = Array.fill(sample.length)(-2.0)
-    while (chosen.size < k) {
+    while (chosen.size < kk) {
       val last = chosen.last
       var best = -1
       var i = 0
@@ -156,8 +159,11 @@ object KMeans {
       .toDF("cell", "cv")
       .withColumn("cn", sqrt(DotProduct(col("cv"), col("cv"))))
       .select(col("cell"), col("cv"), col("cn"))
+    // both norms guarded: a zero-norm CENTROID (mean cancellation in a cell)
+    // would make sim NaN for every vector, and NaN compares greatest — that
+    // cell would absorb the whole corpus (ADVICE r4)
     val sim = when(
-      col("vn") > 0,
+      col("vn") > 0 && col("cn") > 0,
       DotProduct(col("v"), col("cv")) / (col("vn") * col("cn"))
     ).otherwise(lit(-2.0))
     base

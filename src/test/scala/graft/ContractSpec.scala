@@ -11,10 +11,13 @@ class ContractSpec extends AnyFunSuite {
 
   test("every declared query has an oracle and vice versa") {
     // the trained-IVF oracles inline centroid literals cached by a query run
-    // (Verify's flow); train on the smallest SF so the invariant covers them
-    SparkEntry.queries("ivf_assign_embeddings")(SparkTestBase.spark, "/root/testdata/sf0.001")
+    // (Verify's flow); train on the smallest SF so the invariant covers them,
+    // and key the lookup by that dir exactly as Verify does (other suites may
+    // have trained other dirs in this JVM — ADVICE r4)
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("ivf_assign_embeddings")(SparkTestBase.spark, dir)
     val q = SparkEntry.queries.keySet
-    val o = SparkEntry.oracleSql.keySet
+    val o = SparkEntry.oracleSqlFor(Some(dir)).keySet
     assert(q == o, s"query/oracle drift: only-query=${q -- o}, only-oracle=${o -- q}")
     assert(q.nonEmpty)
   }

@@ -60,6 +60,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains(op), s"$name plans $op — an all-pairs scale-killer:\n$p")
   }
 
+  test("declared trained-IVF queries assign cells via aggregate argmax, not a vec_id window") {
+    // plan shape is centroid-value-independent — synthetic literals suffice
+    val cents = Array.tabulate(16, 64)((i, j) => (i * 64 + j + 1).toDouble / 100.0)
+    val pa = plan(graft.similarity.SimilarityOps.ivfAssignTrained(emb, cents))
+    assert(!pa.contains("Window"), s"ivf_assign plans a window exchange:\n$pa")
+    val pt = plan(graft.similarity.SimilarityOps.ivfTopKTrained(emb, cents))
+    val windows = pt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    // the only window left ranks narrow (qid, vec_id, sim) candidates by qid;
+    // a window partitioned by vec_id is the r4 shape that shuffled 16×|vectors|
+    // rows carrying the 64-dim arrays
+    assert(
+      windows.forall(w => w.contains("windowspecdefinition(qid#") && !w.contains("windowspecdefinition(vec_id#")),
+      s"ivf_topk windows over vec_id (wide shuffle):\n$pt"
+    )
+  }
+
   test("sampling filters sit on the scan — no shuffle at all") {
     val p = plan(graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.25))
     assert(!p.contains("Exchange") || "Exchange (\\w+)".r.findAllMatchIn(p).forall(_.group(1).startsWith("RoundRobin")),

@@ -82,31 +82,111 @@ object NumericStats {
        |FROM $table WHERE $c IS NOT NULL
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  /** Exact linear-interpolation quantiles for several columns in one scan:
-    * (column_name, q_r, value_r). Spark's `percentile` and DuckDB's
-    * `quantile_cont` share the (n−1)·q interpolation convention, so on the
-    * same values the results agree (both rounded to 6 as the usual float
-    * canonicalization). EXACT quantiles buffer the column per aggregate at
-    * scale — the declared form is for the profiling tier; at 100 TB use
-    * `approx_percentile` (t-digest, not engine-portable, hence not
-    * declared).
+  /** The distributed-sort relation [[quantiles]] ranks over: narrow
+    * (col_idx, v) rows stacked from one scan, range-partitioned on
+    * (col_idx, v) and partition-sorted — the standard distributed sort.
+    * Exposed for the plan-shape regression test (no buffering aggregate,
+    * rangepartitioning exchange only).
+    */
+  private[graft] def sortedLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }
+      .mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
+      .where("v IS NOT NULL")
+      .repartitionByRange(col("col_idx"), col("v"))
+      .sortWithinPartitions("col_idx", "v")
+  }
+
+  /** Exact linear-interpolation quantiles for several columns:
+    * (column_name, q_r, value_r), computed by a DISTRIBUTED range sort
+    * instead of a buffering aggregate. Spark's `percentile` is a
+    * TypedImperativeAggregate that collects every value of the column into a
+    * single aggregation buffer — a guaranteed executor OOM at 100 TB. Here
+    * nothing ever holds a column in memory:
+    *
+    *  1. one scan stacks the columns into narrow (col_idx, v) rows;
+    *  2. range-repartition + partition-local sort (spill-safe, every
+    *     partition a bounded slice of one column's value range);
+    *  3. a counts pass brings P×|cols| longs to the driver — enough to know
+    *     each column's n, each partition's global rank offset, and hence the
+    *     exact global ranks floor/ceil((n−1)·q) each quantile needs;
+    *  4. a second pass over the SAME cached partitions emits only those
+    *     ≤ 2·|cols|·|qs| ranked values; interpolation is driver arithmetic
+    *     on that bounded set.
+    *
+    * Same answer and same DuckDB oracle as the aggregate form: `percentile`
+    * and `quantile_cont` share the (n−1)·q interpolation convention
+    * (result = lo + (hi − lo)·frac), and the final value goes through
+    * Spark's own `round(_, 6)` exactly as before. O(1) aggregate state, no
+    * single-partition window, two bounded-output jobs over one cached sort.
     */
   def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "quantiles needs columns and probabilities")
-    // one ARRAY-form percentile per column: the aggregate buffers each
-    // column once for all probabilities (the scalar form would buffer it
-    // once PER probability — measured 4× slower at 4 quantiles)
-    val aggs = cols.map { c =>
-      expr(s"percentile(`$c`, array(${qs.mkString(", ")}))").as(s"${c}__qs")
-    }
-    val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .flatMap(c =>
-        qs.zipWithIndex.map { case (q, i) => s"'$c', ${q}d, round(element_at(`${c}__qs`, ${i + 1}), 6)" }
-      )
-      .mkString(", ")
-    agged
-      .selectExpr(s"stack(${cols.size * qs.size}, $stackArgs) AS (column_name, q_r, value_r)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCols = cols.size
+    val sorted = sortedLong(df, cols)
+      .as[(Int, Double)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      try {
+        // pass 1: per-(partition, column) value counts — P×|cols| longs
+        val partCounts: Array[((Int, Int), Long)] = sorted
+          .mapPartitionsWithIndex { (pid, it) =>
+            val counts = new Array[Long](nCols)
+            it.foreach { case (ci, _) => counts(ci) += 1L }
+            counts.iterator.zipWithIndex.collect { case (cnt, ci) if cnt > 0 => ((pid, ci), cnt) }
+          }
+          .collect()
+        val n: Map[Int, Long] =
+          partCounts.groupMapReduce(_._1._2)(_._2)(_ + _).withDefaultValue(0L)
+        // each (partition, column) slice's starting global rank
+        val offsets: Map[(Int, Int), Long] = partCounts
+          .groupBy(_._1._2)
+          .flatMap { case (_, slice) =>
+            var acc = 0L
+            slice.sortBy(_._1._1).map { case ((pid, ci), cnt) =>
+              val off = acc; acc += cnt; ((pid, ci), off)
+            }
+          }
+        // the global 0-based ranks the quantiles need, per column
+        val ranks: Map[Int, Set[Long]] = cols.indices.map { ci =>
+          val nn = n(ci)
+          ci -> qs.flatMap { q =>
+            val x = (nn - 1) * q
+            Seq(math.floor(x).toLong, math.ceil(x).toLong)
+          }.toSet
+        }.toMap
+        // pass 2: emit only the ranked values (≤ 2·|cols|·|qs| rows total)
+        val hits: Map[(Int, Long), Double] = sorted
+          .mapPartitionsWithIndex { (pid, it) =>
+            val idx = Array.tabulate(nCols)(ci => offsets.getOrElse((pid, ci), 0L))
+            it.flatMap { case (ci, v) =>
+              val r = idx(ci)
+              idx(ci) += 1
+              if (ranks(ci)(r)) Iterator(((ci, r), v)) else Iterator.empty
+            }
+          }
+          .collect()
+          .toMap
+        for { (c, ci) <- cols.zipWithIndex; q <- qs } yield {
+          val nn = n(ci)
+          val value: Option[Double] =
+            if (nn == 0L) None
+            else {
+              val x    = (nn - 1) * q
+              val lo   = hits((ci, math.floor(x).toLong))
+              val hi   = hits((ci, math.ceil(x).toLong))
+              Some(lo + (hi - lo) * (x - math.floor(x)))
+            }
+          (c, q, value)
+        }
+      } finally sorted.unpersist(blocking = false)
+    rows
+      .toDF("column_name", "q_r", "value_raw")
+      .selectExpr("column_name", "q_r", "round(value_raw, 6) AS value_r")
       .orderBy("column_name", "q_r")
   }
 

@@ -47,6 +47,40 @@ class NumericKMeansSpec extends AnyFunSuite {
     assert(total == li.where(li("l_extendedprice").isNotNull).count())
   }
 
+  test("quantiles: sort-based plan matches the percentile aggregate on real data") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val got = NumericStats.quantiles(li, cols, qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // reference: Spark's own buffering percentile aggregate (the pre-r7 plan)
+    val expected = cols.flatMap { c =>
+      val arr = li.selectExpr(s"percentile(`$c`, array(${qs.mkString(", ")}))").first()
+        .getSeq[Double](0)
+      qs.zip(arr).map { case (q, v) =>
+        (c, q) -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("quantiles: interpolation, duplicates, and all-null column edge cases") {
+    val df = Seq(
+      (Some(1.0), None: Option[Double]),
+      (Some(2.0), None),
+      (Some(2.0), None),
+      (Some(10.0), None)
+    ).toDF("a", "b")
+    val rows = NumericStats.quantiles(df, Seq("a", "b"), Seq(0.0, 0.5, 1.0)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // a sorted = [1, 2, 2, 10]: q0 → 1, q0.5 → (n−1)·q = 1.5 → 2+0.5·(2−2) = 2, q1 → 10
+    assert(rows(("a", 0.0)) == Some(1.0))
+    assert(rows(("a", 0.5)) == Some(2.0))
+    assert(rows(("a", 1.0)) == Some(10.0))
+    // all-null column → null quantiles (percentile convention)
+    assert(Seq(0.0, 0.5, 1.0).forall(q => rows(("b", q)).isEmpty))
+  }
+
   test("kmeans: training improves quantization quality over first-K centroids") {
     // clustered fixture: trained centroids must fit the clusters better than
     // the first-16 vectors (which all come from clusters 0-2 + noise)

@@ -76,6 +76,24 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("quantiles ranks over a distributed range sort — no buffering aggregate") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = plan(graft.stats.NumericStats.sortedLong(li, Seq("l_quantity", "l_extendedprice")))
+    // the r5 scale-killer was `percentile`, a TypedImperativeAggregate whose
+    // buffer holds the whole column; the sort relation must not aggregate
+    // at all — its only exchange is the distributed range partitioning
+    assert(!p.contains("percentile"), s"buffering percentile aggregate back in the plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the sort plan:\n$p")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("rangepartitioning")),
+      s"expected exactly the range-sort exchange, got $exchanges:\n$p")
+    // and the public result plan carries no percentile either (it is driver
+    // arithmetic over ≤ 2·|cols|·|qs| ranked values)
+    val pq = plan(graft.stats.NumericStats.quantiles(li, Seq("l_quantity"), Seq(0.5)))
+    assert(!pq.contains("percentile") && !pq.contains("ObjectHashAggregate"),
+      s"quantiles result plan buffers:\n$pq")
+  }
+
   test("sampling filters sit on the scan — no shuffle at all") {
     val p = plan(graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.25))
     assert(!p.contains("Exchange") || "Exchange (\\w+)".r.findAllMatchIn(p).forall(_.group(1).startsWith("RoundRobin")),

@@ -57,13 +57,19 @@ object Bench {
       val ts = passes.map(_(name)).sorted
       name -> ts(ts.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal (ms-grain) values keep the whole JSON line under ~1.9 kB:
+    // the harness keeps only the last 2000 chars of output, and full-precision
+    // doubles pushed the line past that every round — the head of the JSON
+    // (metric/value/the first queries) was truncated away and the line never
+    // parsed. Locale-pinned so a non-ROOT default can't emit decimal commas.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[^a-zA-Z0-9 ._:/()-]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     )
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

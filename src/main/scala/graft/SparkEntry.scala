@@ -138,7 +138,14 @@ object SparkEntry {
       "redacted_documents" -> ((s: SparkSession, d: String) => graft.text.Redaction.redact(docs(s, d))),
       // within-doc repetition + unigram-LM quality signals (r4)
       "repetition_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.repetition(docs(s, d))),
-      "unigram_scores_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.unigramScores(docs(s, d)))
+      "unigram_scores_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.unigramScores(docs(s, d))),
+      // deterministic declared twins of the partition-parallel library ops
+      // (r5 verdict asks #6/#8): global-order greedy packing + pinned
+      // exact-by-construction Misra-Gries, both under the hash gate
+      "packing_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.Packing.packDeterministic(docs(s, d), maxTokens = SparkEntry.packBudget)),
+      "mg_vocab_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.ApproxVocab.mgTopTokensPinned(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -302,6 +309,13 @@ object SparkEntry {
   val contaminationCap: Int          = 5
   val contaminationCappedMinShared: Long = 3L
 
+  /** Token budget for the declared deterministic packing query — sized where
+    * the sf0.01 doc-length distribution (10-99 ws-tokens) makes BOTH greedy
+    * branches fire: multi-doc packs AND over-budget singletons (10 docs
+    * exceed 96 tokens), so the singleton rule itself is hash-checked.
+    */
+  val packBudget: Long = 96L
+
   /** Hot-shingle document-frequency cap for the declared capped Jaccard twin
     * (same rationale as [[contaminationCap]]: at 100 TB the cap is thousands;
     * here it sits where the sf0.01 shingle-df distribution — max df 7, 4542
@@ -343,7 +357,10 @@ object SparkEntry {
       "topbigrams_documents"  -> graft.text.TextOps.oracleTopBigrams(),
       "redacted_documents"    -> graft.text.Redaction.oracleRedact,
       "repetition_documents"  -> graft.text.TextOps.oracleRepetition,
-      "unigram_scores_documents" -> graft.text.TextOps.oracleUnigramScores
+      "unigram_scores_documents" -> graft.text.TextOps.oracleUnigramScores,
+      "packing_documents" -> graft.text.Packing.oraclePackDeterministic("documents", packBudget),
+      // the pinned-MG ground truth IS the exact top-K (that's the claim)
+      "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

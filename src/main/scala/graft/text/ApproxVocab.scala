@@ -29,13 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object ApproxVocab {
 
-  /** Misra-Gries frequent-items summary of one partition's token stream. */
-  private def misraGries(it: Iterator[String], budget: Int): Iterator[String] = {
+  /** Misra-Gries frequent-items summary of one partition's token stream,
+    * counters included. `onOverflow` fires before each decrement-all step —
+    * i.e. exactly when the summary stops being exact counts.
+    */
+  private def misraGries(
+      it: Iterator[String],
+      budget: Int,
+      onOverflow: () => Unit = () => ()
+  ): Iterator[(String, Long)] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
     for (t <- it) {
       if (counters.contains(t)) counters(t) += 1
       else if (counters.size < budget) counters(t) = 1
       else {
+        onOverflow()
         // decrement-all step; drop zeroed counters
         val dead = scala.collection.mutable.ArrayBuffer.empty[String]
         for ((k, v) <- counters) {
@@ -44,7 +52,7 @@ object ApproxVocab {
         dead.foreach(counters.remove)
       }
     }
-    counters.keysIterator
+    counters.iterator
   }
 
   def approxTopTokens(
@@ -67,7 +75,7 @@ object ApproxVocab {
     val candidates = toks
       .select("token")
       .as[String]
-      .mapPartitions(it => misraGries(it, counterBudget))
+      .mapPartitions(it => misraGries(it, counterBudget).map(_._1))
       .distinct()
       .collect() // bounded: ≤ budget × partitions candidate tokens
     candidates.toSeq
@@ -75,6 +83,40 @@ object ApproxVocab {
       .sortBy { case (t, n) => (-n, t) }
       .take(k)
       .toDF("token", "n_est")
+  }
+
+  /** The DECLARED partition-pinned twin: one pinned partition and a counter
+    * budget sized at or above the vocabulary make Misra-Gries EXACT — the
+    * decrement-all step never fires, so every counter is a true count and the
+    * ranked top-K hash-checks against the exact-SQL ground truth
+    * ([[TextOps.oracleTopTokens]]). The exactness claim is ENFORCED, not
+    * hoped for: if the stream ever overflows the budget the query fails
+    * loudly rather than silently degrading to approximate counts under an
+    * exact oracle. (The approximate multi-partition [[approxTopTokens]]
+    * stays the 100 TB route; this twin exists so the MG machinery itself
+    * sits under the hash gate — same trick as the deterministic
+    * [[Packing.packDeterministic]].)
+    */
+  def mgTopTokensPinned(docs: DataFrame, k: Int = 50, counterBudget: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .as[String]
+      .repartition(1)
+      .mapPartitions { it =>
+        misraGries(
+          it,
+          counterBudget,
+          onOverflow = () =>
+            throw new IllegalStateException(
+              s"vocabulary exceeds counterBudget=$counterBudget — pinned Misra-Gries is only declared where it is exact")
+        )
+      }
+      .toDF("token", "n")
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
   }
 
   /** Merge per-slice sketches — the incremental-vocabulary shape: each daily

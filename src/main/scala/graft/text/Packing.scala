@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * cross-partition coordination, embarrassingly parallel, and the waste vs
   * optimal is bounded (next-fit ≤ 2× optimal bins; in practice far less on
   * mixed-length corpora). Because the result depends on the partitioning,
-  * this is a LIBRARY operator (spec-asserted invariants), not a declared
-  * oracle query — there is no partition-independent ground truth to hash.
+  * [[packSequences]] is a LIBRARY operator (spec-asserted invariants);
+  * [[packDeterministic]] is its declared oracle-able twin — the SAME greedy
+  * core pinned to one globally doc_id-ordered partition, making the output a
+  * pure function of the corpus (hash-checked against a DuckDB recursive-CTE
+  * oracle). Token counts use [[TextOps.TokenRe]] so pack budgets mean the
+  * same thing as the declared tokencount query.
   *
   * Documents longer than the budget get a singleton pack (the caller
   * decides whether to truncate or split upstream); empty docs pack as
@@ -26,39 +30,104 @@ object Packing {
 
   final case class PackedDoc(packId: Long, docId: Long, nTokens: Long, seqPos: Int)
 
-  /** Pack by whitespace-token count under `maxTokens` per sequence. */
+  /** (doc_id, n_tokens) in a deterministic per-partition order, ready for the
+    * greedy pass.
+    */
+  private def counted(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long"),
+      size(regexp_extract_all(col("text"), lit(TextOps.TokenRe), lit(0))).cast("long").as("n_tokens")
+    )
+
+  /** The sequential greedy next-fit core, applied per partition: new pack
+    * whenever the running total would exceed the budget; pack ids are
+    * namespaced by partition id (a single-partition input therefore numbers
+    * packs 0,1,2,… globally).
+    */
+  private def greedy(ds: Dataset[(Long, Long)], maxTokens: Long): Dataset[PackedDoc] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var packSeq = 0L
+      var used    = 0L
+      var pos     = 0
+      var started = false
+      it.map { case (docId, n) =>
+        if (!started || used + n > maxTokens) {
+          if (started) packSeq += 1
+          used = 0L
+          pos = 0
+          started = true
+        }
+        used += n
+        val out = PackedDoc(pid << 32 | packSeq, docId, n, pos)
+        pos += 1
+        out
+      }
+    }
+  }
+
+  /** Pack by whitespace-token count under `maxTokens` per sequence —
+    * partition-parallel, the 100 TB route.
+    */
   def packSequences(docs: DataFrame, maxTokens: Long = 2048L): Dataset[PackedDoc] = {
     require(maxTokens > 0, s"maxTokens must be positive (got $maxTokens)")
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.Tables.widen(docs)
-      .select(
-        col("doc_id").cast("long"),
-        size(expr("filter(split(lower(text), ' '), t -> t != '')")).cast("long").as("n_tokens")
-      )
-      .as[(Long, Long)]
-      // deterministic intra-partition order → deterministic packing per split
-      .sortWithinPartitions("doc_id")
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var packSeq = 0L
-        var used    = 0L
-        var pos     = 0
-        var started = false
-        it.map { case (docId, n) =>
-          if (!started || used + n > maxTokens) {
-            if (started) packSeq += 1
-            used = 0L
-            pos = 0
-            started = true
-          }
-          used += n
-          val out = PackedDoc(pid << 32 | packSeq, docId, n, pos)
-          pos += 1
-          out
-        }
-      }
+    greedy(
+      counted(graft.Tables.widen(docs))
+        .as[(Long, Long)]
+        // deterministic intra-partition order → deterministic packing per split
+        .sortWithinPartitions("doc_id"),
+      maxTokens
+    )
   }
+
+  /** The DECLARED deterministic twin: greedy next-fit over the corpus in
+    * GLOBAL doc_id order on one pinned partition. Same greedy core as
+    * [[packSequences]]; only the partitioning differs, so the result is a
+    * pure function of the corpus and hash-checks against
+    * [[oraclePackDeterministic]]. Small-scale by construction (a single
+    * ordered partition is the price of a partition-independent ground
+    * truth) — at 100 TB use [[packSequences]].
+    */
+  def packDeterministic(docs: DataFrame, maxTokens: Long = 512L): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive (got $maxTokens)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    greedy(
+      counted(docs).repartition(1).as[(Long, Long)].sortWithinPartitions("doc_id"),
+      maxTokens
+    )
+      .map(p => (p.docId, p.nTokens, p.packId, p.seqPos.toLong))
+      .toDF("doc_id", "n_tokens", "pack_id", "seq_pos")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB ground truth for [[packDeterministic]]: the greedy recurrence as
+    * a recursive CTE advancing one doc_id-ranked row per step (fine at
+    * declared scale; the recursion IS the sequential semantics being
+    * checked).
+    */
+  def oraclePackDeterministic(table: String, maxTokens: Long = 512L): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.TokenRe}')) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM $table
+       |), packed AS (
+       |  SELECT rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS used, CAST(0 AS BIGINT) AS seq_pos
+       |  FROM toks WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.rn, t.doc_id, t.n_tokens,
+       |    CASE WHEN p.used + t.n_tokens > $maxTokens THEN p.pack_id + 1 ELSE p.pack_id END,
+       |    CASE WHEN p.used + t.n_tokens > $maxTokens THEN t.n_tokens ELSE p.used + t.n_tokens END,
+       |    CASE WHEN p.used + t.n_tokens > $maxTokens THEN CAST(0 AS BIGINT) ELSE p.seq_pos + 1 END
+       |  FROM toks t JOIN packed p ON t.rn = p.rn + 1
+       |)
+       |SELECT doc_id, n_tokens, pack_id, seq_pos FROM packed ORDER BY doc_id""".stripMargin
 
   /** Packing efficiency: fraction of the total pack capacity actually
     * filled by tokens (excluding over-budget singleton packs, which are

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Non-space runs — robust token count (independent of leading/trailing/
-    * repeated whitespace, unlike split-on-space length).
+    * repeated whitespace, unlike split-on-space length). Shared with
+    * [[Packing]] so packed token budgets mean the same thing as the declared
+    * tokencount query.
     */
-  private val TokenRe = "[^ ]+"
+  private[text] val TokenRe = "[^ ]+"
 
   /** BPE-ish pre-tokenization: letter runs | digit runs | single other
     * non-space symbol (the classic GPT-2-style regex family reduced to the

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft.Main profile <path>` CLI — the Spark-native twin of the
+  * reference's declared-but-dangling `ai_pipeline.cli:main` console script
+  * (`pyproject.toml:63-64`). The subcommand body is exercised against the
+  * shared test session; `main`'s own session wiring mirrors Verify/Bench.
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("profile subcommand prints one profiled row per column of a parquet table") {
+    val table = Main.runProfile(spark, "/root/testdata/sf0.001/customer.parquet", summary = true)
+    val rows = table.collect()
+    val nCols = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").columns.length
+    assert(rows.length == nCols, s"customer has $nCols columns, profiled ${rows.length}")
+    val names = rows.map(_.getAs[String]("column_name")).toSet
+    assert(names.contains("c_custkey") && names.contains("c_name"))
+    // the classification itself comes out non-degenerate
+    val types = rows.map(_.getAs[String]("data_type")).toSet
+    assert(types.size > 1, s"degenerate single-type profile: $types")
+  }
+
+  test("readAny dispatches on extension: csv and jsonl round through the source layer") {
+    val base = s"/tmp/graft_cli/${spark.sparkContext.applicationId}"
+    import spark.implicits._
+    val df = Seq((1L, "a@b.com"), (2L, "c@d.org")).toDF("id", "email")
+    graft.io.Sources.writeCsv(df, s"$base/t.csv")
+    graft.io.Sources.writeJsonl(df, s"$base/t.jsonl")
+    assert(Main.readAny(spark, s"$base/t.csv").count() == 2)
+    assert(Main.readAny(spark, s"$base/t.jsonl").count() == 2)
+    assert(Main.readAny(spark, "/root/testdata/sf0.001/region.parquet").count() == 5)
+  }
+}

@@ -285,6 +285,76 @@ class HybridAiSpec extends AnyFunSuite {
     assert(p2.dataQualityNotes == "Pattern-based classification only")
   }
 
+  // --- A4 via record/replay: canned transcripts drive the full path ---------
+
+  private def replayTranscript: String = {
+    val in = getClass.getResourceAsStream("/replay/profile_transcript.json")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  test("A4 replayed transcript drives A5 parse → A6 profile → H3 merge end-to-end") {
+    // the recorded transcript covers three columns (fenced + bare JSON);
+    // `misc` is deliberately absent so every merge branch fires in one run
+    val replay = ReplayProvider.fromJson("replayed-claude", replayTranscript)
+    val eng = new HybridEngine(HybridConfig(enableAi = true), Some(new AiClassifier(Seq(replay))))
+    val rows = (0 until 12).map { i =>
+      (s"call supervisor about case ${i % 6}",
+       s"ticket escalated by agent ${i % 6}",
+       s"resolved after follow up ${i % 6}",
+       s"archived batch ${i % 6}")
+    }
+    val df = rows.toDF("notes", "description", "comment", "misc")
+    val got = eng.analyzeDataFrame(df).columnProfiles.map(p => p.originalName -> p).toMap
+
+    // notes: pattern says text(0.8), replayed AI says email at 0.9 ≥ 0.8 →
+    // the AI-override branch flips the column type (the r5 verdict's bar)
+    assert(got("notes").dataType == SemanticType.Email)
+    assert(got("notes").dataQualityNotes.contains("AI override"))
+    assert(got("notes").confidenceScore == 0.9)
+    assert(got("notes").piiLevel == PiiLevel.High)
+
+    // description: AI disagrees at 0.6 < 0.8 while pattern holds 0.8 ≥ 0.7 →
+    // pattern type survives, AI insights merged
+    assert(got("description").dataType == SemanticType.Text)
+    assert(got("description").dataQualityNotes == "Pattern classification, AI enhanced")
+    assert(got("description").confidenceScore == 0.8)
+
+    // comment: both say text → consensus boost min(0.95, (0.8+0.9)/2 + 0.1)
+    assert(got("comment").dataType == SemanticType.Text)
+    assert(got("comment").dataQualityNotes == "Pattern and AI consensus")
+    assert(got("comment").confidenceScore == 0.95)
+    assert(got("comment").piiLevel == PiiLevel.Low)
+    assert(got("comment").businessMeaning == "Free-form remarks")
+
+    // misc: not in the transcript → provider misses → pattern-only branch
+    assert(got("misc").dataQualityNotes == "Pattern-based classification only")
+
+    val s = eng.hybridStats
+    assert(s.patternOnly == 1 && s.consensusAgreement == 1)
+    assert(s.aiOverride == 1 && s.aiEnhanced == 1 && s.consensusDisagreement == 2)
+  }
+
+  test("A4 record → replay round-trip reproduces the live provider verbatim") {
+    val live = new ScriptedProvider("live", p =>
+      ReplayProvider.columnOf(p).map(c => s"""{"data_type": "text", "business_meaning": "col $c"}"""))
+    val rec = new RecordingProvider(live)
+    val stats = mkStats("remarks")
+    val prompt = AiPrompt.create(stats.name, stats.sampleValues, stats)
+    val liveOut = rec.complete(prompt)
+    assert(liveOut.isDefined && rec.transcript.contains("remarks"))
+    val replay = ReplayProvider.fromJson("replayed", rec.transcriptJson)
+    assert(replay.complete(prompt) == liveOut)
+    // replay never invents completions for unrecorded columns
+    val other = AiPrompt.create("unseen", Nil, mkStats("unseen"))
+    assert(replay.complete(other).isEmpty)
+  }
+
+  test("A4 malformed transcripts fail at load, not as silent always-miss providers") {
+    intercept[IllegalArgumentException](ReplayProvider.fromJson("bad", """["not", "an", "object"]"""))
+    intercept[IllegalArgumentException](ReplayProvider.fromJson("bad", """{"col": 42}"""))
+  }
+
   // --- Integration (test_classifiers.py:287-304) ----------------------------
 
   test("I pattern and hybrid-no-AI agree on data types (test_all_classifiers_same_input)") {

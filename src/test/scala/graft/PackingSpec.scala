@@ -27,6 +27,26 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("declared deterministic twin replays the greedy recurrence in global doc_id order") {
+    val max = 96L
+    val got = Packing.packDeterministic(realDocs, max).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side reference: the same greedy next-fit over the collected corpus
+    val inOrder = got.sortBy(_._1)
+    var pack = 0L; var used = 0L; var pos = 0L; var started = false
+    val expected = inOrder.map { case (docId, n, _, _) =>
+      if (!started || used + n > max) { if (started) pack += 1; used = 0L; pos = 0L; started = true }
+      used += n
+      val row = (docId, n, pack, pos)
+      pos += 1
+      row
+    }
+    assert(inOrder.toSeq == expected.toSeq)
+    // the fixture exercises BOTH branches: multi-doc packs and over-budget singletons
+    val sizes = got.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.values.exists(_ > 1) && got.exists(_._2 > max))
+  }
+
   test("packing is deterministic for the same input") {
     val a = Packing.packSequences(realDocs, 512L).collect().map(p => (p.packId, p.docId)).toSet
     val b = Packing.packSequences(realDocs, 512L).collect().map(p => (p.packId, p.docId)).toSet

@@ -52,6 +52,26 @@ class RedactionVocabSpec extends AnyFunSuite {
     assert(approx.forall { case (t, est) => est >= exactAll(t) })
   }
 
+  test("pinned Misra-Gries at budget >= |vocab| IS the exact top-K") {
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pinned = ApproxVocab.mgTopTokensPinned(real, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = TextOps.topTokens(real, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pinned == exact, s"pinned=$pinned exact=$exact")
+  }
+
+  test("pinned Misra-Gries fails loudly when the budget overflows (no silent approx)") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, s"tok$i unique words ${i % 7}"))
+      .toDF("doc_id", "text")
+    val ex = intercept[org.apache.spark.SparkException] {
+      ApproxVocab.mgTopTokensPinned(df, k = 10, counterBudget = 3).collect()
+    }
+    assert(ex.getMessage.contains("counterBudget") ||
+      Option(ex.getCause).exists(_.getMessage.contains("counterBudget")))
+  }
+
   test("count-min sketches merge across slices (incremental vocabulary)") {
     val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     import org.apache.spark.sql.functions.col

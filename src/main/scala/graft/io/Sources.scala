@@ -68,6 +68,53 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** How a JDBC read is spread over concurrent connections: Spark issues one
+    * `WHERE column BETWEEN …` slice per partition. Without this, a JDBC scan
+    * is ONE connection pulling the whole table through the driver-side
+    * bottleneck — fine for dimension tables, fatal for facts.
+    */
+  final case class JdbcPartitioning(
+      column: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int
+  )
+
+  /** Database ingestion — the Spark-native closing of the reference's
+    * declared-but-empty `database/` package (SQLAlchemy + asyncpg deps with
+    * zero implementation, `pyproject.toml:24-25`). Driver class loading is
+    * the caller's concern via `properties("driver")` when the URL scheme
+    * doesn't auto-register (embedded Derby, used by the spec, does).
+    */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty,
+      partitioning: Option[JdbcPartitioning] = None
+  ): DataFrame = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    partitioning match {
+      case Some(p) =>
+        spark.read.jdbc(url, table, p.column, p.lowerBound, p.upperBound, p.numPartitions, props)
+      case None =>
+        spark.read.jdbc(url, table, props)
+    }
+  }
+
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.ErrorIfExists
+  ): Unit = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
   /** Full JSONL round-trip: write `df` as JSON lines, read it back with the
     * SAME explicit schema. Declared as a query (`jsonl_roundtrip_documents`)
     * whose oracle is the identity over the source parquet — so the JSON

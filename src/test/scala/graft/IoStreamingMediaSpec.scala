@@ -12,6 +12,29 @@ class IoStreamingMediaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("JDBC round-trip against embedded Derby, plain and partitioned reads") {
+    val db  = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val df = (1L to 40L).map(i => (i, s"user$i@example.com", i * 2.5)).toDF("id", "email", "score")
+    Sources.writeJdbc(df, url, "users")
+
+    val plain = Sources.readJdbc(spark, url, "users")
+    assert(plain.rdd.getNumPartitions == 1) // single connection — dimension-table mode
+    assert(plain.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+
+    // partitioned read spreads the scan over concurrent BETWEEN slices
+    val part = Sources.readJdbc(spark, url, "users",
+      partitioning = Some(Sources.JdbcPartitioning("id", 1L, 40L, 4)))
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+
+    // append mode accumulates; overwrite replaces
+    Sources.writeJdbc(df, url, "users", mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Sources.readJdbc(spark, url, "users").count() == 80)
+    Sources.writeJdbc(df, url, "users", mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(Sources.readJdbc(spark, url, "users").count() == 40)
+  }
+
   test("I1 CSV round-trip preserves rows and profiles like the in-memory frame") {
     val df = Seq(
       (1001L, "john@example.com", "active", 150.50),

@@ -160,6 +160,50 @@ object OracleGen {
        |${profileUnion(table, columns, mapCols)}
        |) GROUP BY pii_level ORDER BY pii_level""".stripMargin
 
+  /** Q-DRIFT: recompute the full profile cascade for two table slices and
+    * diff them — the independent-engine twin of
+    * [[graft.stats.ProfileDrift.driftPortableDF]]. Both slice relations are
+    * arbitrary FROM-able expressions (a table name or a `(SELECT …)`
+    * subquery), so the declared query can drift "yesterday" against "today"
+    * without materialized snapshots. Both engines compute the ratios as the
+    * same exact-long division, so the `abs(Δ) > tol` gate fires identically;
+    * unused columns carry the same ''/0.0 sentinels as the Spark side.
+    */
+  def driftSql(
+      beforeRel: String,
+      beforeCols: Seq[String],
+      afterRel: String,
+      afterCols: Seq[String],
+      ratioTolerance: Double,
+      mapCols: Set[String] = Set.empty
+  ): String = {
+    val z = "CAST(0 AS DOUBLE)"
+    def fieldBranch(field: String, render: String => String) =
+      s"""  SELECT pa.column_name, '$field' AS change, ${render("pb")} AS old_str, ${render("pa")} AS new_str, $z AS old_num, $z AS new_num
+         |  FROM pa JOIN pb ON pa.column_name = pb.column_name WHERE ${render("pa")} <> ${render("pb")}""".stripMargin
+    def ratioBranch(field: String) =
+      s"""  SELECT pa.column_name, '$field', '', '', round(pb.$field, 6), round(pa.$field, 6)
+         |  FROM pa JOIN pb ON pa.column_name = pb.column_name
+         |  WHERE abs(pa.$field - pb.$field) > $ratioTolerance""".stripMargin
+    val branches = Seq(
+      s"""  SELECT column_name, 'removed' AS change, data_type AS old_str, '' AS new_str, $z AS old_num, $z AS new_num
+         |  FROM pb WHERE column_name NOT IN (SELECT column_name FROM pa)""".stripMargin,
+      s"""  SELECT column_name, 'added', '', data_type, $z, $z
+         |  FROM pa WHERE column_name NOT IN (SELECT column_name FROM pb)""".stripMargin,
+      fieldBranch("data_type", t => s"$t.data_type"),
+      fieldBranch("pii_level", t => s"$t.pii_level"),
+      fieldBranch("is_primary_key", t => s"CAST($t.is_primary_key AS VARCHAR)"),
+      fieldBranch("is_business_key", t => s"CAST($t.is_business_key AS VARCHAR)"),
+      ratioBranch("null_ratio"),
+      ratioBranch("unique_ratio")
+    )
+    s"""WITH pb AS (${profileSql(beforeRel, beforeCols, mapCols)}),
+       |pa AS (${profileSql(afterRel, afterCols, mapCols)})
+       |SELECT * FROM (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |) ORDER BY column_name, change""".stripMargin
+  }
+
   /** Q-MASKED(t): the table with PII-masked cells, where each column's
     * masking decision is the PROFILE CASCADE's pii_level for that column —
     * recomputed independently inside this SQL (scalar subquery per column

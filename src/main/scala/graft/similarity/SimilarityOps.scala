@@ -619,4 +619,67 @@ object SimilarityOps {
        |WHERE list_cosine_similarity(a.v, b.v) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication" — the
+    * published k-means-then-within-cluster-cosine recipe): assign every
+    * embedding to its nearest TRAINED centroid with the same map-side argmax
+    * aggregate as the declared IVF queries, then compare pairs only WITHIN a
+    * cell — candidate work scales with cell occupancy squared, never |V|²,
+    * and cells shrink as k grows with the corpus. Approximate recall by
+    * construction (a dup pair straddling a cell boundary is missed — the
+    * SemDeDup trade, same honesty note as the banded-LSH route); exact
+    * precision (every emitted sim is a real dot product ≥ threshold).
+    * Complements [[cosineDupPairsBanded]]: LSH bands catch near-identical
+    * vectors, k-means cells catch semantic neighborhoods at lower
+    * thresholds.
+    */
+  def semanticDupPairs(
+      emb: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): DataFrame = {
+    val base  = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val cents = centroidDF(emb, centroids)
+    val csim  = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
+    // (vec_id, cell, v, n2): the ×k expansion collapses in the partial aggregate
+    val cells = base
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"), struct(csim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("v"), col("n2"), (-col("best.negc")).as("centroid_id"))
+    val a = cells.select(col("centroid_id"), col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("na"))
+    val b = cells.select(col("centroid_id"), col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
+    val sim = DotProduct(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))
+    a.join(b, Seq("centroid_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("sim", sim)
+      .where(col("sim") >= threshold)
+      .select(col("centroid_id"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim_r"))
+      .orderBy("centroid_id", "vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[semanticDupPairs]]: same inlined centroid literals as
+    * the IVF oracles, row_number argmin assignment, within-cell pair join,
+    * exact threshold.
+    */
+  def oracleSemanticDupPairs(
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${centroidSqlCte(centroids)},
+       |sims AS (
+       |  SELECT b.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c),
+       |cells AS (
+       |  SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id, b.v
+       |  FROM sims s JOIN base b ON b.vec_id = s.vec_id WHERE s.rn = 1)
+       |SELECT a.centroid_id AS centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS sim_r
+       |FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+       |ORDER BY a.centroid_id, vec_a, vec_b""".stripMargin
 }

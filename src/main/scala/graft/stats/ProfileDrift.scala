@@ -70,4 +70,54 @@ object ProfileDrift {
       .map(d => (d.columnName, d.change, d.oldValue, d.newValue))
       .toDF("column_name", "change", "old_value", "new_value")
   }
+
+  /** The DECLARED cross-engine form of [[drift]] (r7): categorical changes
+    * carry portable string renderings (`SemanticType.value`/`PiiLevel.value`
+    * vocabulary, lowercase booleans — matching SQL `CAST(bool AS VARCHAR)`),
+    * ratio shifts carry the raw doubles in separate NUMERIC columns (rounded
+    * to 6 through Spark's own `round`, the repo float convention) — never a
+    * `Double.toString`, whose shortest-representation rendering is not
+    * engine-portable. Unused columns hold '' / 0.0 sentinels rather than
+    * NULLs so the hash compare never depends on engine null ordering.
+    */
+  def driftPortableDF(
+      spark: SparkSession,
+      before: Seq[ColumnProfile],
+      after: Seq[ColumnProfile],
+      ratioTolerance: Double = 0.05
+  ): DataFrame = {
+    import spark.implicits._
+    val b = before.map(p => p.originalName -> p).toMap
+    val a = after.map(p => p.originalName -> p).toMap
+    val removed = before.filterNot(p => a.contains(p.originalName)).map { p =>
+      (p.originalName, "removed", p.dataType.value, "", 0.0, 0.0)
+    }
+    val added = after.filterNot(p => b.contains(p.originalName)).map { p =>
+      (p.originalName, "added", "", p.dataType.value, 0.0, 0.0)
+    }
+    val changed = after.flatMap { pa =>
+      b.get(pa.originalName).toSeq.flatMap { pb =>
+        val fields = Seq(
+          ("data_type", pb.dataType.value, pa.dataType.value),
+          ("pii_level", pb.piiLevel.value, pa.piiLevel.value),
+          ("is_primary_key", pb.isPrimaryKey.toString, pa.isPrimaryKey.toString),
+          ("is_business_key", pb.isBusinessKey.toString, pa.isBusinessKey.toString)
+        ).collect { case (f, o, n) if o != n => (pa.originalName, f, o, n, 0.0, 0.0) }
+        val ratios = Seq(
+          ("null_ratio", pb.nullRatio, pa.nullRatio),
+          ("unique_ratio", pb.uniqueRatio, pa.uniqueRatio)
+        ).collect {
+          case (f, o, n) if math.abs(o - n) > ratioTolerance =>
+            (pa.originalName, f, "", "", o, n)
+        }
+        fields ++ ratios
+      }
+    }
+    (removed ++ added ++ changed)
+      .toDF("column_name", "change", "old_str", "new_str", "old_raw", "new_raw")
+      .selectExpr(
+        "column_name", "change", "old_str", "new_str",
+        "round(old_raw, 6) AS old_num", "round(new_raw, 6) AS new_num")
+      .orderBy("column_name", "change")
+  }
 }

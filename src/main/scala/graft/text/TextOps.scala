@@ -76,6 +76,35 @@ object TextOps {
        |  CAST(length(text) AS BIGINT) AS n_chars_measured
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Data-mixture composition: per (lang, source) doc and token counts plus
+    * each stratum's share of the corpus — the report a training run's data
+    * card starts from, and the input to mixture-weight decisions (upsample
+    * low-resource languages, cap a crawl source). One scan, partial-agg
+    * shuffle on a low-cardinality key; the share window moves only the
+    * |strata| aggregated rows. Shares are quotients of exact longs rounded
+    * to 6 (the repo float convention).
+    */
+  def mixture(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    val all  = org.apache.spark.sql.expressions.Window.partitionBy()
+    graft.Tables.widen(docs)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+      .withColumn("doc_share", round(col("n_docs").cast("double") / sum(col("n_docs")).over(all), 6))
+      .withColumn("token_share", round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all), 6))
+      .orderBy("lang", "source")
+  }
+
+  def oracleMixture: String =
+    s"""SELECT lang, source, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+       |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+       |FROM (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |    sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS n_tokens
+       |  FROM documents GROUP BY lang, source
+       |) ORDER BY lang, source""".stripMargin
+
   // --- corpus statistics ----------------------------------------------------
 
   /** Corpus statistics grouped by the labeled language: doc counts, token

@@ -69,6 +69,30 @@ class ContaminationDriftSpec extends AnyFunSuite {
     assert(!ds.exists(_.columnName == "a"), s"tolerance should suppress a's 2% shift: $ds")
   }
 
+  test("portable drift DF: categorical values in string columns, ratios in numeric columns, sentinels elsewhere") {
+    def p(name: String, t: SemanticType, pii: PiiLevel, nullR: Double, uniqR: Double) =
+      ColumnProfile(originalName = name, suggestedName = name, dataType = t,
+        piiLevel = pii, nullRatio = nullR, uniqueRatio = uniqR)
+    val before = Seq(
+      p("b", SemanticType.Text, PiiLevel.None, 0.10, 0.5),
+      p("gone", SemanticType.Text, PiiLevel.None, 0.0, 0.1)
+    )
+    val after = Seq(p("b", SemanticType.Email, PiiLevel.High, 0.40, 0.5))
+    val rows = ProfileDrift.driftPortableDF(spark, before, after, ratioTolerance = 0.05).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3), r.getDouble(4), r.getDouble(5))).toMap
+    // categorical rows: portable .value vocabulary + 0.0 numeric sentinels
+    assert(rows(("b", "data_type")) == (("text", "email", 0.0, 0.0)))
+    assert(rows(("b", "pii_level")) == (("none", "high", 0.0, 0.0)))
+    assert(rows(("gone", "removed")) == (("text", "", 0.0, 0.0)))
+    // ratio rows: '' string sentinels + rounded numerics
+    assert(rows(("b", "null_ratio")) == (("", "", 0.1, 0.4)))
+    // ordering: (column_name, change)
+    val order = ProfileDrift.driftPortableDF(spark, before, after, 0.05).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(order == order.sorted)
+  }
+
   test("profile drift on real data: same table at two scale factors has no schema drift") {
     val eng = new graft.engine.ProfilerEngine()
     val before = eng.analyzeDataFrame(Tables.load(spark, "/root/testdata/sf0.001", "customer")).columnProfiles

@@ -86,6 +86,37 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ivf.map(_.getAs[Long]("vec_id")).toSet == (0L until 5L).toSet)
   }
 
+  test("semanticDupPairs: within-cell pairs found, cross-cell pairs honestly missed") {
+    // centroids = the 3 cluster centers (approximated by members 0/5/10) +
+    // one far-off cell; every cluster collapses into its own cell
+    val members = clustered.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val cents = SimilarityOps.canonicalizeCentroids(
+      Array(members(0L), members(5L), members(10L)))
+    val pairs = SimilarityOps.semanticDupPairs(clustered, cents, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // every within-cluster pair shares a cell and clears the threshold
+    val expected = (for {
+      c <- 0 until 3
+      a <- c * 5 until c * 5 + 5
+      b <- (a + 1) until c * 5 + 5
+    } yield (a.toLong, b.toLong)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+    // emitted sims are exact and above threshold; no cross-cluster planted pair
+    assert(pairs.forall { case (a, b) => (a / 5 == b / 5) || a >= 15 || b >= 15 })
+  }
+
+  test("semanticDupPairs plan: pair generation is an equi-join on the cell id, not all-pairs") {
+    val cents = Array.tabulate(4, SimilarityOps.Dim)((i, j) => (i * SimilarityOps.Dim + j + 1).toDouble / 100.0)
+    val p = SimilarityOps.semanticDupPairs(clustered, cents).queryExecution.executedPlan.toString
+    // the ONLY nested-loop joins allowed are the k-row centroid broadcasts
+    // feeding the argmax; the vector-vs-vector pair join must key on the cell
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 2, s"pair join degenerated to nested loop ($bnlj):\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs product in plan:\n$p")
+    assert(p.contains("centroid_id"), p)
+  }
+
   test("annTopK: bucketed search recovers the cluster with exact rerank order") {
     val ann = SimilarityOps.annTopK(clustered, queryIds = Seq(0L), k = 5).collect()
       .sortBy(_.getAs[Long]("rank"))

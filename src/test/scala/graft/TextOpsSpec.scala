@@ -105,6 +105,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(4L).getAs[Double]("avg_logprob") == 0.0)
   }
 
+  test("mixture: stratum counts partition the corpus and shares sum to 1") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextOps.mixture(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val docShare = rows.map(_.getAs[Double]("doc_share")).sum
+    val tokShare = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(docShare - 1.0) < 1e-4 && math.abs(tokShare - 1.0) < 1e-4,
+      s"shares sum to $docShare / $tokShare")
+    // strata keyed by (lang, source), deterministically ordered
+    val keys = rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))).toSeq
+    assert(keys == keys.sorted && keys.distinct == keys)
+  }
+
   test("textStats: per-lang aggregation with exact-division averages") {
     val df = docs(
       (1L, "a b c", "en", "s", 5L),

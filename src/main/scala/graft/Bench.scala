@@ -57,20 +57,32 @@ object Bench {
       val ts = passes.map(_(name)).sorted
       name -> ts(ts.length / 2)
     }
-    // 3-decimal (ms-grain) values keep the whole JSON line under ~1.9 kB:
-    // the harness keeps only the last 2000 chars of output, and full-precision
-    // doubles pushed the line past that every round — the head of the JSON
-    // (metric/value/the first queries) was truncated away and the line never
-    // parsed. Locale-pinned so a non-ROOT default can't emit decimal commas.
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[^a-zA-Z0-9 ._:/()-]", " ") + "\""
-    }.mkString("{", ",", "}")
+    // The whole JSON line must stay under ~1.9 kB: the harness keeps only
+    // the last 2000 chars of output (minus sbt's trailing [success] line),
+    // and full-precision doubles pushed the line past that every round — the
+    // head of the JSON (metric/value/the first queries) was truncated away
+    // and the line never parsed. Values render at the highest precision
+    // (10 ms grain first) that fits the budget, trailing zeros stripped; the
+    // empty errors field and the sfDir prefix are dropped for the same
+    // reason. Locale-pinned so a non-ROOT default can't emit decimal commas.
+    // Full 3-run millisecond precision lives in tools/bench_r*_run*.json.
+    def fmt(v: Double, nd: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${nd}f", v).reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s.dropRight(1) else s
+    }
+    val errsField =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replaceAll("[^a-zA-Z0-9 ._:/()-]", " ") + "\""
+      }.mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    )
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def line(nd: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, nd) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, nd)},"unit":"sec","queries":$qs,$errsField"sf":"$sfShort"}"""
+    }
+    val MaxLine = 1880
+    println(Seq(2, 1).map(line).find(_.length <= MaxLine).getOrElse(line(0)))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

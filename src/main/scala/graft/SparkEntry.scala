@@ -148,7 +148,12 @@ object SparkEntry {
         graft.text.ApproxVocab.mgTopTokensPinned(docs(s, d))),
       // per-(lang, source) doc/token counts + corpus shares — the data-card
       // mixture report a training run starts from (r7)
-      "mixture_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.mixture(docs(s, d)))
+      "mixture_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.mixture(docs(s, d))),
+      // BM25 retrieval against a fixed query — the scorer a curation pass
+      // uses to mine topic-relevant documents; query mixes hot tokens with
+      // the one rare corpus token so the idf term is exercised (r7)
+      "bm25_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.bm25(docs(s, d), SparkEntry.bm25Query))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -327,6 +332,13 @@ object SparkEntry {
   val contaminationCap: Int          = 5
   val contaminationCappedMinShared: Long = 3L
 
+  /** Query tokens for the declared BM25 query: two corpus-hot tokens (df ≈
+    * every doc → idf near 0) plus the one RARE token (`dup`, df 26 at
+    * sf0.01) so the idf contrast, not just tf normalization, decides the
+    * ranking.
+    */
+  val bm25Query: Seq[String] = Seq("hash", "join", "dup")
+
   /** "Yesterday vs today" slice split + ratio tolerance for the declared
     * drift query. The tolerance sits where the sf0.01 halves make it BITE in
     * both directions: n_chars unique_ratio shifts 0.776 → 0.808 (> 0.02,
@@ -389,7 +401,8 @@ object SparkEntry {
       "packing_documents" -> graft.text.Packing.oraclePackDeterministic("documents", packBudget),
       // the pinned-MG ground truth IS the exact top-K (that's the claim)
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),
-      "mixture_documents" -> graft.text.TextOps.oracleMixture
+      "mixture_documents" -> graft.text.TextOps.oracleMixture,
+      "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query)
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

@@ -55,4 +55,21 @@ object Partitioning {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("count"))
+
+  /** Skew-safe inner equi-join: the FACT side gets the deterministic
+    * row-content salt, the DIMENSION side is replicated once per salt value
+    * (a `factor`-row broadcast), and the join keys become (key, salt) — a
+    * hot key's rows land in `factor` tasks instead of one straggler.
+    * Identical rows to `fact.join(dim, key)`. AQE's runtime skew splitting
+    * (`spark.sql.adaptive.skewJoin`) is the first resort for sort-merge
+    * joins; THIS is the explicit lever for the cases AQE can't split —
+    * exchange-free bucketed inputs, stateful stream-stream joins, or a
+    * replicable dimension side that is too big to broadcast whole but cheap
+    * to duplicate `factor` times.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, factor: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt", saltKey(fact, factor))
+    val salts = dim.sparkSession.range(factor).select(col("id").cast("int").as("__salt"))
+    salted.join(dim.crossJoin(broadcast(salts)), Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -105,6 +105,89 @@ object TextOps {
        |  FROM documents GROUP BY lang, source
        |) ORDER BY lang, source""".stripMargin
 
+  /** BM25 relevance of every document against a fixed query-token set — the
+    * retrieval scorer a curation pipeline uses to mine topic-relevant or
+    * quality-like documents out of a crawl (Robertson/Spärck Jones BM25 with
+    * the Lucene idf variant `ln((N − df + 0.5)/(df + 0.5) + 1)` and the
+    * standard k1/b defaults). Top-k by score, doc_id tie-break.
+    *
+    * Cross-engine exactness follows [[unigramScores]]: per-(doc, token)
+    * scores go through DECIMAL(18,6) so the per-doc sum is EXACT (float
+    * summation order is engine-dependent); the one `ln` per query token is
+    * the same ≤1-ulp-then-round risk the unigram log10 already carries.
+    *
+    * Plan: explode → per-doc length + per-(doc, qtoken) tf (both map-side
+    * combinable) → broadcast of the ≤|query| df rows and the 1-row corpus
+    * stats → decimal-exact per-doc sum → global top-k (TakeOrdered-sized).
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTokens: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25 needs query tokens")
+    val base = graft.Tables.widen(docs)
+    val toks = base.select(
+      col("doc_id"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+    )
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+    val qt = toks.where(col("token").isInCollection(queryTokens))
+    val tf = qt.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = qt.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfn).cast("decimal(18,6)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("score_dec"))
+      .select(col("doc_id"), round(col("score_dec").cast("double"), 6).as("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def oracleBm25(
+      queryTokens: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): String = {
+    val qlist = queryTokens.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    // decimal literals parse as DECIMAL in DuckDB but the Spark side uses
+    // double lits — force DOUBLE so both engines run the same IEEE arithmetic
+    val k1d = s"CAST($k1 AS DOUBLE)"
+    val bd  = s"CAST($b AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs, (SELECT sum(dl) FROM dl) AS sum_dl),
+       |qt AS (SELECT doc_id, token FROM toks WHERE token IN ($qlist)),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(
+       |      ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+       |      (tf.tf * ($k1d + 1.0) /
+       |        (tf.tf + $k1d * (1.0 - $bd + $bd * dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s)
+       |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score_r
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_r DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   // --- corpus statistics ----------------------------------------------------
 
   /** Corpus statistics grouped by the labeled language: doc counts, token

@@ -51,4 +51,23 @@ class PartitioningSpec extends AnyFunSuite {
       .where($"k" === "hot").select("__salt").distinct().count()
     assert(partials > 4, s"salt split hot key into only $partials groups")
   }
+
+  test("salted join equals plain join under heavy skew, keyed on (key, salt)") {
+    val factRows = (1 to 5000).map(i => ("hot", i)) ++ (1 to 50).map(i => (s"cold$i", i))
+    val fact = factRows.toDF("k", "v")
+    val dim  = (Seq("hot") ++ (1 to 50).map(i => s"cold$i")).zipWithIndex.toDF("k", "dim_id")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain  = fact.join(dim, "k")
+      val salted = Partitioning.saltedJoin(fact, dim, "k")
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getInt(1), r.getInt(2))
+      assert(salted.collect().map(key).sorted.toSeq == plain.collect().map(key).sorted.toSeq)
+      // the shuffle join really keys on (k, __salt): the hot key's rows
+      // hash-distribute instead of landing in one task
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt key missing from join plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -118,6 +118,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(keys == keys.sorted && keys.distinct == keys)
   }
 
+  test("bm25: rare query token dominates the ranking; scores positive; k bounds rows") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = TextOps.bm25(docs, Seq("hash", "join", "dup"), k = 10).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("score_r") > 0.0))
+    // the rare token's idf towers over the ubiquitous ones: every doc that
+    // contains it must outrank every doc that doesn't
+    import org.apache.spark.sql.functions.{col, lower}
+    val dupDocs = docs.where(lower(col("text")).contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val ranked = rows.map(_.getAs[Long]("doc_id"))
+      val topWithDup = ranked.takeWhile(dupDocs.contains)
+      assert(topWithDup.nonEmpty, s"no dup-doc at the top: ${ranked.toSeq} vs $dupDocs")
+    }
+  }
+
   test("textStats: per-lang aggregation with exact-division averages") {
     val df = docs(
       (1L, "a b c", "en", "s", 5L),

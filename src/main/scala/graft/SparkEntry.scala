@@ -153,7 +153,12 @@ object SparkEntry {
       // uses to mine topic-relevant documents; query mixes hot tokens with
       // the one rare corpus token so the idf term is exercised (r7)
       "bm25_documents" -> ((s: SparkSession, d: String) =>
-        graft.text.TextOps.bm25(docs(s, d), SparkEntry.bm25Query))
+        graft.text.TextOps.bm25(docs(s, d), SparkEntry.bm25Query)),
+      // DSIR-style importance log-weights against the 'en' slice — the
+      // published importance-resampling scorer for domain/language-focused
+      // subset selection (r7)
+      "dsir_weights_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.dsirWeights(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -402,7 +407,8 @@ object SparkEntry {
       // the pinned-MG ground truth IS the exact top-K (that's the claim)
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),
       "mixture_documents" -> graft.text.TextOps.oracleMixture,
-      "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query)
+      "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query),
+      "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,

@@ -188,6 +188,86 @@ object TextOps {
        |ORDER BY score_r DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the published recipe:
+    * score every raw document by how target-like its features are, then
+    * resample by weight). Features here are the unigram bag; the weight is
+    *
+    *   log w(doc) = Σ_tokens [ log p̂_target(t) − log p̂_source(t) ]
+    *
+    * with add-α smoothed token probabilities (α/(N + αV) for unseen
+    * tokens), target = the `targetLang` slice of the same corpus, source =
+    * the whole corpus. High-weight docs look like the target distribution —
+    * the resampling pool for a language-balanced or domain-focused subset.
+    *
+    * Cross-engine exactness: identical to [[unigramScores]] — per-token
+    * log-ratios pass through DECIMAL(18,6), per-doc sums are exact, the two
+    * log10 calls carry the same ≤1-ulp-then-round risk already accepted
+    * there. Plan: one explode feeds both count relations (map-side
+    * combinable), the ≤|vocab| ratio table broadcasts back onto the token
+    * stream, per-doc decimal sum, left join for token-less docs.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+    val base = graft.Tables.widen(docs)
+    val toks = base.select(
+      col("doc_id"),
+      col("lang"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+    )
+    val counts = toks
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct")
+      )
+    val totals = counts.agg(
+      sum(col("cs")).as("ns"),
+      sum(col("ct")).as("nt"),
+      count(lit(1)).as("v")
+    )
+    val a  = lit(alpha)
+    val lr = log10((col("ct") + a) / (col("nt") + a * col("v"))) -
+      log10((col("cs") + a) / (col("ns") + a * col("v")))
+    val perDoc = toks
+      .join(broadcast(counts.crossJoin(totals).select(col("token"), lr.cast("decimal(18,6)").as("lr"))), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("sum_lr"))
+    base
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sum_lr").cast("double"), lit(0.0)), 6).as("logweight_r")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleDsirWeights(targetLang: String = "en", alpha: Double = 0.5): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token
+       |  FROM documents),
+       |counts AS (
+       |  SELECT token, count(*) AS cs,
+       |    sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS ct
+       |  FROM toks GROUP BY token),
+       |totals AS (SELECT sum(cs) AS ns, sum(ct) AS nt, count(*) AS v FROM counts),
+       |ratios AS (
+       |  SELECT c.token,
+       |    CAST(log10((c.ct + $a) / (t.nt + $a * t.v)) -
+       |         log10((c.cs + $a) / (t.ns + $a * t.v)) AS DECIMAL(18,6)) AS lr
+       |  FROM counts c CROSS JOIN totals t),
+       |perdoc AS (
+       |  SELECT tk.doc_id, count(*) AS n_tokens, sum(r.lr) AS sum_lr
+       |  FROM toks tk JOIN ratios r ON tk.token = r.token GROUP BY tk.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_tokens, 0) AS n_tokens,
+       |  round(coalesce(CAST(p.sum_lr AS DOUBLE), 0.0), 6) AS logweight_r
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --- corpus statistics ----------------------------------------------------
 
   /** Corpus statistics grouped by the labeled language: doc counts, token

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The HTTP profile service — the Spark-native twin of the reference's
+  * declared-but-empty FastAPI `api/` package. Drives the real server over
+  * loopback sockets: health, GET-with-query, POST-with-body, and the error
+  * paths.
+  */
+class ProfileServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private lazy val server = graft.serve.ProfileServer.start(spark, port = 0)
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private val mapper = new ObjectMapper()
+
+  private def call(
+      path: String,
+      method: String = "GET",
+      body: Option[String] = None
+  ): (Int, String) = {
+    val conn = URI.create(s"$base$path").toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+    }
+    val status = conn.getResponseCode
+    val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    (status, text)
+  }
+
+  test("health endpoint answers ok") {
+    val (status, body) = call("/health")
+    assert(status == 200 && mapper.readTree(body).path("status").asText() == "ok")
+  }
+
+  test("GET /profile?path= profiles a parquet table end-to-end") {
+    val (status, body) = call("/profile?path=/root/testdata/sf0.001/customer.parquet")
+    assert(status == 200, body)
+    val arr = mapper.readTree(body)
+    assert(arr.isArray && arr.size() == 5, body.take(200))
+    val names = (0 until arr.size()).map(arr.get(_).path("column_name").asText()).toSet
+    assert(names.contains("c_custkey"))
+    val custkey = (0 until arr.size()).map(arr.get(_)).find(_.path("column_name").asText() == "c_custkey").get
+    assert(custkey.path("data_type").asText() == "identifier")
+    assert(custkey.path("is_primary_key").asBoolean())
+  }
+
+  test("POST /profile with JSON body profiles the same table") {
+    val (status, body) =
+      call("/profile", "POST", Some("""{"path": "/root/testdata/sf0.001/region.parquet"}"""))
+    assert(status == 200, body)
+    assert(mapper.readTree(body).size() == 2) // region: r_regionkey, r_name
+  }
+
+  test("missing path is a 400, unreadable dataset a 404") {
+    assert(call("/profile")._1 == 400)
+    assert(call("/profile", "POST", Some("not json"))._1 == 400)
+    assert(call("/profile?path=/no/such/data.parquet")._1 == 404)
+  }
+}

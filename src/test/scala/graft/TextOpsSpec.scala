@@ -135,6 +135,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weights: target-language docs outweigh non-target docs on average") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = TextOps.dsirWeights(docs, targetLang = "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def avg(ids: Iterable[Long]) = { val v = ids.map(w); v.sum / v.size }
+    val en    = langs.collect { case (id, "en") => id }
+    val other = langs.collect { case (id, l) if l != "en" => id }
+    if (en.nonEmpty && other.nonEmpty)
+      assert(avg(en) > avg(other),
+        s"en avg ${avg(en)} should exceed non-en avg ${avg(other)}")
+    // every doc gets a weight; empty-token docs default to 0
+    assert(w.keySet == langs.keySet)
+  }
+
   test("textStats: per-lang aggregation with exact-division averages") {
     val df = docs(
       (1L, "a b c", "en", "s", 5L),

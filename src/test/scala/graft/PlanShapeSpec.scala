@@ -94,6 +94,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantiles result plan buffers:\n$pq")
   }
 
+  test("retrieval/mixture scorers join on token or stratum keys — no all-pairs, no wide windows") {
+    val plans = Map(
+      "bm25"    -> plan(graft.text.TextOps.bm25(docs, Seq("hash", "join", "dup"))),
+      "dsir"    -> plan(graft.text.TextOps.dsirWeights(docs)),
+      "mixture" -> plan(graft.text.TextOps.mixture(docs))
+    )
+    for ((name, p) <- plans) {
+      // the only nested-loop joins allowed are sub-|vocab|-row broadcasts
+      // (corpus totals, df tables); an unbroadcast product is a scale bug
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      val bnljs = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+      assert(bnljs <= 2, s"$name has $bnljs nested-loop joins:\n$p")
+    }
+    // mixture's share window runs AFTER aggregation: it must partition the
+    // plan's |strata| aggregated rows, never the raw token stream
+    val m = plans("mixture")
+    val windowLine = m.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(windowLine.isDefined && m.indexOf("Window") < m.indexOf("HashAggregate"),
+      s"mixture window should sit above the aggregate:\n$m")
+  }
+
   test("sampling filters sit on the scan — no shuffle at all") {
     val p = plan(graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.25))
     assert(!p.contains("Exchange") || "Exchange (\\w+)".r.findAllMatchIn(p).forall(_.group(1).startsWith("RoundRobin")),

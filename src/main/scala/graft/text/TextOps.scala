@@ -116,9 +116,13 @@ object TextOps {
     * summation order is engine-dependent); the one `ln` per query token is
     * the same ≤1-ulp-then-round risk the unigram log10 already carries.
     *
-    * Plan: explode → per-doc length + per-(doc, qtoken) tf (both map-side
-    * combinable) → broadcast of the ≤|query| df rows and the 1-row corpus
-    * stats → decimal-exact per-doc sum → global top-k (TakeOrdered-sized).
+    * Plan: ONE scan projects each doc's length (a per-row regexp count — no
+    * explode) and its per-query-token tf; document frequency derives from
+    * the tf relation (df(t) = #rows with that token — no second explode);
+    * the ≤|query| df rows and the 1-row corpus stats broadcast back →
+    * decimal-exact per-doc sum → global top-k (TakeOrdered-sized). The
+    * token stream is exploded exactly once, and only the query-token subset
+    * of it ever shuffles.
     */
   def bm25(
       docs: DataFrame,
@@ -129,23 +133,28 @@ object TextOps {
   ): DataFrame = {
     require(queryTokens.nonEmpty, "bm25 needs query tokens")
     val base = graft.Tables.widen(docs)
-    val toks = base.select(
+    // per-row: total token count (scalar regexp count) — the explode-free dl
+    val withDl = base.select(
       col("doc_id"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+      col("text"),
+      size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("dl")
     )
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = base.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
-    val qt = toks.where(col("token").isInCollection(queryTokens))
-    val tf = qt.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = qt.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qt = withDl.select(
+      col("doc_id"),
+      col("dl"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+    ).where(col("token").isInCollection(queryTokens))
+    // dl is functionally determined by doc_id; first() carries it through
+    val tf = qt.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfn = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
     tf
       .join(broadcast(dfreq), Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * tfn).cast("decimal(18,6)").as("s"))
       .groupBy(col("doc_id"))

@@ -279,6 +279,11 @@ object SparkEntry {
       // product-analytics layer over events
       "funnel_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.funnel(Tables.load(s, d, "events"), SparkEntry.funnelSteps)),
+      // as-of enrichment: each event joined to the user's most recent
+      // at-or-before order — the time-series operator Spark lacks natively,
+      // via the union+window shape (one key shuffle, no range join) (r7)
+      "asof_orders_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.AsOfJoin.ordersAsOf(Tables.load(s, d, "events"), Tables.load(s, d, "orders"))),
       "retention_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.retention(Tables.load(s, d, "events"))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
@@ -485,6 +490,7 @@ object SparkEntry {
       "quantiles_lineitem" -> graft.stats.NumericStats.oracleQuantiles(
         "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "funnel_events"    -> graft.analytics.EventOps.oracleFunnel(funnelSteps),
+      "asof_orders_events" -> graft.analytics.AsOfJoin.oracleOrdersAsOf,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
       "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(
         "documents", Tables.columns("documents").filterNot(_ == "lang")),

@@ -8,6 +8,47 @@ import graft.analytics.EventOps
   * agreement of the declared forms rides the oracle gate).
   */
 class EventOpsSpec extends AnyFunSuite {
+
+  test("asOf: most recent at-or-before row per key; inclusive; highest-tie wins; null when none") {
+    val spark0 = SparkTestBase.spark
+    import spark0.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // key 10, t=100 → right t=100 included (inclusive), tie → orderkey 7
+      (2L, 10L, 150L), // → t=120 row (orderkey 9)
+      (3L, 10L, 50L),  // before everything → null
+      (4L, 20L, 999L)  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, 6L, 60.0),
+      (10L, 100L, 7L, 70.0), // same (key, t) — tie resolves to orderkey 7
+      (10L, 120L, 9L, 90.0)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val got = graft.analytics.AsOfJoin.asOf(
+      left, "user_id", "ts", right, "o_custkey", "o_orderdate",
+      attrs = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey"
+    ).collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(got(1L) == Some((7L, 70.0)), s"inclusive + tie: ${got(1L)}")
+    assert(got(2L) == Some((9L, 90.0)))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
+  test("ordersAsOf on real data: every enrichment is genuinely at-or-before") {
+    val spark0 = SparkTestBase.spark
+    val events = Tables.load(spark0, "/root/testdata/sf0.001", "events")
+    val orders = Tables.load(spark0, "/root/testdata/sf0.001", "orders")
+    val enriched = graft.analytics.AsOfJoin.ordersAsOf(events, orders)
+    // join back to orders: the matched order must exist, belong to the user,
+    // and not postdate the event
+    import org.apache.spark.sql.functions.col
+    val checked = enriched.where(col("asof_orderkey") =!= -1L)
+      .join(orders, enriched("asof_orderkey") === orders("o_orderkey"))
+      .join(events.select(col("event_id"), col("ts")), "event_id")
+    val bad = checked.where(col("o_custkey") =!= col("user_id") || col("o_orderdate") > col("ts")).count()
+    assert(bad == 0)
+    assert(enriched.count() == events.count()) // left semantics: one row per event
+  }
+
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 

@@ -284,6 +284,10 @@ object SparkEntry {
       // via the union+window shape (one key shuffle, no range join) (r7)
       "asof_orders_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.AsOfJoin.ordersAsOf(Tables.load(s, d, "events"), Tables.load(s, d, "orders"))),
+      // bucketized range join against OVERLAPPING price bands — equi-join on
+      // a quantized cell + exact recheck, never a nested-loop theta join (r7)
+      "range_bands_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.analytics.RangeJoin.priceBandStats(Tables.load(s, d, "lineitem"))),
       "retention_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.retention(Tables.load(s, d, "events"))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
@@ -491,6 +495,7 @@ object SparkEntry {
         "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "funnel_events"    -> graft.analytics.EventOps.oracleFunnel(funnelSteps),
       "asof_orders_events" -> graft.analytics.AsOfJoin.oracleOrdersAsOf,
+      "range_bands_lineitem" -> graft.analytics.RangeJoin.oraclePriceBandStats,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
       "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(
         "documents", Tables.columns("documents").filterNot(_ == "lang")),

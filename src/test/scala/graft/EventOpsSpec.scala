@@ -33,6 +33,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("range join: overlap duplicates, boundary semantics, and a hash-join plan") {
+    val spark0 = SparkTestBase.spark
+    import spark0.implicits._
+    import graft.analytics.RangeJoin
+    val fact = Seq((1L, 2500.0), (2L, 12500.0), (3L, 10000.0), (4L, 99.0)).toDF("id", "v")
+    val bands = Seq(RangeJoin.Band(0L, 0.0, 15000.0), RangeJoin.Band(1L, 10000.0, 25000.0))
+    val got = RangeJoin.joinBands(fact, "v", bands, grid = 5000.0)
+      .select("id", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2500 → band 0 only; 12500 → both (overlap); 10000 → both (lo inclusive);
+    // 99 → band 0 (hi of nothing excludes it from band 1)
+    assert(got == Set((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L), (4L, 0L)), got.toString)
+    // the plan must be a broadcast HASH join on the cell, not a nested loop
+    val p = RangeJoin.joinBands(fact, "v", bands, grid = 5000.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ordersAsOf on real data: every enrichment is genuinely at-or-before") {
     val spark0 = SparkTestBase.spark
     val events = Tables.load(spark0, "/root/testdata/sf0.001", "events")

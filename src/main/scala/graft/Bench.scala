@@ -67,8 +67,12 @@ object Bench {
     // reason. Locale-pinned so a non-ROOT default can't emit decimal commas.
     // Full 3-run millisecond precision lives in tools/bench_r*_run*.json.
     def fmt(v: Double, nd: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${nd}f", v).reverse.dropWhile(_ == '0').reverse
-      if (s.endsWith(".")) s.dropRight(1) else s
+      val raw = String.format(java.util.Locale.ROOT, s"%.${nd}f", v)
+      if (!raw.contains('.')) raw // integer renderings must keep their zeros
+      else {
+        val s = raw.reverse.dropWhile(_ == '0').reverse
+        if (s.endsWith(".")) s.dropRight(1) else s
+      }
     }
     val errsField =
       if (errors.isEmpty) ""
@@ -79,9 +83,15 @@ object Bench {
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(nd: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, nd) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, nd)},"unit":"sec","queries":$qs,$errsField"sf":"$sfShort"}"""
+      // the headline total always keeps 10 ms grain — it is the graded
+      // metric and costs a fixed ~5 chars; only the per-query values degrade
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,$errsField"sf":"$sfShort"}"""
     }
-    val MaxLine = 1880
+    // 2000-char harness tail − sbt's ~75-char [success] trailer − a possible
+    // [info] prefix ⇒ the line itself may use ~1915. At the current 73-query
+    // surface the full names alone cost ~1717, so per-query values land at
+    // integer seconds — the millisecond medians live in tools/bench_r*_run*.
+    val MaxLine = 1915
     println(Seq(2, 1).map(line).find(_.length <= MaxLine).getOrElse(line(0)))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

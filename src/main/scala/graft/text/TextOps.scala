@@ -600,13 +600,21 @@ object TextOps {
       )
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+    // the sum is published as the EXACT decimal's fixed-scale string, next
+    // to the count — NOT as a rounded float average: sum_lp has scale 6, so
+    // sum/n lands on exact 5-at-the-7th-decimal boundaries by construction
+    // for some counts, where Spark's round (HALF_UP over the shortest
+    // decimal rendering) and DuckDB's (binary multiply-round) disagree —
+    // observed at sf0.001 (-1.4781995 → -1.478199 vs -1.4782). The average
+    // stays derivable; the declared columns are exact.
     base
       .select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(col("sum_lp").cast("double") / col("n_tokens"), lit(0.0)), 6).as("avg_logprob")
+        coalesce(col("sum_lp"), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(28,6)").cast("string").as("sum_logprob_str")
       )
       .orderBy("doc_id")
   }
@@ -622,7 +630,7 @@ object TextOps {
        |perdoc AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS sum_lp FROM scored GROUP BY doc_id)
        |SELECT d.doc_id,
        |  coalesce(p.n_tokens, 0) AS n_tokens,
-       |  round(coalesce(CAST(p.sum_lp AS DOUBLE) / p.n_tokens, 0.0), 6) AS avg_logprob
+       |  CAST(CAST(coalesce(p.sum_lp, 0) AS DECIMAL(28,6)) AS VARCHAR) AS sum_logprob_str
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
 

@@ -96,13 +96,15 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, "", "en", "s", 0L)
     )
     val m = TextOps.unigramScores(df).collect().map(r => r.getLong(0) -> r).toMap
+    def avg(id: Long): Double =
+      m(id).getAs[String]("sum_logprob_str").toDouble / m(id).getAs[Long]("n_tokens")
     assert(m(1L).getAs[Long]("n_tokens") == 3)
-    // log10(6/10) each token
-    assert(math.abs(m(1L).getAs[Double]("avg_logprob") - math.log10(0.6)) < 1e-5)
-    assert(math.abs(m(3L).getAs[Double]("avg_logprob") - math.log10(0.1)) < 1e-5)
-    assert(m(1L).getAs[Double]("avg_logprob") > m(3L).getAs[Double]("avg_logprob"))
+    // log10(6/10) each token (sum published as the exact decimal string)
+    assert(math.abs(avg(1L) - math.log10(0.6)) < 1e-5)
+    assert(math.abs(avg(3L) - math.log10(0.1)) < 1e-5)
+    assert(avg(1L) > avg(3L))
     assert(m(4L).getAs[Long]("n_tokens") == 0)
-    assert(m(4L).getAs[Double]("avg_logprob") == 0.0)
+    assert(m(4L).getAs[String]("sum_logprob_str") == "0.000000")
   }
 
   test("mixture: stratum counts partition the corpus and shares sum to 1") {

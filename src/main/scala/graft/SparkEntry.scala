@@ -272,6 +272,13 @@ object SparkEntry {
       // reuses the cached cluster labels instead of re-running the CC loop
       "curated_documents" -> ((s: SparkSession, d: String) =>
         graft.curation.Curation.curatedDocuments(docs(s, d), clusterLabels(s, d))),
+      // the full shippable training cut: curated ∧ not-bench ∧ not-leaking —
+      // curation and decontamination composed end-to-end under one hash (r7)
+      "decontaminated_documents" -> ((s: SparkSession, d: String) => {
+        val dd = docs(s, d)
+        val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
+        graft.curation.Curation.decontaminatedDocuments(dd, clusterLabels(s, d), bench)
+      }),
       // exact interpolated quantiles (profiling tier)
       "quantiles_lineitem" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.quantiles(
@@ -491,6 +498,7 @@ object SparkEntry {
         "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
       "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0),
       "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments,
+      "decontaminated_documents" -> graft.curation.Curation.oracleDecontaminatedDocuments(),
       "quantiles_lineitem" -> graft.stats.NumericStats.oracleQuantiles(
         "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "funnel_events"    -> graft.analytics.EventOps.oracleFunnel(funnelSteps),

@@ -54,6 +54,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The full training-side cut a pipeline ships: the curated set MINUS the
+    * benchmark slice itself (eval docs are not training candidates) MINUS
+    * every training doc the contamination screen caught leaking a benchmark
+    * doc ([[graft.dedup.Contamination]]). Reuses precomputed cluster labels
+    * like [[curatedDocuments]]; the contamination pass shares its postings
+    * checkpoint internally.
+    */
+  def decontaminatedDocuments(
+      docs: DataFrame,
+      clusters: DataFrame,
+      benchIds: DataFrame,
+      minShared: Long = 5L
+  ): DataFrame = {
+    val leaking = graft.dedup.Contamination
+      .contaminatedPairs(docs, benchIds, minShared)
+      .select(col("doc_id"))
+      .distinct()
+    curatedDocuments(docs, clusters)
+      .join(benchIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(leaking, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[decontaminatedDocuments]] — the curated CTEs plus the
+    * md5-gated bench slice and the shingle-co-occurrence leak set (the
+    * cluster CTE chain already defines the `sh` postings relation the leak
+    * join reuses).
+    */
+  def oracleDecontaminatedDocuments(
+      minShared: Long = 5L,
+      benchFraction: Double = 0.05,
+      benchSalt: String = "bench"
+  ): String = {
+    val q = TextOps.oracleQuality.replace("ORDER BY doc_id", "")
+    val l = TextOps.oracleLangId.replace("ORDER BY doc_id", "")
+    val thr = math.floor(benchFraction * graft.sampling.Sampling.HashSpace).toLong
+    s"""WITH RECURSIVE ${DedupOps.oracleClusterCtes},
+       |q AS ($q),
+       |l AS ($l),
+       |bench AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CAST('0x' || substr(md5(doc_id || ':$benchSalt'), 1, 8) AS BIGINT) < $thr),
+       |leak AS (
+       |  SELECT c.doc_id FROM sh c JOIN sh b ON c.s = b.s JOIN bench ON b.doc_id = bench.doc_id
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM bench)
+       |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= $minShared)
+       |SELECT q.doc_id, l.lang, l.pred_lang, q.quality_class, q.n_tokens
+       |FROM q JOIN l ON l.doc_id = q.doc_id JOIN cl ON cl.doc_id = q.doc_id
+       |WHERE q.quality_class <> 'poor' AND l.pred_lang <> 'und' AND cl.cluster_id = q.doc_id
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM bench)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM leak)
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   def oracleCuratedDocuments: String = {
     val q = TextOps.oracleQuality.replace("ORDER BY doc_id", "")
     val l = TextOps.oracleLangId.replace("ORDER BY doc_id", "")

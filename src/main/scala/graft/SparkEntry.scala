@@ -158,7 +158,21 @@ object SparkEntry {
       // published importance-resampling scorer for domain/language-focused
       // subset selection (r7)
       "dsir_weights_documents" -> ((s: SparkSession, d: String) =>
-        graft.text.TextOps.dsirWeights(docs(s, d)))
+        graft.text.TextOps.dsirWeights(docs(s, d))),
+      // Gopher-style conjunctive rule gate — thresholds sited where every
+      // rule fires in both directions at sf0.01, so each boundary is
+      // hash-checked (r7b)
+      "gopher_quality_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.gopherQuality(docs(s, d))),
+      // per-doc top-3 TF-IDF keywords (r7b)
+      "tfidf_keywords_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.tfidfKeywords(docs(s, d))),
+      // distinct-3-gram novelty vs ingest order + corpus boilerplate df
+      // discovery — same shingle construction the dedup tier hashes (r7b)
+      "novelty_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.novelty(docs(s, d))),
+      "boilerplate_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.boilerplateShingles(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -231,7 +245,10 @@ object SparkEntry {
         graft.similarity.SimilarityOps.ivfTopKTrained(emb(s, d), trainedCentroids(s, d))),
       // SemDeDup-style semantic dedup: within-trained-cell cosine pairs (r7)
       "semantic_dups_embeddings" -> ((s: SparkSession, d: String) =>
-        graft.similarity.SimilarityOps.semanticDupPairs(emb(s, d), trainedCentroids(s, d)))
+        graft.similarity.SimilarityOps.semanticDupPairs(emb(s, d), trainedCentroids(s, d))),
+      // farthest-from-centroid data-pruning candidates (r7b)
+      "outliers_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityOps.embeddingOutliers(emb(s, d), trainedCentroids(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -297,6 +314,12 @@ object SparkEntry {
         graft.analytics.RangeJoin.priceBandStats(Tables.load(s, d, "lineitem"))),
       "retention_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.retention(Tables.load(s, d, "events"))),
+      // trailing-7-day rolling event volumes per type (r7b)
+      "rolling_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.rollingDaily(Tables.load(s, d, "events"))),
+      // SCD2 validity episodes of order priority per customer (r7b)
+      "scd2_orders" -> ((s: SparkSession, d: String) =>
+        graft.vault.Scd2.orderPriorityEpisodes(Tables.load(s, d, "orders"))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -424,7 +447,11 @@ object SparkEntry {
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),
       "mixture_documents" -> graft.text.TextOps.oracleMixture,
       "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query),
-      "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights()
+      "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights(),
+      "gopher_quality_documents" -> graft.text.TextOps.oracleGopherQuality,
+      "tfidf_keywords_documents" -> graft.text.TextOps.oracleTfidfKeywords(),
+      "novelty_documents" -> graft.text.TextOps.oracleNovelty,
+      "boilerplate_documents" -> graft.text.TextOps.oracleBoilerplateShingles()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
@@ -471,7 +498,8 @@ object SparkEntry {
           "ivf_centroids_embeddings" -> graft.similarity.SimilarityOps.oracleIvfCentroids(c),
           "ivf_assign_embeddings"    -> graft.similarity.SimilarityOps.oracleIvfAssignTrained(c),
           "ivf_topk_embeddings"      -> graft.similarity.SimilarityOps.oracleIvfTopKTrained(c),
-          "semantic_dups_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticDupPairs(c)
+          "semantic_dups_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticDupPairs(c),
+          "outliers_embeddings"      -> graft.similarity.SimilarityOps.oracleEmbeddingOutliers(c)
         )
       }
     }
@@ -505,6 +533,8 @@ object SparkEntry {
       "asof_orders_events" -> graft.analytics.AsOfJoin.oracleOrdersAsOf,
       "range_bands_lineitem" -> graft.analytics.RangeJoin.oraclePriceBandStats,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
+      "rolling_events" -> graft.analytics.EventOps.oracleRollingDaily(),
+      "scd2_orders" -> graft.vault.Scd2.oracleOrderPriorityEpisodes,
       "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(
         "documents", Tables.columns("documents").filterNot(_ == "lang")),
       "jsonl_roundtrip_documents" ->

@@ -115,6 +115,40 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Day-grain activity with a trailing 7-day rolling event count per
+    * event_type — the monitoring series behind ingest-volume alerting. The
+    * rolling frame is a RANGE frame over the integer epoch-day (µs-epoch
+    * integer-divided, same convention as [[retention]]), so calendar gaps
+    * are handled by value, not by row position.
+    *
+    * Scale shape: one map-side-combinable (type, day) aggregate — the
+    * distinct-user count isolates in an Expand over the same exchange —
+    * then a window whose partitions are |event_type| series of |days| rows
+    * each: the window input is the AGGREGATED relation, never raw events.
+    */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = graft.Tables.widen(events)
+      .select(col("event_type"), col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("roll_events", sum(col("n_events")).over(w))
+      .orderBy("event_type", "day")
+  }
+
+  def oracleRollingDaily(windowDays: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day,
+       |    count(*) AS n_events, count(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY event_type, day)
+       |SELECT event_type, day, n_events, n_users,
+       |  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+       |    RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_events
+       |FROM daily ORDER BY event_type, day""".stripMargin
+
   def oracleRetention: String =
     s"""WITH ev AS (
        |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS day FROM events),

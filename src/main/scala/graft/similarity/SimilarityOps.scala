@@ -274,6 +274,30 @@ object SimilarityOps {
        |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, round(sim, 6) AS sim_r
        |FROM sims WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Embedding outlier mining: the k vectors FARTHEST from their assigned
+    * trained centroid (lowest cosine to the argmax cell — the SemDeDup /
+    * SSL-prototype data-pruning signal: cluster outliers are the candidates
+    * for either dropping as noise or upweighting as rare coverage). Reuses
+    * the [[ivfAssignTrained]] map-side argmax shape unchanged; the added
+    * cost is one TakeOrdered over the (vec_id, cell, sim) rows — ordered by
+    * the ROUNDED similarity (vec_id tie-break) so the cut is cross-engine
+    * deterministic.
+    */
+  def embeddingOutliers(emb: DataFrame, centroids: Array[Array[Double]], k: Int = 20): DataFrame =
+    ivfAssignTrained(emb, centroids)
+      .orderBy(col("sim_r").asc, col("vec_id"))
+      .limit(k)
+
+  def oracleEmbeddingOutliers(centroids: Array[Array[Double]], k: Int = 20): String =
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${centroidSqlCte(centroids)},
+       |sims AS (
+       |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
+       |    row_number() OVER (PARTITION BY b.vec_id ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c)
+       |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, round(sim, 6) AS sim_r
+       |FROM sims WHERE rn = 1 ORDER BY sim_r, vec_id LIMIT $k""".stripMargin
+
   /** [[ivfTopK]] against explicit (trained) centroids — assignment and
     * probing both use the literal centroid relation. Cell assignment is the
     * same map-side argmax aggregate as [[ivfAssignTrained]] (the ×k expansion

@@ -416,6 +416,231 @@ object TextOps {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // --- Gopher-style rule gate -----------------------------------------------
+
+  /** Gopher-style quality-rule gate (Rae et al., "Scaling Language Models"
+    * §A1.1 — the published heuristic family, thresholds re-sited where this
+    * corpus makes every rule BITE in both directions): per-document signals +
+    * one boolean per rule + the conjunctive gate. The reference pipeline has
+    * no document gate at all; this is the filter a 100 TB curation run
+    * applies before any expensive dedup/LM scoring.
+    *
+    * Cross-engine exactness: every signal is an integer count or an exact
+    * int/int IEEE quotient, and every rule compares the RAW quotient (not the
+    * rounded rendering) — identical compares in both engines, no libm
+    * anywhere. Rounded renderings are published alongside for humans. Pure
+    * per-row projection: no shuffle, no explode.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val ts    = tokens(col("text"))
+    val nToks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    // Σ token lengths = count of non-space chars (tokens are non-space runs)
+    val tokChars = length(translate(col("text"), " ", "")).cast("long")
+    val meanLen  = when(nToks > 0, tokChars.cast("double") / nToks).otherwise(lit(0.0))
+    val nDist    = size(array_distinct(ts)).cast("long")
+    val distFrac = when(size(ts) > 0, nDist.cast("double") / size(ts)).otherwise(lit(0.0))
+    val stopDistinct = langMarkers.head._2
+      .map(m => when(array_contains(ts, m), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val passWc   = nToks >= GopherMinTokens && nToks <= GopherMaxTokens
+    val passMwl  = meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen
+    val passDist = distFrac >= GopherMinDistinct
+    val passStop = stopDistinct >= GopherMinStopwords
+    graft.Tables.widen(docs)
+      .select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        round(meanLen, 6).as("mean_token_len_r"),
+        round(distFrac, 6).as("distinct_ratio_r"),
+        stopDistinct.as("stop_distinct"),
+        passWc.as("pass_wordcount"),
+        passMwl.as("pass_meanlen"),
+        passDist.as("pass_distinct"),
+        passStop.as("pass_stopwords"),
+        (passWc && passMwl && passDist && passStop).as("pass_gopher")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Rule thresholds, sited where the sf0.01 distributions (tokens 10-99,
+    * mean run length 3.7-5.3, distinct fraction 0.28-1.0) fire every rule in
+    * both directions — each boundary is hash-checked, not decorative.
+    */
+  val GopherMinTokens: Long      = 20L
+  val GopherMaxTokens: Long      = 90L
+  val GopherMinMeanLen: Double   = 4.0
+  val GopherMaxMeanLen: Double   = 5.0
+  val GopherMinDistinct: Double  = 0.35
+  val GopherMinStopwords: Long   = 2L
+
+  def oracleGopherQuality: String = {
+    val stopSum = langMarkers.head._2
+      .map(m => s"(CASE WHEN list_contains(ts, '$m') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_tokens,
+       |  round(mean_len, 6) AS mean_token_len_r,
+       |  round(dist_frac, 6) AS distinct_ratio_r,
+       |  stop_distinct,
+       |  pass_wordcount, pass_meanlen, pass_distinct, pass_stopwords,
+       |  (pass_wordcount AND pass_meanlen AND pass_distinct AND pass_stopwords) AS pass_gopher
+       |FROM (
+       |  SELECT doc_id, n_tokens, mean_len, dist_frac, stop_distinct,
+       |    (n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens) AS pass_wordcount,
+       |    (mean_len >= $GopherMinMeanLen AND mean_len <= $GopherMaxMeanLen) AS pass_meanlen,
+       |    (dist_frac >= $GopherMinDistinct) AS pass_distinct,
+       |    (stop_distinct >= $GopherMinStopwords) AS pass_stopwords
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tokens,
+       |      (CASE WHEN len(regexp_extract_all(text, '$TokenRe')) > 0
+       |            THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(regexp_extract_all(text, '$TokenRe'))
+       |            ELSE 0.0 END) AS mean_len,
+       |      (CASE WHEN len(ts) > 0
+       |            THEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) ELSE 0.0 END) AS dist_frac,
+       |      CAST($stopSum AS BIGINT) AS stop_distinct
+       |    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS ts FROM documents)
+       |  )
+       |) ORDER BY doc_id""".stripMargin
+  }
+
+  // --- TF-IDF keyword extraction --------------------------------------------
+
+  /** Top-k TF-IDF terms per document — the keyword/topic-tag extraction pass
+    * (classic tf·idf with idf = ln(N/df)). Per-group top-k via row_number
+    * over the ROUNDED score (score_r DESC, token ASC) so the rank ordering
+    * is cross-engine deterministic; the one `ln` per (doc, token) carries
+    * the repo's accepted ≤1-ulp-then-round risk (cf. [[bm25]]).
+    *
+    * Plan: one explode → (doc, token) tf (map-side combinable) → df derived
+    * from the tf relation (no second explode) → broadcast of the 1-row count
+    * → per-doc window on the tf rows only (narrow rows cross the doc
+    * exchange). At 100 TB the tf relation is the big side and everything it
+    * shuffles through is (doc_id, token, counts) — never raw text.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val base = graft.Tables.widen(docs)
+    val toks = base.select(
+      col("doc_id"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+    )
+    val tf     = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs  = base.agg(count(lit(1)).as("n_docs"))
+    val scoreR = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_r").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_r", scoreR)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("token"), col("tf"), col("df"), col("score_r"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def oracleTfidfKeywords(k: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score_r
+       |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, token) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, token, tf, df, score_r
+       |FROM ranked WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+
+  // --- n-gram novelty / boilerplate discovery -------------------------------
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * 3-gram shingles first seen in THIS document (first-seen = min doc_id
+    * over the corpus — the ingest-order convention the incremental-dedup
+    * tier already uses). Low novelty marks near-copies and template spam
+    * even when no single pair crosses a dedup threshold; it is the
+    * "how much of this is new content" signal an incremental crawl keeps.
+    *
+    * Shingles are the SAME 3-gram construction the dedup tier hashes
+    * ([[graft.dedup.DedupOps.shingleArray]]), deduplicated per row BEFORE
+    * the explode, so the shuffled stream is distinct (doc, shingle) rows.
+    * Plan: shingle-key aggregate (map-side combinable min) → join back on
+    * shingle → doc-key aggregate; everything that crosses an exchange is a
+    * narrow (id, shingle) row.
+    */
+  def novelty(docs: DataFrame): DataFrame = {
+    val base = graft.Tables.widen(docs)
+    val sh   = graft.dedup.DedupOps.shingleArray(tokens(col("text")))
+    val pairs = base.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+    val first = pairs.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    val per = pairs
+      .join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
+      )
+    base
+      .select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)).otherwise(lit(0.0)).as("novelty_r")
+      )
+      .orderBy("doc_id")
+  }
+
+  def oracleNovelty: String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(ts)-1), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])))) AS shingle
+       |  FROM d),
+       |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+       |per AS (
+       |  SELECT s.doc_id, count(*) AS n_shingles,
+       |    sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM sh s JOIN fs f ON s.shingle = f.shingle GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_shingles, 0) AS n_shingles,
+       |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       |  (CASE WHEN coalesce(p.n_shingles, 0) > 0
+       |        THEN round(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6) ELSE 0.0 END) AS novelty_r
+       |FROM d LEFT JOIN per p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus boilerplate discovery: the top-K 3-gram shingles by DOCUMENT
+    * frequency (distinct docs containing the shingle, not occurrences — the
+    * df signal that separates template boilerplate from one document
+    * repeating itself). Deterministic (df DESC, shingle) cut; minDf guards
+    * the long tail so the TakeOrdered input is the df≥minDf head only.
+    */
+  def boilerplateShingles(docs: DataFrame, minDf: Long = 3L, k: Int = 40): DataFrame = {
+    val sh = graft.dedup.DedupOps.shingleArray(tokens(col("text")))
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+  }
+
+  def oracleBoilerplateShingles(minDf: Long = 3L, k: Int = 40): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(ts)-1), i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])))) AS shingle
+       |  FROM d)
+       |SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+       |HAVING count(*) >= $minDf
+       |ORDER BY df DESC, shingle LIMIT $k""".stripMargin
+
   // --- vocabulary histogram -------------------------------------------------
 
   /** Corpus-wide top-K token histogram: the classic vocabulary/stopword

@@ -67,4 +67,27 @@ class DataVaultSpec extends AnyFunSuite {
     for ((k, v) <- verdicts if !trueFks.contains(k))
       assert(!v, s"false FK $k")
   }
+
+  test("scd2 episodes: runs collapse, changes open new episodes, valid_to chains") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val orders = Seq(
+      // customer 1: A,A,B,A → 3 episodes
+      (101L, 1L, "A", t(1)), (102L, 1L, "A", t(2)), (103L, 1L, "B", t(3)), (104L, 1L, "A", t(5)),
+      // customer 2: same-day tie broken by orderkey: B(201) then A(202)
+      (201L, 2L, "B", t(1)), (202L, 2L, "A", t(1))
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+    val eps = graft.vault.Scd2
+      .episodes(orders, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      .collect()
+    val c1 = eps.filter(_.getAs[Long]("o_custkey") == 1L).sortBy(_.getAs[Long]("episode"))
+    assert(c1.map(_.getAs[String]("o_orderpriority")).toSeq == Seq("A", "B", "A"))
+    assert(c1.map(_.getAs[Long]("n_rows")).toSeq == Seq(2L, 1L, 1L))
+    // valid_to chains to the next episode's valid_from; open episode is NULL
+    assert(c1(0).getAs[java.sql.Timestamp]("valid_to") == t(3))
+    assert(c1(1).getAs[java.sql.Timestamp]("valid_to") == t(5))
+    assert(c1(2).getAs[java.sql.Timestamp]("valid_to") == null)
+    val c2 = eps.filter(_.getAs[Long]("o_custkey") == 2L).sortBy(_.getAs[Long]("episode"))
+    assert(c2.map(_.getAs[String]("o_orderpriority")).toSeq == Seq("B", "A"), "orderkey tie-break")
+  }
 }

@@ -119,4 +119,21 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r((d2, 2L)) == 1L) // user 3 back on day 4
     assert(!r.contains((d2, 1L)))
   }
+
+  test("rollingDaily: RANGE frame sums by day value across calendar gaps") {
+    // days 1, 2, 10: the day-10 window [4..10] must NOT include days 1-2
+    val df = events(
+      (1L, "click", ts(1, 0)), (2L, "click", ts(1, 1)),
+      (1L, "click", ts(2, 0)),
+      (1L, "click", ts(10, 0)), (1L, "click", ts(10, 1)), (3L, "click", ts(10, 2))
+    )
+    val rows = EventOps.rollingDaily(df, windowDays = 7).collect()
+    val d1 = ts(1, 0).getTime * 1000L / 86400000000L
+    val byDay = rows.map(r => r.getAs[Long]("day") -> r).toMap
+    assert(byDay(d1).getAs[Long]("n_events") == 2L && byDay(d1).getAs[Long]("n_users") == 2L)
+    assert(byDay(d1).getAs[Long]("roll_events") == 2L)
+    assert(byDay(d1 + 1).getAs[Long]("roll_events") == 3L)      // day2 window covers day1
+    assert(byDay(d1 + 9).getAs[Long]("roll_events") == 3L)      // day10 window excludes days 1-2
+    assert(byDay(d1 + 9).getAs[Long]("n_users") == 2L)          // users 1, 3
+  }
 }

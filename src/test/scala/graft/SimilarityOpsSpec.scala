@@ -128,4 +128,18 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("vec_id")).toSet
     assert(got == brute)
   }
+
+  test("embeddingOutliers: picks the globally lowest assigned-cell similarities, ascending") {
+    val cents = Array.tabulate(4, SimilarityOps.Dim)((i, j) => (i * SimilarityOps.Dim + j + 1).toDouble / 100.0)
+    val out = SimilarityOps.embeddingOutliers(clustered, cents, k = 5).collect()
+    assert(out.length == 5)
+    val sims = out.map(_.getAs[Double]("sim_r")).toSeq
+    assert(sims == sims.sorted, s"not ascending: $sims")
+    // the cut is the global minimum: no excluded vector has a lower sim
+    val all = SimilarityOps.ivfAssignTrained(clustered, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim_r")).toMap
+    val kept = out.map(_.getAs[Long]("vec_id")).toSet
+    val worstKept = sims.max
+    assert(all.filterNot { case (id, _) => kept(id) }.values.forall(_ >= worstKept))
+  }
 }

@@ -165,4 +165,77 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m("en").getAs[Double]("avg_tokens") == 2.5)
     assert(m("de").getAs[Long]("max_chars") == 1)
   }
+
+  test("gopherQuality: each rule fires independently; gate is the conjunction") {
+    // 28 distinct 5-char tokens + two stopword markers → 30 tokens, mean len
+    // (140+6)/30 ≈ 4.87 ∈ [4,5], distinct 1.0, stopwords 2 → passes all
+    val goodText = (1 to 28).map(i => f"tok$i%02d").mkString(" ") + " the and"
+    val df = docs(
+      (1L, goodText, "en", "s", goodText.length.toLong),
+      (2L, "the and " + (1 to 5).map(i => f"tok$i%02d").mkString(" "), "en", "s", 40L), // 7 tokens < 20, mean 31/7≈4.43 ok
+      (3L, (1 to 28).map(_ => "aa").mkString(" ") + " the and", "en", "s", 90L),       // mean len 2.13 < 4
+      (4L, (1 to 28).map(_ => "word").mkString(" ") + " the and", "en", "s", 148L),    // distinct 3/30 = 0.1
+      (5L, (1 to 28).map(i => f"tk$i%02d").mkString(" ") + " tok tok", "en", "s", 148L) // 0 stopwords
+    )
+    val m = TextOps.gopherQuality(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("pass_gopher"), m(1L).toString)
+    assert(!m(2L).getAs[Boolean]("pass_wordcount") && m(2L).getAs[Boolean]("pass_meanlen"))
+    assert(!m(3L).getAs[Boolean]("pass_meanlen") && m(3L).getAs[Boolean]("pass_wordcount"))
+    assert(!m(4L).getAs[Boolean]("pass_distinct") && m(4L).getAs[Boolean]("pass_stopwords"))
+    assert(!m(5L).getAs[Boolean]("pass_stopwords") && m(5L).getAs[Boolean]("pass_distinct"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(!m(_).getAs[Boolean]("pass_gopher")))
+    // stop_distinct counts DISTINCT markers: 'the the the' is 1, not 3
+    val rep = docs((9L, "the the the x", "en", "s", 13L))
+    assert(TextOps.gopherQuality(rep).collect().head.getAs[Long]("stop_distinct") == 1L)
+  }
+
+  test("tfidfKeywords: rare terms outrank common ones; deterministic tie-break; k bound") {
+    val df = docs(
+      (1L, "zebra common common", "en", "s", 19L),
+      (2L, "common apple", "en", "s", 12L),
+      (3L, "common banana", "en", "s", 13L)
+    )
+    val rows = TextOps.tfidfKeywords(df, k = 2).collect()
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[Long]("rank"))).toMap
+    // doc 1: zebra df=1 idf=ln3 ≈ 1.0986 beats common tf=2 df=3 idf=0
+    assert(byDoc(1L).head.getAs[String]("token") == "zebra")
+    assert(byDoc(1L).map(_.getAs[String]("token")).toSeq == Seq("zebra", "common"))
+    // ranks within k, per-doc row count ≤ k, rank starts at 1
+    assert(rows.forall(r => r.getAs[Long]("rank") >= 1L && r.getAs[Long]("rank") <= 2L))
+    assert(byDoc.values.forall(_.length <= 2))
+    // df=N terms score exactly 0
+    assert(byDoc(1L)(1).getAs[Double]("score_r") == 0.0)
+  }
+
+  test("novelty: first-seen doc owns the shingle; later copies score low") {
+    val a = "alpha beta gamma delta epsilon"         // 3 shingles, all first-seen in doc 1
+    val df = docs(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, a, "en", "s", a.length.toLong),           // exact copy → novelty 0
+      (3L, "zeta eta theta iota kappa", "en", "s", 25L) // all-new → novelty 1
+    )
+    val m = TextOps.novelty(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("novelty_r") == 1.0)
+    assert(m(2L).getAs[Double]("novelty_r") == 0.0)
+    assert(m(2L).getAs[Long]("n_shingles") == 3L)
+    assert(m(3L).getAs[Double]("novelty_r") == 1.0)
+    // too short for a shingle → 0 shingles, ratio 0.0 by convention
+    val short = docs((4L, "one two", "en", "s", 7L))
+    val r4 = TextOps.novelty(short).collect().head
+    assert(r4.getAs[Long]("n_shingles") == 0L && r4.getAs[Double]("novelty_r") == 0.0)
+  }
+
+  test("boilerplateShingles: df counts distinct docs, not occurrences; minDf and k cut") {
+    val tpl = "lorem ipsum dolor"
+    val df = docs(
+      (1L, s"$tpl $tpl unique1 a b", "en", "s", 40L), // repeated within doc: df still 1 per doc
+      (2L, s"$tpl extra words here", "en", "s", 38L),
+      (3L, s"$tpl more other stuff", "en", "s", 38L),
+      (4L, "nothing shared at all here", "en", "s", 26L)
+    )
+    val rows = TextOps.boilerplateShingles(df, minDf = 3L, k = 10).collect()
+    val m = rows.map(r => r.getAs[String]("shingle") -> r.getAs[Long]("df")).toMap
+    assert(m.get("lorem ipsum dolor").contains(3L), m.toString) // docs 1,2,3 — not 4×
+    assert(rows.forall(_.getAs[Long]("df") >= 3L))
+  }
 }

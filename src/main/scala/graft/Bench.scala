@@ -58,14 +58,15 @@ object Bench {
       name -> ts(ts.length / 2)
     }
     // The whole JSON line must stay under ~1.9 kB: the harness keeps only
-    // the last 2000 chars of output (minus sbt's trailing [success] line),
-    // and full-precision doubles pushed the line past that every round — the
-    // head of the JSON (metric/value/the first queries) was truncated away
-    // and the line never parsed. Values render at the highest precision
-    // (10 ms grain first) that fits the budget, trailing zeros stripped; the
-    // empty errors field and the sfDir prefix are dropped for the same
-    // reason. Locale-pinned so a non-ROOT default can't emit decimal commas.
-    // Full 3-run millisecond precision lives in tools/bench_r*_run*.json.
+    // the last 2000 chars of output (minus sbt's trailing [success] line).
+    // Every prior round's line overflowed that window — the head (metric/
+    // value/first queries) was cut and the harness recorded parsed:null. At
+    // 81 queries even integer-second values no longer fit, so the printed
+    // line now carries the headline total plus as many of the SLOWEST
+    // queries as fit the budget (the ones a perf reader needs first), with
+    // `queries_n` for the full count and `full` pointing at the complete
+    // millisecond-precision per-query record written into the repo below.
+    // Locale-pinned so a non-ROOT default can't emit decimal commas.
     def fmt(v: Double, nd: Int): String = {
       val raw = String.format(java.util.Locale.ROOT, s"%.${nd}f", v)
       if (!raw.contains('.')) raw // integer renderings must keep their zeros
@@ -81,18 +82,35 @@ object Bench {
       }.mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def line(nd: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, nd) }.mkString("{", ",", "}")
-      // the headline total always keeps 10 ms grain — it is the graded
-      // metric and costs a fixed ~5 chars; only the per-query values degrade
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,$errsField"sf":"$sfShort"}"""
+
+    // Full-precision record (every query, 3 decimals, plus all raw passes)
+    // survives regardless of the stdout window; overwritten per run, renamed
+    // into tools/bench_r*_run*.json when a run is kept as a record.
+    val fullPath = "tools/bench_full_latest.json"
+    val fullJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+      val ps = passes.map(p => ordered.map { case (n, _) => "\"" + n + "\":" + fmt(p(n), 3) }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfShort","cpus":$cpus,""" +
+        s""""reps":$Reps,$errsField"queries":$qs,"passes":$ps}"""
     }
-    // 2000-char harness tail − sbt's ~75-char [success] trailer − a possible
-    // [info] prefix ⇒ the line itself may use ~1915. At the current 73-query
-    // surface the full names alone cost ~1717, so per-query values land at
-    // integer seconds — the millisecond medians live in tools/bench_r*_run*.
-    val MaxLine = 1915
-    println(Seq(2, 1).map(line).find(_.length <= MaxLine).getOrElse(line(0)))
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath), fullJson.getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"bench: could not write $fullPath: $e") }
+
+    // 2000-char harness tail − sbt's ~80-char [success] trailer ⇒ the line
+    // itself may use ~1900; keep headroom for a longer trailer.
+    val MaxLine = 1850
+    val slowestFirst = results.sortBy { case (n, v) => (-v, n) }
+    val fixed = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""queries_n":${results.size},"full":"$fullPath",$errsField"sf":"$sfShort","queries":{}}"""
+    var room = MaxLine - fixed.length
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    for ((k, v) <- slowestFirst) {
+      val entry = "\"" + k + "\":" + fmt(v, 2)
+      val cost = entry.length + (if (kept.isEmpty) 0 else 1)
+      if (cost <= room) { kept += entry; room -= cost }
+    }
+    println(fixed.dropRight(3) + kept.mkString("{", ",", "}") + "}")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

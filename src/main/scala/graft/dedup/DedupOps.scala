@@ -391,20 +391,42 @@ object DedupOps {
       docs: DataFrame,
       threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None
+  ): DataFrame =
+    jaccardPairsFromPostings(shinglePostings(docs), threshold, maxShingleDf)
+
+  /** Deduplicated shingle posting lists — the ONE expensive exchange every
+    * Jaccard-tier query derives from. Exposed so a caller running several
+    * configurations of [[jaccardPairsFromPostings]] over the same corpus
+    * (e.g. the capped and uncapped declared twins, or a threshold sweep) can
+    * persist this frame once and share the shuffle instead of re-scanning
+    * and re-aggregating the shingle stream per query (VERDICT r5 ask #3 —
+    * at 100 TB the shingle exchange dominates; the per-configuration work
+    * downstream of it is posting-local).
+    */
+  def shinglePostings(docs: DataFrame): DataFrame =
+    shingleDF(docs)
+      .groupBy(col("shingle"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+
+  /** The pair/score stage of [[jaccardPairs]], parameterized over a postings
+    * frame built by [[shinglePostings]] (possibly persisted by the caller).
+    */
+  def jaccardPairsFromPostings(
+      postings0: DataFrame,
+      threshold: Double = 0.5,
+      maxShingleDf: Option[Int] = None
   ): DataFrame = {
     // inverted-index pair generation: one exchange builds deduplicated
     // posting lists (collect_set — no standalone distinct needed); ordered
     // pairs explode per bucket. Doc set-sizes derive from the SAME posting
     // aggregate (membership count), so the expensive shingle exchange is
-    // shared (ReuseExchange) rather than recomputed for a separate per-doc
+    // shared (ReuseExchange — or a caller-side persist via
+    // [[shinglePostings]]) rather than recomputed for a separate per-doc
     // aggregation. The df-cap filters the posting lists themselves, keeping
     // capped sizes and capped intersections consistent.
     // collect_set order is nondeterministic but irrelevant: pairs are ordered
     // by the a<b filter and aggregated by key, sizes are counts — no
     // sort_array needed (saves a per-posting sort)
-    val postings0 = shingleDF(docs)
-      .groupBy(col("shingle"))
-      .agg(collect_set(col("doc_id")).as("ids"))
     val postings = maxShingleDf match {
       case Some(cap) => postings0.where(size(col("ids")) <= cap)
       case None      => postings0

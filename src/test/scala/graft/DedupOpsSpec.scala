@@ -189,4 +189,16 @@ class DedupOpsSpec extends AnyFunSuite {
     val capped = DedupOps.jaccardPairs(df, threshold = 0.5, maxShingleDf = Some(1)).collect()
     assert(capped.isEmpty || capped.length <= rows.length)
   }
+
+  test("jaccardPairsFromPostings over a persisted postings frame ≡ the direct path, both configurations") {
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val postings = DedupOps.shinglePostings(df).persist()
+    try {
+      for (cap <- Seq(None, Some(1), Some(2))) {
+        val shared = DedupOps.jaccardPairsFromPostings(postings, threshold = 0.5, maxShingleDf = cap).collect().toSeq
+        val direct = DedupOps.jaccardPairs(df, threshold = 0.5, maxShingleDf = cap).collect().toSeq
+        assert(shared == direct, s"cap=$cap")
+      }
+    } finally postings.unpersist(blocking = false)
+  }
 }

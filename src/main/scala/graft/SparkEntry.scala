@@ -80,6 +80,19 @@ object SparkEntry {
       )
     )
 
+  /** Trained PQ codebooks (M per-subspace L2 k-means runs), one training per
+    * (session, dir) shared by the declared `pq_*` queries and their oracles —
+    * the [[centroidCache]] pattern: deterministic training + canonicalized
+    * doubles ⇒ the oracle inlines bit-identical literals.
+    */
+  private val pqCache = TrieMap.empty[(String, String), Array[Array[Array[Double]]]]
+
+  private def trainedCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.similarity.Pq.trainCodebooks(Tables.load(spark, dir, "embeddings"))
+    )
+
   /** Drop every cross-query cache (profiles, cluster labels, centroids) —
     * Bench calls this between repetition passes so each pass re-executes the
     * shared stages instead of timing cache hits.
@@ -90,6 +103,7 @@ object SparkEntry {
     postingsCache.values.foreach(_.unpersist(blocking = false))
     postingsCache.clear()
     centroidCache.clear()
+    pqCache.clear()
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -218,6 +232,16 @@ object SparkEntry {
       // the 100 TB-relevant capped configuration, hash-checked itself (r3
       // verdict ask #6): hot shingles dropped by document frequency before
       // the co-occurrence join
+      // the 100 TB shuffle-volume configuration: a broadcast Bloom filter
+      // over the bench shingle set prunes corpus shingles map-side before
+      // the distinct's exchange. No false negatives + exact join after ⇒
+      // IDENTICAL answer — the oracle SQL is shared verbatim with the
+      // uncapped query, so the equivalence itself is hash-checked
+      "contamination_bloom_documents" -> ((s: SparkSession, d: String) => {
+        val dd = docs(s, d)
+        val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
+        graft.dedup.Contamination.contaminatedPairsBloom(dd, bench)
+      }),
       "contamination_capped_documents" -> ((s: SparkSession, d: String) => {
         val dd = docs(s, d)
         val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
@@ -269,7 +293,16 @@ object SparkEntry {
         graft.similarity.SimilarityOps.semanticDupPairs(emb(s, d), trainedCentroids(s, d))),
       // farthest-from-centroid data-pruning candidates (r7b)
       "outliers_embeddings" -> ((s: SparkSession, d: String) =>
-        graft.similarity.SimilarityOps.embeddingOutliers(emb(s, d), trainedCentroids(s, d)))
+        graft.similarity.SimilarityOps.embeddingOutliers(emb(s, d), trainedCentroids(s, d))),
+      // product quantization (r8): trained per-subspace codebooks as their
+      // own oracled entry, the 64×-compressed code relation, and ADC top-k
+      // search over the codes — the memory-bound ANN deployment path
+      "pq_codebooks_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Pq.codebooksDF(emb(s, d), trainedCodebooks(s, d))),
+      "pq_codes_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Pq.codesDF(emb(s, d), trainedCodebooks(s, d))),
+      "pq_topk_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Pq.adcTopK(emb(s, d), trainedCodebooks(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -299,6 +332,12 @@ object SparkEntry {
         graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
+      // stream-stream interval join run AS A STREAM (two watermarked file
+      // sources, append-mode inner join with an event-time range predicate,
+      // AvailableNow) — completes the streaming operator families and is
+      // hash-checked against the batch interval-join oracle (r8)
+      "stream_attribution_events" -> ((s: SparkSession, d: String) =>
+        graft.streaming.StreamJoin.streamingAttribution(s, d)),
       // numeric envelope + fixed-width histogram (r3)
       "numstats_lineitem" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.numericStats(Tables.load(s, d, "lineitem"), SparkEntry.lineitemNumericCols)),
@@ -483,6 +522,9 @@ object SparkEntry {
       "simhash_pairs_documents" -> graft.dedup.DedupOps.oracleSimhashPairs(),
       "dedup_clusters_documents" -> graft.dedup.DedupOps.oracleDedupClusters,
       "contamination_documents"  -> graft.dedup.Contamination.oracleContaminatedPairs(),
+      // the Bloom-pruned twin computes the SAME answer (no false negatives,
+      // exact join downstream) — sharing the oracle hash-checks that claim
+      "contamination_bloom_documents" -> graft.dedup.Contamination.oracleContaminatedPairs(),
       "contamination_capped_documents" -> graft.dedup.Contamination.oracleContaminatedPairsCapped(
         minShared = contaminationCappedMinShared, maxShingleDf = contaminationCap),
       "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit)
@@ -523,6 +565,25 @@ object SparkEntry {
           "outliers_embeddings"      -> graft.similarity.SimilarityOps.oracleEmbeddingOutliers(c)
         )
       }
+    } ++ {
+      // trained-PQ oracles: same cache-gated literal inlining as the IVF
+      // block above (absent/ambiguous → omitted loudly, rows-only check)
+      val cbs: Option[Array[Array[Array[Double]]]] = dir match {
+        case Some(d) => pqCache.collectFirst { case ((_, dd), c) if dd == d => c }
+        case None if pqCache.size == 1 => Some(pqCache.values.head)
+        case None => None
+      }
+      if (cbs.isEmpty)
+        System.err.println(
+          s"[SparkEntry] trained-PQ oracle entries OMITTED (dir=$dir, cached dirs=" +
+            s"${pqCache.keys.map(_._2).mkString("[", ", ", "]")}) — driver will record rows-only checks")
+      cbs.toSeq.flatMap { c =>
+        Seq(
+          "pq_codebooks_embeddings" -> graft.similarity.Pq.oracleCodebooks(c),
+          "pq_codes_embeddings"     -> graft.similarity.Pq.oracleCodes(c),
+          "pq_topk_embeddings"      -> graft.similarity.Pq.oracleAdcTopK(c)
+        )
+      }
     }
     val vault = Seq(
       "dv_hub_customer" -> graft.vault.DataVault.oracleHub("customer", "customer", Seq("c_custkey")),
@@ -542,6 +603,7 @@ object SparkEntry {
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
       "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
       "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions(),
+      "stream_attribution_events" -> graft.streaming.StreamJoin.oracleAttribution(),
       "numstats_lineitem" -> graft.stats.NumericStats.oracleNumericStats("lineitem", lineitemNumericCols),
       "numstats_orders" -> graft.stats.NumericStats.oracleNumericStats(
         "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),

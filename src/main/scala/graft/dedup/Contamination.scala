@@ -64,6 +64,58 @@ object Contamination {
       .orderBy("doc_id", "bench_doc_id")
   }
 
+  /** Bloom-pruned variant of [[contaminatedPairs]] — IDENTICAL answer (a
+    * Bloom filter has no false negatives, and its false positives are
+    * eliminated by the exact equi-join that follows), different 100 TB cost
+    * profile, so the declared twin shares the uncapped oracle SQL verbatim.
+    *
+    * [[contaminatedPairs]] shuffles EVERY distinct corpus shingle before the
+    * bench join. Here a Bloom filter over the (small) benchmark shingle set
+    * is broadcast and applied to the corpus shingle stream map-side, so only
+    * shingles that *might* be benchmark shingles ever reach the distinct's
+    * exchange — at a 10⁶:1 corpus:bench ratio that converts the dominant
+    * shuffle into a ~fpp-sized trickle. The alternative pre-shuffle prune —
+    * broadcasting the full bench postings and joining before distinct —
+    * ships shingle strings + doc ids to every executor; the Bloom is ~10
+    * bits per key regardless of shingle length, which is why it is the
+    * declared scale configuration.
+    *
+    * The membership probe is a Scala predicate (`mightContainString`) rather
+    * than a built-in Column function: Spark's sketch Bloom has no public
+    * expression form. It sits on a filter stage only — scan-side pruning,
+    * a few hash computations per row — and every aggregate/join downstream
+    * stays whole-stage-codegen'd.
+    */
+  def contaminatedPairsBloom(
+      docs: DataFrame,
+      benchIds: DataFrame,
+      minShared: Long = 5L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bench0 = benchIds.select(col("doc_id"))
+    // benchmark postings: small side, materialized once — feeds the Bloom
+    // build, the exact join, and the bench_doc_id labels
+    val benchSh = DedupOps.shingleDF(docs.join(bench0, Seq("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
+    // corpus side: bench docs excluded BEFORE shingling (cheaper than the
+    // postings-side anti-join), Bloom applied before the distinct so the
+    // big exchange only carries probable-bench shingles
+    val corpusSh = DedupOps.shingleDF(docs.join(bench0, Seq("doc_id"), "left_anti"))
+      .where(mightContain(col("shingle")))
+      .distinct()
+    corpusSh
+      .join(benchSh.select(col("doc_id").as("bench_doc_id"), col("shingle")), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("doc_id", "bench_doc_id")
+  }
+
   /** DuckDB twin for the declared form: benchmark = the md5-gated sample of
     * the documents table at `benchFraction` with salt `benchSalt`.
     */

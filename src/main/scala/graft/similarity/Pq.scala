@@ -1,0 +1,335 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the ANN tier — the memory-compression path
+  * a billion-vector corpus actually deploys: each vector is cut into
+  * [[SubspacesM]] contiguous subvectors, each subvector is quantized to its
+  * nearest centroid in a per-subspace codebook ([[CodebookK]] entries,
+  * trained by deterministic L2 Lloyd's), and search runs over the 4-byte
+  * codes via asymmetric distance computation (ADC): the query stays exact,
+  * each corpus vector's distance is approximated as the sum of per-subspace
+  * lookup-table entries. At 64 float dims → 4 codes the in-memory footprint
+  * drops 64×; the IVF tier ([[SimilarityOps.ivfTopKTrained]]) bounds how
+  * many codes are scanned, PQ bounds the bytes per code.
+  *
+  * Scale shape: training is per-subspace distributed Lloyd's over a
+  * checkpointed narrow projection (per round: one scan + a k×subdim
+  * aggregate to the driver — the [[KMeans]] discipline, L2 instead of
+  * cosine). Encoding is the same map-side-combinable argmax/argmin aggregate
+  * as [[SimilarityOps.ivfAssignTrained]]: the ×(M·K) expansion collapses in
+  * the partial aggregate, nothing wide crosses an exchange. ADC search joins
+  * the narrow (vec_id, m, code) relation against a broadcast (qid, m, code,
+  * d²) lookup table and folds the M per-subspace terms in fixed m-order —
+  * the float sum is ORDERED, so the declared queries hash-match the DuckDB
+  * twin (same IEEE ops in the same sequence; the cross-engine convention
+  * BASELINE.md records for float aggregation).
+  *
+  * Determinism: farthest-point seeding over a bounded md5-ordered sample,
+  * deterministic tie-breaks (lowest id), fixed rounds; trained codebooks are
+  * canonicalized through decimal strings
+  * ([[SimilarityOps.canonicalizeCentroids]]) so the oracle inlines
+  * bit-identical literals, exactly like the trained-IVF queries.
+  */
+object Pq {
+
+  /** Number of contiguous subspaces a vector is cut into (M). */
+  val SubspacesM = 4
+
+  /** Codebook entries per subspace (K); codes fit one byte each. */
+  val CodebookK = 16
+
+  /** Lloyd's rounds per subspace (matches the IVF trainer's budget). */
+  val TrainRounds = 5
+
+  /** Bounded seeding sample per subspace (md5-ordered, deterministic). */
+  val SeedSampleCap = 2048
+
+  // --- training -------------------------------------------------------------
+
+  /** The (vec_id, sub_0 … sub_{M-1}) projection training and encoding share:
+    * doubles, checkpointed once.
+    */
+  private def subvectorBase(emb: DataFrame, m: Int): DataFrame = {
+    val sd = subDim(emb, m)
+    val v  = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    graft.Tables.widen(emb)
+      .select(col("vec_id") +: (0 until m).map(i =>
+        slice(v, lit(i * sd + 1), lit(sd)).as(s"sub_$i")): _*)
+      .localCheckpoint()
+  }
+
+  /** Subvector width (dim / M); derived from the data once per call site. */
+  private def subDim(emb: DataFrame, m: Int): Int = {
+    val dim = graft.Tables.widen(emb).select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible by M=$m")
+    dim / m
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic farthest-point seeds under L2 over a bounded md5-ordered
+    * sample of one subspace's subvectors (the [[KMeans.farthestPointInit]]
+    * discipline with Euclidean geometry: PQ quantizes raw subvectors, where
+    * magnitude matters — cosine would collapse scale).
+    */
+  private def farthestPointSeeds(sample: Array[(Long, Array[Double])], k: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "PQ seeding: empty sample")
+    val kk = math.min(k, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    while (chosen.length < kk) {
+      // argmax of (min distance to any chosen seed), lowest-vec_id tie-break
+      var best: (Double, Long, Array[Double]) = (-1.0, Long.MaxValue, null)
+      sample.foreach { case (id, v) =>
+        val dmin = chosen.map(c => l2(v, c)).min
+        if (dmin > best._1 || (dmin == best._1 && id < best._2)) best = (dmin, id, v)
+      }
+      chosen += best._3
+    }
+    chosen.toArray
+  }
+
+  /** Train the M×K codebooks: per subspace, farthest-point seeds then
+    * [[TrainRounds]] distributed Lloyd's rounds (one scan + a K×subdim
+    * aggregate each; empty cells keep their previous centroid). Returns
+    * codebooks(m)(code) = centroid, canonicalized for literal inlining.
+    */
+  def trainCodebooks(
+      emb: DataFrame,
+      m: Int = SubspacesM,
+      k: Int = CodebookK
+  ): Array[Array[Array[Double]]] = {
+    val base = subvectorBase(emb, m)
+    (0 until m).toArray.map { mi =>
+      val sub = base.select(col("vec_id"), col(s"sub_$mi").as("sv"))
+      val sample = sub
+        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(s":pqseed:$mi"))))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(SeedSampleCap)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      var centroids = farthestPointSeeds(sample, k)
+      for (_ <- 0 until TrainRounds) {
+        val assigned = assignCodes(sub, centroids)
+        val sums = assigned
+          .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("code"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          next(r.getAs[Int]("code"))(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n")
+        }
+        centroids = next
+      }
+      SimilarityOps.canonicalizeCentroids(centroids)
+    }
+  }
+
+  /** Squared L2 as an ORDERED fold — zip_with evaluates positionally and
+    * `aggregate` folds left-to-right, so the oracle's per-index comprehension
+    * + list_reduce performs the identical IEEE operation sequence.
+    */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, z) => acc + z)
+
+  /** Min-L2 code per (vector, one subspace): broadcast K centroids, argmin
+    * via the map-side-combinable `max(struct(-d2, -code))` aggregate.
+    */
+  private def assignCodes(sub: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_code", "cv")
+    sub
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"), col("sv"),
+        struct((-d2(col("sv"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("sv")).as("sv"), max(col("sc")).as("best"))
+      .select(col("vec_id"), col("sv"), (-col("best.negc")).cast("int").as("code"))
+  }
+
+  // --- declared queries -----------------------------------------------------
+
+  /** The trained codebooks as a (m, code, pos, component) relation — PQ
+    * training as its own oracled entry (VALUES-literal comparison, possible
+    * because training is deterministic and canonicalized; the
+    * `ivf_centroids` pattern).
+    */
+  def codebooksDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows: Seq[(Long, Long, Long, Double)] = for {
+      (cb, m) <- codebooks.zipWithIndex.toSeq
+      (c, code) <- cb.zipWithIndex.toSeq
+      (x, p) <- c.zipWithIndex.toSeq
+    } yield (m.toLong, code.toLong, p.toLong, x)
+    spark.createDataset(rows).toDF("m", "code", "pos", "component").orderBy("m", "code", "pos")
+  }
+
+  def oracleCodebooks(codebooks: Array[Array[Array[Double]]]): String = {
+    val rows = codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      SimilarityOps.centroidStrings(cb).zipWithIndex.flatMap { case (c, code) =>
+        c.zipWithIndex.map { case (s, p) => s"($m, $code, $p, CAST('$s' AS DOUBLE))" }
+      }
+    }
+    s"""SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, CAST(pos AS BIGINT) AS pos, component
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(m, code, pos, component)
+       |ORDER BY m, code, pos""".stripMargin
+  }
+
+  /** The (m, code, cv) centroid relation both encode and search broadcast. */
+  private def centsDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, code) => (m.toLong, code.toLong, c.toSeq) }
+    }.toSeq.toDF("m", "c_code", "cv")
+  }
+
+  /** The (vec_id, m, sub) narrow subvector relation (posexplode — one row
+    * per subspace, subdim doubles wide).
+    */
+  private def subsDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val mCount = codebooks.length
+    val sd     = codebooks.head.head.length
+    val v      = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    graft.Tables.widen(emb)
+      .select(col("vec_id"),
+        posexplode(array((0 until mCount).map(i => slice(v, lit(i * sd + 1), lit(sd))): _*)).as(Seq("m", "sub")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("sub"))
+  }
+
+  /** PQ encoding, declared: (vec_id, m, code, dist_r) — each subvector's
+    * nearest codebook entry and the (rounded) quantization error. One narrow
+    * exploded scan, broadcast cents, argmin collapsing in partial aggregates.
+    */
+  def codesDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    subsDF(emb, codebooks)
+      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct((-d2(col("sub"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), col("m"), (-col("best.negc")).as("code"),
+        round(sqrt(-col("best.nd")), 6).as("dist_r"))
+      .orderBy("vec_id", "m")
+  }
+
+  private def centsSqlCte(codebooks: Array[Array[Array[Double]]]): String = {
+    val rows = codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      SimilarityOps.centroidStrings(cb).zipWithIndex.map { case (c, code) =>
+        s"($m, $code, [${c.map(s => s"CAST('$s' AS DOUBLE)").mkString(", ")}])"
+      }
+    }
+    s"cents AS (SELECT * FROM (VALUES ${rows.mkString(",\n    ")}) AS t(m, c_code, cv))"
+  }
+
+  private def subsSqlCte(codebooks: Array[Array[Array[Double]]]): String = {
+    val mCount = codebooks.length
+    val sd     = codebooks.head.head.length
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, t.m, list_slice(v, t.m * $sd + 1, t.m * $sd + $sd) AS sub
+       |  FROM base, (VALUES ${(0 until mCount).map(i => s"($i)").mkString(", ")}) AS t(m))""".stripMargin
+  }
+
+  /** Ordered-fold squared L2 in DuckDB: per-index comprehension then
+    * list_reduce from an explicit 0.0 — the same IEEE sequence as [[d2]].
+    */
+  private def d2Sql(a: String, b: String, sd: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]) for i in range($sd)]), (x, y) -> x + y)"
+
+  def oracleCodes(codebooks: Array[Array[Array[Double]]]): String = {
+    val sd = codebooks.head.head.length
+    s"""WITH ${subsSqlCte(codebooks)},
+       |${centsSqlCte(codebooks)},
+       |d AS (
+       |  SELECT s.vec_id, s.m, c.c_code, ${d2Sql("s.sub", "c.cv", sd)} AS dd
+       |  FROM subs s JOIN cents c ON s.m = c.m),
+       |r AS (
+       |  SELECT vec_id, m, c_code, dd,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c_code) AS rn
+       |  FROM d)
+       |SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(c_code AS BIGINT) AS code, round(sqrt(dd), 6) AS dist_r
+       |FROM r WHERE rn = 1 ORDER BY vec_id, m""".stripMargin
+  }
+
+  /** ADC top-k, declared: for each query vector (exact), rank the corpus by
+    * the sum of per-subspace lookup-table distances to each vector's CODES.
+    * The lookup table is |Q|·M·K rows (tiny, broadcast); the corpus side is
+    * the narrow code relation; the M per-(query, vector) terms fold in fixed
+    * m-order (ordered float sum → cross-engine stable). Ranking uses the
+    * ROUNDED distance with a vec_id tie-break so the cut is deterministic.
+    */
+  def adcTopK(
+      emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = codesDF(emb, codebooks).select(col("vec_id"), col("m"), col("code"))
+    val table = subsDF(emb, codebooks)
+      .where(col("vec_id").isInCollection(queryIds))
+      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("c_code").as("code"),
+        d2(col("sub"), col("cv")).as("qd2"))
+    val adc = codes
+      .join(broadcast(table), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("terms"))
+      .withColumn("adc_r",
+        round(sqrt(expr("aggregate(transform(terms, t -> t.qd2), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_r"), col("vec_id"))
+    adc
+      .select(col("qid"), col("vec_id"), col("adc_r"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+      .orderBy("qid", "adc_r", "vec_id")
+  }
+
+  def oracleAdcTopK(
+      codebooks: Array[Array[Array[Double]]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10
+  ): String = {
+    val sd = codebooks.head.head.length
+    s"""WITH ${subsSqlCte(codebooks)},
+       |${centsSqlCte(codebooks)},
+       |d AS (
+       |  SELECT s.vec_id, s.m, c.c_code, ${d2Sql("s.sub", "c.cv", sd)} AS dd
+       |  FROM subs s JOIN cents c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id, m, c_code AS code FROM (
+       |    SELECT vec_id, m, c_code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c_code) AS rn
+       |    FROM d) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT vec_id AS qid, m, c_code AS code, dd AS qd2 FROM d
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id,
+       |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.qd2 ORDER BY t.m)), (x, y) -> x + y)), 6) AS adc_r
+       |  FROM codes c JOIN tbl t ON c.m = t.m AND c.code = t.code
+       |  GROUP BY t.qid, c.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc_r,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_r, vec_id) AS rn
+       |  FROM adc)
+       |SELECT qid, vec_id, adc_r FROM ranked WHERE rn <= $k
+       |ORDER BY qid, adc_r, vec_id""".stripMargin
+  }
+}

@@ -45,6 +45,20 @@ class ContaminationDriftSpec extends AnyFunSuite {
     assert(capped.length <= uncapped.length)
   }
 
+  test("contaminatedPairsBloom ≡ contaminatedPairs: the Bloom prune changes cost, never the answer") {
+    val benchText = "the quick brown fox jumps over the lazy dog today"
+    val leaked    = s"prefix words here $benchText and much more trailing content follows"
+    val clean     = "completely unrelated content with different vocabulary entirely present"
+    val other     = "someone else entirely wrote this particular string of words right here"
+    val df = docs((1L, benchText), (2L, leaked), (3L, clean), (4L, other), (5L, leaked + " twice over"))
+    val bench = Seq(1L).toDF("doc_id")
+    for (minShared <- Seq(1L, 5L)) {
+      val exact = Contamination.contaminatedPairs(df, bench, minShared).collect().toSeq
+      val bloom = Contamination.contaminatedPairsBloom(df, bench, minShared).collect().toSeq
+      assert(bloom == exact, s"minShared=$minShared")
+    }
+  }
+
   test("profile drift: added/removed/type/pii/ratio shifts, tolerance suppresses noise") {
     def p(name: String, t: SemanticType, pii: PiiLevel, nullR: Double, uniqR: Double) =
       ColumnProfile(originalName = name, suggestedName = name, dataType = t,

@@ -16,6 +16,8 @@ class ContractSpec extends AnyFunSuite {
     // have trained other dirs in this JVM — ADVICE r4)
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries("ivf_assign_embeddings")(SparkTestBase.spark, dir)
+    // the trained-PQ oracles are gated on the codebook cache the same way
+    SparkEntry.queries("pq_codes_embeddings")(SparkTestBase.spark, dir)
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSqlFor(Some(dir)).keySet
     assert(q == o, s"query/oracle drift: only-query=${q -- o}, only-oracle=${o -- q}")

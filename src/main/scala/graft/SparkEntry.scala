@@ -257,7 +257,11 @@ object SparkEntry {
           graft.dedup.DedupOps.minhashSignatures(dd.where(col("doc_id") < SparkEntry.incrementalSplit)),
           graft.dedup.DedupOps.minhashSignatures(dd.where(col("doc_id") >= SparkEntry.incrementalSplit))
         )
-      })
+      }),
+      // per-doc duplicated-shingle density — the exact-substring-dedup
+      // signal, a third consumer of the one persisted postings exchange (r9)
+      "dupgrams_documents" -> ((s: SparkSession, d: String) =>
+        graft.dedup.DedupOps.dupShingleStats(shinglePostings(s, d)))
     )
     val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "sample_documents" -> ((s: SparkSession, d: String) =>
@@ -265,7 +269,14 @@ object SparkEntry {
       "stratified_sample_documents" -> ((s: SparkSession, d: String) =>
         graft.sampling.Sampling.stratifiedSampleByHash(
           docs(s, d), "doc_id", "lang", SparkEntry.stratifiedFractions, defaultFraction = 0.05
-        ).orderBy("doc_id"))
+        ).orderBy("doc_id")),
+      // per-source quota capping — the domain-balancing primitive (keep at
+      // most N docs per source, hash-ordered so the kept set is stable
+      // across reruns and engines); cap sited below the uniform 25-per-source
+      // sf0.01 distribution so the rank filter bites on every stratum (r9)
+      "quota_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.quotaByHash(
+          docs(s, d), "doc_id", "source", SparkEntry.quotaCap).orderBy("doc_id"))
     )
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -302,7 +313,11 @@ object SparkEntry {
       "pq_codes_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.Pq.codesDF(emb(s, d), trainedCodebooks(s, d))),
       "pq_topk_embeddings" -> ((s: SparkSession, d: String) =>
-        graft.similarity.Pq.adcTopK(emb(s, d), trainedCodebooks(s, d)))
+        graft.similarity.Pq.adcTopK(emb(s, d), trainedCodebooks(s, d))),
+      // SemDeDup completed: CC labels over the semantic-pair graph, via the
+      // same O(log n) star loop as the text-dedup clusters (r9)
+      "semantic_clusters_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityOps.semanticClusters(emb(s, d), trainedCentroids(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -393,6 +408,23 @@ object SparkEntry {
           docs(s, d),
           s"/tmp/graft_jsonl/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
           "doc_id")),
+      // ORC write→read round-trip under the same identity oracle — the
+      // Hive-era columnar format a lakehouse migration hands this engine (r9)
+      "orc_roundtrip_documents" -> ((s: SparkSession, d: String) =>
+        graft.io.Sources.orcRoundTrip(
+          docs(s, d),
+          s"/tmp/graft_orc/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
+          "doc_id")),
+      // per-segment exact quantiles — the grouped twin of quantiles_lineitem,
+      // same distributed rank-select plan keyed by (group, column) (r9)
+      "group_quantiles_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.groupQuantiles(
+          Tables.load(s, d, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95))),
+      // trailing-baseline volume anomalies in exact integer algebra — the
+      // monitoring rule that pages when a day's event volume breaks ±3σ (r9)
+      "anomalies_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.dailyAnomalies(Tables.load(s, d, "events"))),
       // profile drift between two slices of the corpus — the monitoring
       // layer under the hash gate: "yesterday" (doc_id < split) vs "today"
       // (doc_id >= split, `source` column dropped), so both the schema-diff
@@ -459,6 +491,13 @@ object SparkEntry {
     * exceed 96 tokens), so the singleton rule itself is hash-checked.
     */
   val packBudget: Long = 96L
+
+  /** Per-source quota for the declared quota-capping query. The sf0.01
+    * corpus has exactly 25 docs in every source, so a cap of 18 makes the
+    * rank filter bite on all 20 strata (360 of 500 docs survive) — the
+    * window's tie-break and the hash ordering are both hash-checked.
+    */
+  val quotaCap: Int = 18
 
   /** Hot-shingle document-frequency cap for the declared capped Jaccard twin
     * (same rationale as [[contaminationCap]]: at 100 TB the cap is thousands;
@@ -527,14 +566,17 @@ object SparkEntry {
       "contamination_bloom_documents" -> graft.dedup.Contamination.oracleContaminatedPairs(),
       "contamination_capped_documents" -> graft.dedup.Contamination.oracleContaminatedPairsCapped(
         minShared = contaminationCappedMinShared, maxShingleDf = contaminationCap),
-      "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit)
+      "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit),
+      "dupgrams_documents" -> graft.dedup.DedupOps.oracleDupShingleStats
     )
     val docCols = Tables.columns("documents")
     val sampling = Seq(
       "sample_documents" -> graft.sampling.Sampling.oracleSampleByHash(
         "documents", "doc_id", docCols, 0.25),
       "stratified_sample_documents" -> graft.sampling.Sampling.oracleStratifiedSampleByHash(
-        "documents", "doc_id", "lang", docCols, stratifiedFractions, defaultFraction = 0.05)
+        "documents", "doc_id", "lang", docCols, stratifiedFractions, defaultFraction = 0.05),
+      "quota_documents" -> graft.sampling.Sampling.oracleQuotaByHash(
+        "documents", "doc_id", "source", docCols, quotaCap)
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
@@ -562,6 +604,7 @@ object SparkEntry {
           "ivf_assign_embeddings"    -> graft.similarity.SimilarityOps.oracleIvfAssignTrained(c),
           "ivf_topk_embeddings"      -> graft.similarity.SimilarityOps.oracleIvfTopKTrained(c),
           "semantic_dups_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticDupPairs(c),
+          "semantic_clusters_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticClusters(c),
           "outliers_embeddings"      -> graft.similarity.SimilarityOps.oracleEmbeddingOutliers(c)
         )
       }
@@ -622,6 +665,11 @@ object SparkEntry {
         "documents", Tables.columns("documents").filterNot(_ == "lang")),
       "jsonl_roundtrip_documents" ->
         s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents ORDER BY doc_id",
+      "orc_roundtrip_documents" ->
+        s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents ORDER BY doc_id",
+      "group_quantiles_lineitem" -> graft.stats.NumericStats.oracleGroupQuantiles(
+        "lineitem", "l_returnflag", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
+      "anomalies_events" -> graft.analytics.EventOps.oracleDailyAnomalies(),
       "drift_documents" -> OracleGen.driftSql(
         s"(SELECT * FROM documents WHERE doc_id < $driftSplit)",
         Tables.columns("documents"),

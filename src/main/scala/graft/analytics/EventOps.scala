@@ -149,6 +149,72 @@ object EventOps {
        |    RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_events
        |FROM daily ORDER BY event_type, day""".stripMargin
 
+  /** Volume anomaly detection over the daily event stream: a day is
+    * anomalous when its count deviates from the trailing baseline (the
+    * previous `windowDays` OBSERVED days, current day excluded) by more than
+    * `z` sample standard deviations, with at least `minBaseline` observations
+    * before any day may fire.
+    *
+    * The z-test is evaluated in EXACT INTEGER algebra — the repo's
+    * cross-engine convention forbids order-dependent float accumulation, and
+    * a σ-comparison multiplies out to one: with m = |baseline|, S = Σn,
+    * S2 = Σn², the condition |x − S/m| > z·σ (σ² sample variance) is
+    *
+    *   (m·x − S)² · (m−1)  >  z² · m · (m·S2 − S²)
+    *
+    * — counts are longs, every term is a long product (exact up to ~10⁸
+    * events/day at the 28-day window, far past any real per-type daily
+    * volume), and both engines compare identical integers. Scale shape: the
+    * daily rollup is a map-side-combinable groupBy; the window runs over
+    * |days| rows per event_type — years of history are thousands of rows per
+    * key, so the per-key window never concentrates raw events.
+    */
+  def dailyAnomalies(
+      events: DataFrame,
+      windowDays: Int = 28,
+      z: Int = 3,
+      minBaseline: Int = 7
+  ): DataFrame = {
+    val daily = graft.Tables.widen(events)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-windowDays.toLong, -1L)
+    val m  = count(lit(1)).over(w)
+    val s  = sum(col("n_events")).over(w)
+    val s2 = sum(col("n_events") * col("n_events")).over(w)
+    val dev = m * col("n_events") - s
+    daily
+      .withColumn("baseline_n", m)
+      .withColumn(
+        "is_anomaly",
+        col("baseline_n") >= minBaseline &&
+          dev * dev * (m - 1) > lit(z.toLong * z) * m * (m * s2 - s * s)
+      )
+      .select(col("event_type"), col("day"), col("n_events"), col("baseline_n"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB twin of [[dailyAnomalies]] — the identical integer inequality
+    * over the identical trailing-rows frame.
+    */
+  def oracleDailyAnomalies(windowDays: Int = 28, z: Int = 3, minBaseline: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day, count(*) AS n_events
+       |  FROM events GROUP BY event_type, day),
+       |roll AS (
+       |  SELECT event_type, day, n_events,
+       |    count(*) OVER w AS m, sum(n_events) OVER w AS s, sum(n_events * n_events) OVER w AS s2
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $windowDays PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, day, n_events, CAST(m AS BIGINT) AS baseline_n,
+       |  (m >= $minBaseline AND
+       |   (m*n_events - s)*(m*n_events - s)*(m-1) > ${z.toLong * z}*m*(m*s2 - s*s)) AS is_anomaly
+       |FROM roll ORDER BY event_type, day""".stripMargin
+
   def oracleRetention: String =
     s"""WITH ev AS (
        |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS day FROM events),

@@ -454,6 +454,43 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document duplicated-shingle density — the doc-level signal of the
+    * exact-substring dedup family (the published "what fraction of this
+    * document's n-grams appear elsewhere in the corpus" score that drives
+    * span-level dedup decisions): for each doc, its distinct-shingle count,
+    * how many of those shingles occur in ≥1 OTHER document, and the ratio.
+    *
+    * Derives from the SAME persisted [[shinglePostings]] exchange as both
+    * Jaccard twins — a third consumer of the one expensive aggregate. The
+    * per-doc rollup is a map-side-combinable groupBy on doc_id; posting-list
+    * width never matters because only `size(ids)` crosses the explode.
+    */
+  def dupShingleStats(postings: DataFrame): DataFrame =
+    postings
+      .select(explode(col("ids")).as("doc_id"), (size(col("ids")) > 1).cast("long").as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("dup")).as("n_dup_shingles"))
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_dup_shingles"),
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6).as("dup_ratio")
+      )
+      .orderBy("doc_id")
+
+  /** DuckDB twin of [[dupShingleStats]]: shingle document frequency over the
+    * distinct (doc, shingle) relation, rolled up per doc. Docs shorter than
+    * one shingle drop out on both sides.
+    */
+  def oracleDupShingleStats: String =
+    s"""WITH $oracleShingleCte,
+       |df AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       |  round(CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+       |FROM sh JOIN df ON sh.s = df.s
+       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+
   def oracleJaccardPairs(threshold: Double = 0.5): String =
     s"""WITH $oracleShingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -125,4 +125,23 @@ object Sources {
     writeJsonl(df, path)
     readJsonl(df.sparkSession, path, Some(df.schema)).orderBy(orderCol)
   }
+
+  /** ORC — the other columnar format a lakehouse migration hands this engine
+    * (Hive-era warehouses are predominantly ORC). Spark's native reader gives
+    * it the same predicate/projection pushdown as parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** ORC round-trip under the hash gate, same contract as [[jsonlRoundTrip]]:
+    * the oracle is the identity over the source parquet, so the ORC
+    * writer/reader pair is checked end-to-end.
+    */
+  def orcRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
+    writeOrc(df, path)
+    readOrc(df.sparkSession, path).orderBy(orderCol)
+  }
 }

@@ -60,6 +60,37 @@ object Sampling {
     df.where(gate(col(keyCol), salt) < thr)
   }
 
+  /** Per-stratum quota capping: keep at most `cap` rows per stratum, chosen
+    * by hash order (a reproducible shuffle of each stratum, same gate as
+    * [[sampleByHash]]). This is the domain-balancing primitive of web-corpus
+    * pipelines — no single source may contribute more than its quota to the
+    * training mix, and the kept subset must be stable across reruns and
+    * engines (so growing the corpus never churns already-selected rows of an
+    * unchanged stratum).
+    *
+    * Scale shape: a rank-limit window, NOT a global sort. Spark's
+    * WindowGroupLimit pushes the `rank <= cap` filter into a per-partition
+    * partial top-k BEFORE the stratum shuffle (plan-shape-asserted), so the
+    * exchange carries ≤ cap·|partitions| rows per stratum, never the stratum
+    * itself — the hot-domain skew case is bounded by construction.
+    */
+  def quotaByHash(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      cap: Int,
+      salt: String = "graft"
+  ): DataFrame = {
+    require(cap > 0, s"cap must be positive (got $cap)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(gate(col(keyCol), salt), col(keyCol))
+    graft.Tables.widen(df)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   // --- oracles --------------------------------------------------------------
 
   private def oracleGate(keyCol: String, salt: String): String =
@@ -78,6 +109,23 @@ object Sampling {
     s"""SELECT ${cols.mkString(", ")} FROM $table
        |WHERE ${oracleGate(keyCol, salt)} < ${threshold(fraction)}
        |ORDER BY $keyCol""".stripMargin
+
+  /** DuckDB twin of [[quotaByHash]]: the identical row_number window over
+    * (hash gate, key) per stratum.
+    */
+  def oracleQuotaByHash(
+      table: String,
+      keyCol: String,
+      strataCol: String,
+      cols: Seq[String],
+      cap: Int,
+      salt: String = "graft"
+  ): String =
+    s"""SELECT ${cols.mkString(", ")} FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY $strataCol ORDER BY ${oracleGate(keyCol, salt)}, $keyCol) AS rk
+       |  FROM $table)
+       |WHERE rk <= $cap ORDER BY $keyCol""".stripMargin
 
   /** DuckDB twin of [[stratifiedSampleByHash]]. */
   def oracleStratifiedSampleByHash(

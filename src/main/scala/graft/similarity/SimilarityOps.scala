@@ -684,13 +684,12 @@ object SimilarityOps {
       .orderBy("centroid_id", "vec_a", "vec_b")
   }
 
-  /** DuckDB twin of [[semanticDupPairs]]: same inlined centroid literals as
-    * the IVF oracles, row_number argmin assignment, within-cell pair join,
-    * exact threshold.
+  /** The [[oracleSemanticDupPairs]] statement without its final ORDER BY —
+    * embeddable as a CTE body (the clusters oracle nests it).
     */
-  def oracleSemanticDupPairs(
+  private def semanticDupPairsSql(
       centroids: Array[Array[Double]],
-      threshold: Double = 0.45
+      threshold: Double
   ): String =
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${centroidSqlCte(centroids)},
@@ -704,6 +703,60 @@ object SimilarityOps {
        |SELECT a.centroid_id AS centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim_r
        |FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-       |WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+       |WHERE list_cosine_similarity(a.v, b.v) >= $threshold""".stripMargin
+
+  /** DuckDB twin of [[semanticDupPairs]]: same inlined centroid literals as
+    * the IVF oracles, row_number argmin assignment, within-cell pair join,
+    * exact threshold.
+    */
+  def oracleSemanticDupPairs(
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): String =
+    s"""${semanticDupPairsSql(centroids, threshold)}
        |ORDER BY a.centroid_id, vec_a, vec_b""".stripMargin
+
+  /** SemDeDup completed: connected components over the semantic-dup pair
+    * graph, labeling every vector with its semantic-cluster survivor group
+    * (a downstream cut keeps `min(vec_id)` per cluster, exactly like the
+    * text-dedup route keeps one doc per cluster). Reuses the O(log n)-round
+    * large-star/small-star loop — cells bound the pair graph, the star loop
+    * bounds the rounds, so neither dense near-dup blobs nor chained drift
+    * across cell borders (A≈B in one cell, B≈C in another) breaks the
+    * labeling at 100 TB.
+    */
+  def semanticClusters(
+      emb: DataFrame,
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): DataFrame = {
+    val nodes = graft.Tables.widen(emb).select(col("vec_id").as("id"))
+    val edges = semanticDupPairs(emb, centroids, threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.dedup.DedupClusters.connectedComponentsStar(nodes, edges)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB twin of [[semanticClusters]]: the pairs statement nested as a
+    * CTE, then the same recursive min-label reachability the text-dedup
+    * clusters oracle uses (`DedupOps.oracleClusterCtes`). Every vector
+    * appears; singletons label themselves.
+    */
+  def oracleSemanticClusters(
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${semanticDupPairsSql(centroids, threshold)}),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT vec_id, cluster_id FROM cl ORDER BY vec_id""".stripMargin
 }

@@ -190,6 +190,126 @@ object NumericStats {
       .orderBy("column_name", "q_r")
   }
 
+  /** Per-group exact interpolated quantiles — [[quantiles]] generalized to a
+    * grouping dimension (the per-segment envelope a profiler reports next to
+    * the global one). Same scale-safe shape: a distributed range sort over
+    * narrow (grp, col_idx, v) rows, then two bounded-output passes — never a
+    * per-group buffering aggregate and never a one-partition-per-group
+    * window sort (3 groups at 100 TB ⇒ 3 partitions would each hold a third
+    * of the table; the range sort spreads every group across the cluster).
+    *
+    * Driver state is P×|groups|×|cols| longs — built for profiling-grade
+    * group cardinality (segments, flags, languages), not for group-by-key
+    * explosions; values and sums never reach the driver.
+    */
+  /** The distributed-sort relation [[groupQuantiles]] ranks over — the
+    * grouped twin of [[sortedLong]], exposed for the plan-shape regression
+    * test (range-partitioning exchange only, no buffering aggregate, no
+    * per-group window).
+    */
+  private[graft] def groupSorted(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }
+      .mkString(", ")
+    df.selectExpr(s"CAST(`$groupCol` AS STRING) AS grp", s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
+      .where("grp IS NOT NULL AND v IS NOT NULL")
+      .repartitionByRange(col("grp"), col("col_idx"), col("v"))
+      .sortWithinPartitions("grp", "col_idx", "v")
+  }
+
+  def groupQuantiles(df: DataFrame, groupCol: String, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty && qs.nonEmpty, "groupQuantiles needs columns and probabilities")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // every group present in the data reports a row per (col, q) — including
+    // groups whose column is entirely null (value null, like the SQL twin's
+    // GROUP BY); |groups| rows to the driver, the same bound as the rank maps
+    val groups: Seq[String] = df
+      .selectExpr(s"CAST(`$groupCol` AS STRING) AS grp")
+      .where("grp IS NOT NULL")
+      .distinct()
+      .as[String]
+      .collect()
+      .sorted
+      .toSeq
+    val sorted = groupSorted(df, groupCol, cols)
+      .as[(String, Int, Double)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      try {
+        // pass 1: per-(partition, group, column) value counts
+        val partCounts: Array[((Int, String, Int), Long)] = sorted
+          .mapPartitionsWithIndex { (pid, it) =>
+            val counts = scala.collection.mutable.HashMap.empty[(String, Int), Long]
+            it.foreach { case (g, ci, _) =>
+              val k = (g, ci)
+              counts.update(k, counts.getOrElse(k, 0L) + 1L)
+            }
+            counts.iterator.map { case ((g, ci), cnt) => ((pid, g, ci), cnt) }
+          }
+          .collect()
+        val n: Map[(String, Int), Long] =
+          partCounts.groupMapReduce(x => (x._1._2, x._1._3))(_._2)(_ + _).withDefaultValue(0L)
+        // each (partition, group, column) slice's starting global rank
+        val offsets: Map[(Int, String, Int), Long] = partCounts
+          .groupBy(x => (x._1._2, x._1._3))
+          .flatMap { case (_, slice) =>
+            var acc = 0L
+            slice.sortBy(_._1._1).map { case ((pid, g, ci), cnt) =>
+              val off = acc; acc += cnt; ((pid, g, ci), off)
+            }
+          }
+        // the global 0-based ranks each (group, column)'s quantiles need
+        val ranks: Map[(String, Int), Set[Long]] = n.map { case (k, nn) =>
+          k -> qs.flatMap { q =>
+            val x = (nn - 1) * q
+            Seq(math.floor(x).toLong, math.ceil(x).toLong)
+          }.toSet
+        }
+        // pass 2: emit only the ranked values
+        val hits: Map[(String, Int, Long), Double] = sorted
+          .mapPartitionsWithIndex { (pid, it) =>
+            val idx = scala.collection.mutable.HashMap.empty[(String, Int), Long]
+            it.flatMap { case (g, ci, v) =>
+              val k = (g, ci)
+              val r = idx.getOrElse(k, offsets.getOrElse((pid, g, ci), 0L))
+              idx.update(k, r + 1L)
+              if (ranks.getOrElse(k, Set.empty[Long])(r)) Iterator(((g, ci, r), v)) else Iterator.empty
+            }
+          }
+          .collect()
+          .toMap
+        for { g <- groups; (c, ci) <- cols.zipWithIndex; q <- qs } yield {
+          val nn = n((g, ci))
+          val value: Option[Double] =
+            if (nn == 0L) None
+            else {
+              val x  = (nn - 1) * q
+              val lo = hits((g, ci, math.floor(x).toLong))
+              val hi = hits((g, ci, math.ceil(x).toLong))
+              Some(lo + (hi - lo) * (x - math.floor(x)))
+            }
+          (g, c, q, value)
+        }
+      } finally sorted.unpersist(blocking = false)
+    rows
+      .toDF("grp", "column_name", "q_r", "value_raw")
+      .selectExpr("grp", "column_name", "q_r", "round(value_raw, 6) AS value_r")
+      .orderBy("grp", "column_name", "q_r")
+  }
+
+  def oracleGroupQuantiles(table: String, groupCol: String, cols: Seq[String], qs: Seq[Double]): String =
+    cols
+      .flatMap { c =>
+        qs.map { q =>
+          s"""SELECT CAST($groupCol AS VARCHAR) AS grp, '$c' AS column_name, CAST($q AS DOUBLE) AS q_r,
+             |  round(quantile_cont(CAST($c AS DOUBLE), $q), 6) AS value_r
+             |FROM $table WHERE $groupCol IS NOT NULL GROUP BY $groupCol""".stripMargin
+        }
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY grp, column_name, q_r")
+
   def oracleQuantiles(table: String, cols: Seq[String], qs: Seq[Double]): String =
     cols
       .flatMap { c =>

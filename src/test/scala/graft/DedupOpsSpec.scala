@@ -201,4 +201,19 @@ class DedupOpsSpec extends AnyFunSuite {
       }
     } finally postings.unpersist(blocking = false)
   }
+
+  test("dupShingleStats: planted shared shingles give exact per-doc counts and ratios") {
+    val df = docs(
+      (1L, "a b c d"), // shingles: "a b c", "b c d" — shares "a b c" with doc 2
+      (2L, "x a b c"), // shingles: "x a b", "a b c"
+      (3L, "p q r s"), // fully unique shingles
+      (4L, "t u")      // sub-shingle-length → absent from the output
+    )
+    val out = DedupOps.dupShingleStats(DedupOps.shinglePostings(df)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(4L))
+  }
 }

@@ -136,4 +136,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(byDay(d1 + 9).getAs[Long]("roll_events") == 3L)      // day10 window excludes days 1-2
     assert(byDay(d1 + 9).getAs[Long]("n_users") == 2L)          // users 1, 3
   }
+
+  test("dailyAnomalies: spike flags once the baseline is deep enough; noise within ±3σ stays silent") {
+    val spark0 = SparkTestBase.spark
+    import spark0.implicits._
+    // type x: 10 flat days of 10/day, then a 3× spike (fires: zero-variance
+    // baseline, any deviation breaks the inequality strictly);
+    // type y: alternating 9/11 then an 11 (|dev|=1σ·small — silent)
+    val series = Seq(
+      "x" -> (Seq.fill(10)(10) :+ 30),
+      "y" -> (Seq.tabulate(10)(i => if (i % 2 == 0) 9 else 11) :+ 11)
+    )
+    val rows = for {
+      (tpe, counts) <- series
+      (c, d)        <- counts.zipWithIndex
+      i             <- 0 until c
+    } yield (new java.sql.Timestamp(d.toLong * 86400000L + i * 1000L), s"u$i", tpe)
+    val df = rows.toDF("ts", "user_id", "event_type")
+    val out = EventOps.dailyAnomalies(df, windowDays = 28, z = 3, minBaseline = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 22)
+    assert(out(("x", 10L)) == ((30L, true)), "the spike must flag")
+    // nothing else flags: early days fail minBaseline, flat/noisy days pass the σ gate
+    for (((tpe, day), (_, anom)) <- out if (tpe, day) != (("x", 10L)))
+      assert(!anom, s"false positive at ($tpe, $day)")
+  }
 }

@@ -119,6 +119,14 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     assert(m.values.flatten.forall(f => f >= 0.0f && f <= 1.0f))
   }
 
+  test("ORC round-trip preserves schema and rows exactly") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val back = graft.io.Sources.orcRoundTrip(docs, dir, "doc_id")
+    assert(back.schema.map(f => (f.name, f.dataType)) == docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSeq == docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("MediaMeta rides as a typed struct column next to the payload") {
     val rows = Seq(
       (1L, "img-bytes".getBytes("UTF-8"), MediaOps.MediaMeta("image", 640, 480, 0)),

@@ -108,4 +108,32 @@ class NumericKMeansSpec extends AnyFunSuite {
     val b = KMeans.trainCentroids(emb, k = 4, iters = 2)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("groupQuantiles: matches the per-group percentile aggregate, all-null groups yield null") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val got = NumericStats.groupQuantiles(li, "l_returnflag", Seq("l_quantity", "l_extendedprice"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    for (c <- Seq("l_quantity", "l_extendedprice")) {
+      val exp = li
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.expr(
+          s"percentile(CAST($c AS DOUBLE), array(${qs.mkString(", ")}))").as("p"))
+        .collect()
+      assert(exp.nonEmpty)
+      for (r <- exp; (q, i) <- qs.zipWithIndex) {
+        val want = BigDecimal(r.getAs[Seq[Double]]("p")(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((r.getString(0), c, q)) == want, s"grp=${r.getString(0)} $c q=$q")
+      }
+    }
+    // a group whose column is entirely null reports null, not a crash or 0
+    val withNulls = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val gq = NumericStats.groupQuantiles(withNulls, "g", Seq("v"), Seq(0.5)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(gq("a") == Some(2.0) && gq("b").isEmpty)
+  }
 }

@@ -120,4 +120,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange") || "Exchange (\\w+)".r.findAllMatchIn(p).forall(_.group(1).startsWith("RoundRobin")),
       s"sampling should be a pure filter:\n$p")
   }
+
+  test("quota rank filter becomes a per-partition group limit before the stratum shuffle") {
+    val p = plan(graft.sampling.Sampling.quotaByHash(docs, "doc_id", "source", 18))
+    // Spark's WindowGroupLimit turns rank<=k into a partial top-k on the map
+    // side — the exchange carries ≤ cap·partitions rows per stratum, never
+    // the stratum itself (the hot-domain skew guard this operator relies on)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=cap not pushed to a group limit — full strata would cross the shuffle:\n$p")
+  }
+
+  test("group quantiles rank over a distributed range sort — no buffering aggregate, no per-group window") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = plan(graft.stats.NumericStats.groupSorted(li, "l_returnflag", Seq("l_quantity", "l_extendedprice")))
+    assert(!p.contains("percentile"), s"buffering percentile aggregate in the grouped sort plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the grouped sort plan:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"per-group window sort in the grouped plan:\n$p")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("rangepartitioning")),
+      s"expected exactly the range-sort exchange, got $exchanges:\n$p")
+  }
 }

@@ -178,4 +178,24 @@ class SamplingClustersSpec extends AnyFunSuite {
       spark.sql(s"DROP VIEW IF EXISTS graft_firstseen_eq")
     }
   }
+
+  test("quotaByHash: at most cap per stratum, deterministic, monotone under cap growth") {
+    val out = Sampling.quotaByHash(docs, "doc_id", "source", cap = 3)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, total) <- full)
+      assert(kept(src) == math.min(3L, total), s"$src kept ${kept(src)} of $total")
+    // reproducible
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaByHash(docs, "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // raising the quota never evicts an already-kept row (hash order is
+    // stable — a growing corpus budget only ADDS rows per stratum)
+    val c5 = Sampling.quotaByHash(docs, "doc_id", "source", cap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c5))
+  }
 }

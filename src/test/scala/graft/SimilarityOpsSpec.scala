@@ -142,4 +142,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val worstKept = sims.max
     assert(all.filterNot { case (id, _) => kept(id) }.values.forall(_ >= worstKept))
   }
+
+  test("semanticClusters: star labels equal the min-label reference over the semantic pair graph") {
+    import org.apache.spark.sql.functions.col
+    val cents = SimilarityOps.canonicalizeCentroids(graft.similarity.KMeans.trainCentroids(clustered, k = 4, iters = 2))
+    // threshold low enough that the planted 5-vector blobs pair up
+    val pairs = SimilarityOps.semanticDupPairs(clustered, cents, threshold = 0.2)
+    assert(pairs.count() > 0, "fixture must produce semantic pairs")
+    val labels = SimilarityOps.semanticClusters(clustered, cents, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector labeled; endpoints of every pair share a label
+    assert(labels.size == clustered.count())
+    for (r <- pairs.collect())
+      assert(labels(r.getLong(1)) == labels(r.getLong(2)), s"split pair ${r.getLong(1)}-${r.getLong(2)}")
+    // and the star loop's fixpoint equals the diameter-bound reference CC
+    val ref = graft.dedup.DedupClusters.connectedComponents(
+      clustered.select(col("vec_id").as("id")),
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == ref)
+  }
 }

@@ -190,6 +190,10 @@ object SparkEntry {
       // subset selection (r7)
       "dsir_weights_documents" -> ((s: SparkSession, d: String) =>
         graft.text.TextOps.dsirWeights(docs(s, d))),
+      // the selection step those weights exist for: importance-ranked top-N
+      // cut (TakeOrdered, never a full corpus sort) (r9)
+      "dsir_top_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.dsirTop(docs(s, d), SparkEntry.dsirTopN)),
       // Gopher-style conjunctive rule gate — thresholds sited where every
       // rule fires in both directions at sf0.01, so each boundary is
       // hash-checked (r7b)
@@ -203,7 +207,11 @@ object SparkEntry {
       "novelty_documents" -> ((s: SparkSession, d: String) =>
         graft.text.TextOps.novelty(docs(s, d))),
       "boilerplate_documents" -> ((s: SparkSession, d: String) =>
-        graft.text.TextOps.boilerplateShingles(docs(s, d)))
+        graft.text.TextOps.boilerplateShingles(docs(s, d))),
+      // top-k vocabulary coverage curve — ks sited inside the 31-token
+      // sf0.01 vocabulary so every rank boundary bites (r9)
+      "vocab_coverage_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.vocabCoverage(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -334,6 +342,12 @@ object SparkEntry {
           Tables.load(s, d, "lineitem"), "lineitem",
           Seq("order" -> "l_orderkey", "part" -> "l_partkey", "supplier" -> "l_suppkey"))),
       "fk_candidates" -> ((s: SparkSession, d: String) => graft.vault.DataVault.fkCandidates(s, d)),
+      // unary functional-dependency mining over orders — the schema pass
+      // profilers run next to inclusion dependencies; o_orderkey→* holds,
+      // every other determinant violates somewhere, so both branches of the
+      // `holds` boolean are hash-checked (r9)
+      "fd_candidates_orders" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.fdCandidates(Tables.load(s, d, "orders"), Tables.columns("orders"))),
       // masking decisions come from the engine's LIVE cached profile; the
       // oracle recomputes pii_level independently inside SQL — a true
       // end-to-end check of the profile→governance integration
@@ -492,6 +506,12 @@ object SparkEntry {
     */
   val packBudget: Long = 96L
 
+  /** Cut size for the declared DSIR top-N selection — a fifth of the sf0.01
+    * corpus, so the cut excludes most docs (the rank boundary is
+    * hash-checked, not just the scoring).
+    */
+  val dsirTopN: Int = 100
+
   /** Per-source quota for the declared quota-capping query. The sf0.01
     * corpus has exactly 25 docs in every source, so a cap of 18 makes the
     * rank filter bite on all 20 strata (360 of 500 docs survive) — the
@@ -547,10 +567,12 @@ object SparkEntry {
       "mixture_documents" -> graft.text.TextOps.oracleMixture,
       "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query),
       "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights(),
+      "dsir_top_documents" -> graft.text.TextOps.oracleDsirTop(dsirTopN),
       "gopher_quality_documents" -> graft.text.TextOps.oracleGopherQuality,
       "tfidf_keywords_documents" -> graft.text.TextOps.oracleTfidfKeywords(),
       "novelty_documents" -> graft.text.TextOps.oracleNovelty,
-      "boilerplate_documents" -> graft.text.TextOps.oracleBoilerplateShingles()
+      "boilerplate_documents" -> graft.text.TextOps.oracleBoilerplateShingles(),
+      "vocab_coverage_documents" -> graft.text.TextOps.oracleVocabCoverage()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
@@ -639,6 +661,7 @@ object SparkEntry {
         "lineitem", "lineitem",
         Seq("order" -> "l_orderkey", "part" -> "l_partkey", "supplier" -> "l_suppkey")),
       "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates,
+      "fd_candidates_orders" -> graft.vault.DataVault.oracleFdCandidates("orders", Tables.columns("orders")),
       "masked_customer" -> OracleGen.maskedSql(
         "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal"))
     )

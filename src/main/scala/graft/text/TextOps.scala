@@ -216,7 +216,10 @@ object TextOps {
     * combinable), the ≤|vocab| ratio table broadcasts back onto the token
     * stream, per-doc decimal sum, left join for token-less docs.
     */
-  def dsirWeights(docs: DataFrame, targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+  /** The (doc_id, n_tokens, logweight_r) relation [[dsirWeights]] and
+    * [[dsirTop]] share — every doc present, token-less docs at weight 0.
+    */
+  private def dsirPerDoc(docs: DataFrame, targetLang: String, alpha: Double): DataFrame = {
     val base = graft.Tables.widen(docs)
     val toks = base.select(
       col("doc_id"),
@@ -249,7 +252,23 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("sum_lr").cast("double"), lit(0.0)), 6).as("logweight_r")
       )
-      .orderBy("doc_id")
+  }
+
+  def dsirWeights(docs: DataFrame, targetLang: String = "en", alpha: Double = 0.5): DataFrame =
+    dsirPerDoc(docs, targetLang, alpha).orderBy("doc_id")
+
+  /** The selection step DSIR scores exist for: the importance-ranked top-`n`
+    * cut of the corpus (highest target/source log-weight first, doc_id
+    * tie-break — a total order, so the cut is deterministic on every engine).
+    * Plan: TakeOrderedAndProject — per-partition top-n then a driver-side
+    * merge of P·n rows, never a full global sort of the corpus
+    * (plan-shape-asserted).
+    */
+  def dsirTop(docs: DataFrame, n: Int, targetLang: String = "en", alpha: Double = 0.5): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    dsirPerDoc(docs, targetLang, alpha)
+      .orderBy(col("logweight_r").desc, col("doc_id"))
+      .limit(n)
   }
 
   def oracleDsirWeights(targetLang: String = "en", alpha: Double = 0.5): String = {
@@ -275,6 +294,66 @@ object TextOps {
        |  round(coalesce(CAST(p.sum_lr AS DOUBLE), 0.0), 6) AS logweight_r
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[dsirTop]]: the [[oracleDsirWeights]] relation under the
+    * identical (logweight_r DESC, doc_id) total order, cut at `n`. The rank
+    * key is the ROUNDED weight on both sides, so rounding can never reorder
+    * one engine against the other.
+    */
+  def oracleDsirTop(n: Int, targetLang: String = "en", alpha: Double = 0.5): String = {
+    val weights = oracleDsirWeights(targetLang, alpha)
+    val body    = weights.substring(0, weights.lastIndexOf("ORDER BY"))
+    s"""${body}ORDER BY logweight_r DESC, d.doc_id LIMIT $n""".stripMargin
+  }
+
+  /** Vocabulary coverage curve — the data-card statistic behind tokenizer
+    * budget decisions: what share of all token OCCURRENCES the top-k
+    * vocabulary covers, for each k in `ks`. Total order (count desc, token
+    * asc) makes the curve deterministic under count ties.
+    *
+    * Scale shape: token counts are one map-side-combinable aggregate; only
+    * the top max(k) rows ever leave the cluster (TakeOrdered — a bounded
+    * driver merge, never a |vocab|-row window or sort), and the cumulative
+    * sum is driver arithmetic over that bounded set. Exact long counts; the
+    * share is the one rounded long/long quotient.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive (got $ks)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = graft.Tables.widen(docs)
+      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).first().getLong(0)
+    val top = counts
+      .orderBy(col("n").desc, col("token"))
+      .limit(ks.max)
+      .select(col("n"))
+      .collect()
+      .map(_.getLong(0))
+    val cum = top.scanLeft(0L)(_ + _) // cum(i) = occurrences covered by top-i
+    val rows = ks.sorted.map(k => (k, cum(math.min(k, top.length)), total))
+    rows.toDF("k", "covered", "total")
+      .selectExpr("k", "covered", "total", "round(CAST(covered AS DOUBLE) / total, 6) AS share_r")
+      .orderBy("k")
+  }
+
+  def oracleVocabCoverage(ks: Seq[Int] = Seq(5, 10, 20)): String = {
+    val selects = ks.sorted.map { k =>
+      s"""SELECT $k AS k,
+         |  CAST(coalesce(sum(CASE WHEN rk <= $k THEN n END), 0) AS BIGINT) AS covered,
+         |  CAST(sum(n) AS BIGINT) AS total,
+         |  round(CAST(coalesce(sum(CASE WHEN rk <= $k THEN n END), 0) AS DOUBLE) / sum(n), 6) AS share_r
+         |FROM ranked""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '$TokenRe')) AS token FROM documents),
+       |counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+       |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
   }
 
   // --- corpus statistics ----------------------------------------------------

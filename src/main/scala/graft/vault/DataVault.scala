@@ -244,4 +244,56 @@ object DataVault {
        |${selects.mkString("\nUNION ALL\n")}
        |) ORDER BY child_table, child_column, parent_table""".stripMargin
   }
+
+  /** Unary functional-dependency discovery over one table's column pairs —
+    * the schema-mining pass classical profilers run next to inclusion
+    * dependencies ([[fkCandidates]]): `det → dep` holds when no determinant
+    * value co-occurs with two dependent values. Emits, per ordered pair, the
+    * number of VIOLATING determinant groups (so near-FDs are visible, not
+    * just the boolean).
+    *
+    * Shape per determinant: values are string-rendered (injective per engine
+    * — renderings may differ across engines but distinctness is preserved,
+    * which is all counting needs), stacked to (det_val, dep, dep_val),
+    * deduplicated, then two cheap count aggregates. Never a multi-
+    * `count_distinct` Expand over the raw table, and aggregate state is O(1)
+    * per group — the |cols|² pair budget is the caller's knob, as in every
+    * published FD miner.
+    */
+  def fdCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "fdCandidates needs at least two columns")
+    val perDet = cols.map { det =>
+      val deps = cols.filterNot(_ == det)
+      val stackArgs = deps.map(dp => s"'$dp', CAST(`$dp` AS STRING)").mkString(", ")
+      val pairCounts = df
+        .selectExpr(s"CAST(`$det` AS STRING) AS det_val", s"stack(${deps.size}, $stackArgs) AS (dep, dep_val)")
+        .distinct()
+        .groupBy(col("det_val"), col("dep"))
+        .agg(count(lit(1)).as("nv"))
+      pairCounts
+        .groupBy(col("dep"))
+        .agg(sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(det).as("determinant"), col("dep").as("dependent"), col("n_violating"))
+    }
+    perDet
+      .reduce(_ unionAll _)
+      .withColumn("holds", col("n_violating") === 0L)
+      .orderBy("determinant", "dependent")
+  }
+
+  /** DuckDB twin of [[fdCandidates]]: one distinct-pair subquery per ordered
+    * column pair (VARCHAR-rendered like the Spark side — only distinctness
+    * matters, not the rendering).
+    */
+  def oracleFdCandidates(table: String, cols: Seq[String]): String = {
+    val selects = for (det <- cols; dep <- cols if dep != det) yield
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         |  CAST((SELECT sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) FROM (
+         |    SELECT count(*) AS nv FROM (
+         |      SELECT DISTINCT CAST($det AS VARCHAR) AS dv, CAST($dep AS VARCHAR) AS pv FROM $table)
+         |    GROUP BY dv)) AS BIGINT) AS n_violating""".stripMargin
+    s"""SELECT *, (n_violating = 0) AS holds FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) ORDER BY determinant, dependent""".stripMargin
+  }
 }

@@ -90,4 +90,25 @@ class DataVaultSpec extends AnyFunSuite {
     val c2 = eps.filter(_.getAs[Long]("o_custkey") == 2L).sortBy(_.getAs[Long]("episode"))
     assert(c2.map(_.getAs[String]("o_orderpriority")).toSeq == Seq("B", "A"), "orderkey tie-break")
   }
+
+  test("fdCandidates: planted FDs hold, violating groups counted, null is a dependent value") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"),
+      (2L, "a", "x"),
+      (3L, "b", "y"),
+      (4L, "b", "z"),
+      (5L, "c", "x")
+    ).toDF("id", "g", "v")
+      .unionAll(Seq((6L, "d", null.asInstanceOf[String])).toDF("id", "g", "v"))
+      .unionAll(Seq((7L, "d", "w")).toDF("id", "g", "v"))
+    val out = DataVault.fdCandidates(df, Seq("id", "g", "v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 6)
+    assert(out(("id", "g")) == ((0L, true)))  // unique determinant → holds
+    assert(out(("id", "v")) == ((0L, true)))
+    assert(out(("g", "v")) == ((2L, false)))  // b→{y,z} and d→{null,w} both violate
+    assert(out(("g", "id")) == ((3L, false))) // a, b, d are multi-row groups
+    assert(out(("v", "g")) == ((1L, false)))  // x→{a,c}; y,z,w,null each single
+  }
 }

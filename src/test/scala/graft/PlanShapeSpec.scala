@@ -130,6 +130,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=cap not pushed to a group limit — full strata would cross the shuffle:\n$p")
   }
 
+  test("dsir top-N cut is a TakeOrdered, not a full corpus sort") {
+    val p = plan(graft.text.TextOps.dsirTop(docs, 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N should merge per-partition heads, not globally sort:\n$p")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(!exchanges.exists(_.startsWith("rangepartitioning")),
+      s"global sort exchange in the top-N plan: $exchanges\n$p")
+  }
+
   test("group quantiles rank over a distributed range sort — no buffering aggregate, no per-group window") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p = plan(graft.stats.NumericStats.groupSorted(li, "l_returnflag", Seq("l_quantity", "l_extendedprice")))

@@ -238,4 +238,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.get("lorem ipsum dolor").contains(3L), m.toString) // docs 1,2,3 — not 4×
     assert(rows.forall(_.getAs[Long]("df") >= 3L))
   }
+
+  test("vocabCoverage: exact cumulative shares under the (count desc, token asc) order") {
+    val df = docs(
+      (1L, "a a a b b c", "en", "s", 11L),
+      (2L, "d d", "en", "s", 3L)
+    ) // counts: a=3, d=2, b=2, c=1 → order a, b, d, c (tie b/d → b first)
+    val out = TextOps.vocabCoverage(df, ks = Seq(1, 2, 3, 10)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((3L, 8L, 0.375)))
+    assert(out(2) == ((5L, 8L, 0.625)))   // a + b (alphabetical tie-break)
+    assert(out(3) == ((7L, 8L, 0.875)))
+    assert(out(10) == ((8L, 8L, 1.0)))    // k past |vocab| covers everything
+  }
+
+  test("dsirTop: the cut is exactly the n heaviest docs under the (weight desc, doc_id) total order") {
+    val corpus = Tables.load(SparkTestBase.spark, "/root/testdata/sf0.001", "documents")
+    val n = 10
+    val top = TextOps.dsirTop(corpus, n).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(top.length == n)
+    // agrees with ranking the full weights relation the same way
+    val all = TextOps.dsirWeights(corpus).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, w) => (-w, id) }
+    assert(top.toSeq == all.take(n).toSeq)
+  }
 }

@@ -48,18 +48,6 @@ object Pq {
 
   // --- training -------------------------------------------------------------
 
-  /** The (vec_id, sub_0 … sub_{M-1}) projection training and encoding share:
-    * doubles, checkpointed once.
-    */
-  private def subvectorBase(emb: DataFrame, m: Int): DataFrame = {
-    val sd = subDim(emb, m)
-    val v  = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    graft.Tables.widen(emb)
-      .select(col("vec_id") +: (0 until m).map(i =>
-        slice(v, lit(i * sd + 1), lit(sd)).as(s"sub_$i")): _*)
-      .localCheckpoint()
-  }
-
   /** Subvector width (dim / M); derived from the data once per call site. */
   private def subDim(emb: DataFrame, m: Int): Int = {
     val dim = graft.Tables.widen(emb).select(size(col("embedding"))).head().getInt(0)
@@ -94,42 +82,70 @@ object Pq {
     chosen.toArray
   }
 
-  /** Train the M×K codebooks: per subspace, farthest-point seeds then
-    * [[TrainRounds]] distributed Lloyd's rounds (one scan + a K×subdim
-    * aggregate each; empty cells keep their previous centroid). Returns
-    * codebooks(m)(code) = centroid, canonicalized for literal inlining.
+  /** Train the M×K codebooks — ALL subspaces per job, not a per-subspace
+    * loop: the r6 form ran M×(1 seed + [[TrainRounds]] Lloyd) ≈ 24 sequential
+    * Spark jobs and was the slowest query on the board at toy scale (pure
+    * per-job scheduling floor) while ALSO scanning the corpus M times per
+    * round at real scale. Here the narrow (vec_id, mi, sv) relation is
+    * checkpointed once; seeding is ONE job (per-subspace md5 rank with the
+    * identical per-mi hash, so the sample sets are the same); each Lloyd
+    * round is ONE scan assigning codes for every subspace simultaneously
+    * (broadcast M×K centroids, argmin collapsing in partial aggregates) and
+    * bringing M×K×subdim sum rows to the driver. Empty cells keep their
+    * previous centroid. Returns codebooks(m)(code) = centroid, canonicalized
+    * for literal inlining.
     */
   def trainCodebooks(
       emb: DataFrame,
       m: Int = SubspacesM,
       k: Int = CodebookK
   ): Array[Array[Array[Double]]] = {
-    val base = subvectorBase(emb, m)
-    (0 until m).toArray.map { mi =>
-      val sub = base.select(col("vec_id"), col(s"sub_$mi").as("sv"))
-      val sample = sub
-        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(s":pqseed:$mi"))))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(SeedSampleCap)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      var centroids = farthestPointSeeds(sample, k)
-      for (_ <- 0 until TrainRounds) {
-        val assigned = assignCodes(sub, centroids)
-        val sums = assigned
-          .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy(col("code"), col("pos"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = centroids.map(_.clone())
-        sums.foreach { r =>
-          next(r.getAs[Int]("code"))(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n")
-        }
-        centroids = next
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sd = subDim(emb, m)
+    val v  = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val subs = graft.Tables.widen(emb)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(i => slice(v, lit(i * sd + 1), lit(sd))): _*)).as(Seq("mi", "sv")))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("mi")).orderBy(col("h"), col("vec_id"))
+    val sampleRows = subs
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit(":pqseed:"), col("mi").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= SeedSampleCap)
+      .select(col("mi"), col("vec_id"), col("sv"))
+      .collect()
+    val samples = sampleRows
+      .groupBy(_.getInt(0))
+      .map { case (mi, rows) =>
+        mi -> rows.map(r => (r.getLong(1), r.getSeq[Double](2).toArray)).sortBy(_._1)
       }
-      SimilarityOps.canonicalizeCentroids(centroids)
+    var codebooks: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map(mi => farthestPointSeeds(samples(mi), k))
+    for (_ <- 0 until TrainRounds) {
+      val cents = codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, code) => (mi, code, c.toSeq) }
+      }.toSeq.toDF("mi", "c_code", "cv")
+      val sums = subs
+        .join(broadcast(cents), Seq("mi"))
+        .select(
+          col("vec_id"), col("mi"), col("sv"),
+          struct((-d2(col("sv"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
+        .groupBy(col("vec_id"), col("mi"))
+        .agg(first(col("sv")).as("sv"), max(col("sc")).as("best"))
+        .select(col("mi"), (-col("best.negc")).cast("int").as("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("mi"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getAs[Int]("mi"))(r.getAs[Int]("code"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      codebooks = next
     }
+    codebooks.map(SimilarityOps.canonicalizeCentroids)
   }
 
   /** Squared L2 as an ORDERED fold — zip_with evaluates positionally and
@@ -141,23 +157,6 @@ object Pq {
       zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, z) => acc + z)
-
-  /** Min-L2 code per (vector, one subspace): broadcast K centroids, argmin
-    * via the map-side-combinable `max(struct(-d2, -code))` aggregate.
-    */
-  private def assignCodes(sub: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val spark = sub.sparkSession
-    import spark.implicits._
-    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("c_code", "cv")
-    sub
-      .crossJoin(broadcast(cents))
-      .select(
-        col("vec_id"), col("sv"),
-        struct((-d2(col("sv"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("sv")).as("sv"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("sv"), (-col("best.negc")).cast("int").as("code"))
-  }
 
   // --- declared queries -----------------------------------------------------
 

@@ -118,15 +118,30 @@ object StreamJoin {
       )
 
     val name = s"graft_stream_join_${runCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a stream-stream join instantiates one state store PER SHUFFLE PARTITION
+    // per side per microbatch — the partition count is a throughput knob, not
+    // a session constant. The session default (sized for batch scans) made
+    // this query pay 32 state-store setups per pass at any input size; size
+    // the stateful shuffle to the stream and restore the session conf after.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    try {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name).orderBy("purchase_id", "view_id")
   }
+
+  /** Stateful-shuffle width of the declared streaming query (state stores
+    * scale with it; 8 covers the bench corpus with headroom — a production
+    * deployment sizes this to event rate × window).
+    */
+  val StreamShufflePartitions = 8
 
   def oracleAttribution(windowSeconds: Long = DefaultWindowSeconds): String = {
     val winUs = windowSeconds * 1000000L

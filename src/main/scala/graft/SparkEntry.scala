@@ -403,6 +403,17 @@ object SparkEntry {
         graft.analytics.RangeJoin.priceBandStats(Tables.load(s, d, "lineitem"))),
       "retention_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.retention(Tables.load(s, d, "events"))),
+      // per-user Markov transition counts — the path-mining twin of the
+      // funnel (lag window per user, |types|² rollup) (r9)
+      "transitions_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.transitions(Tables.load(s, d, "events"))),
+      // pairwise correlation envelope as EXACT decimal sums (r9)
+      "corr_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.corrEnvelope(Tables.load(s, d, "lineitem"), SparkEntry.corrPairs)),
+      // robust (winsorized) envelope: clip at exact p05/p95, exact clipped sum (r9)
+      "winsorized_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.winsorizedStats(
+          Tables.load(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
       // trailing-7-day rolling event volumes per type (r7b)
       "rolling_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.rollingDaily(Tables.load(s, d, "events"))),
@@ -505,6 +516,15 @@ object SparkEntry {
     * exceed 96 tokens), so the singleton rule itself is hash-checked.
     */
   val packBudget: Long = 96L
+
+  /** Column pairs for the declared correlation envelope: the four lineitem
+    * measures, all six unordered pairs (price = f(quantity) is strongly
+    * positive, discount/tax are independent draws — both regimes covered).
+    */
+  val corrPairs: Seq[(String, String)] = {
+    val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    for { (a, i) <- ms.zipWithIndex; b <- ms.drop(i + 1) } yield (a, b)
+  }
 
   /** Cut size for the declared DSIR top-N selection — a fifth of the sf0.01
     * corpus, so the cut excludes most docs (the rank boundary is
@@ -682,6 +702,10 @@ object SparkEntry {
       "asof_orders_events" -> graft.analytics.AsOfJoin.oracleOrdersAsOf,
       "range_bands_lineitem" -> graft.analytics.RangeJoin.oraclePriceBandStats,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
+      "transitions_events" -> graft.analytics.EventOps.oracleTransitions,
+      "corr_lineitem" -> graft.stats.NumericStats.oracleCorrEnvelope("lineitem", corrPairs),
+      "winsorized_lineitem" -> graft.stats.NumericStats.oracleWinsorizedStats(
+        "lineitem", Seq("l_quantity", "l_extendedprice")),
       "rolling_events" -> graft.analytics.EventOps.oracleRollingDaily(),
       "scd2_orders" -> graft.vault.Scd2.oracleOrderPriorityEpisodes,
       "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(

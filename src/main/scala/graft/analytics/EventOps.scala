@@ -197,6 +197,38 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Markov transition counts over each user's event sequence — the
+    * path-mining pass next to funnels: how often event type A is immediately
+    * followed by B within one user's timeline. Ordering is (ts µs, event_id)
+    * so simultaneous events transition deterministically on both engines.
+    *
+    * Scale shape: the lag window partitions by user_id over that user's own
+    * events (bounded per key); the rollup is a map-side-combinable groupBy on
+    * |types|² keys. No self-join of the event stream.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    graft.Tables.widen(events)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  def oracleTransitions: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events)
+       |SELECT prev_type, event_type AS next_type, count(*) AS n
+       |FROM seq WHERE prev_type IS NOT NULL
+       |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
+
   /** DuckDB twin of [[dailyAnomalies]] — the identical integer inequality
     * over the identical trailing-rows frame.
     */

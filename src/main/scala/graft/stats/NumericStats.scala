@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Numeric column profiling — the measure-column envelope (count / min /
@@ -309,6 +309,131 @@ object NumericStats {
         }
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY grp, column_name, q_r")
+
+  /** Pairwise correlation ENVELOPE — the cross-column dependency pass of a
+    * numeric profiler, published as exact sums, not as a rounded float `r`:
+    * per column pair, the pairwise-complete count and the exact decimal sums
+    * of x, y, x², y², xy. Pearson's r is driver arithmetic over these five
+    * sums; the declared columns are exact (the repo convention after the r7
+    * unigram incident: never declare a rounded quotient of a fixed-scale
+    * decimal — publish the exact numerators and denominators).
+    *
+    * Exactness: inputs cast to DECIMAL(19,`inScale`) — exact when the data
+    * carries at most `inScale` decimals (the declared lineitem measures are
+    * 2-decimal; grep-checked against the testdata) — and decimal×decimal
+    * products (scale 2·inScale) are exact, so float summation order never
+    * enters. Width 19, not 18: DuckDB backs DECIMAL(≤18) with int64 and its
+    * product overflows; 19 forces int128 on its side while Spark's
+    * (39, 2s)→(38, 2s) cap still loses no integer headroom the sums need.
+    * One scan computes every pair (map-side partial, 1-row exchange),
+    * stack-pivoted after aggregation.
+    */
+  def corrEnvelope(df: DataFrame, pairs: Seq[(String, String)], inScale: Int = 2): DataFrame = {
+    require(pairs.nonEmpty, "corrEnvelope needs at least one pair")
+    val outScale = 2 * inScale
+    def dec(c: String) = col(c).cast(s"decimal(19,$inScale)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e)).cast(s"decimal(38,$outScale)").cast("string").as(s"p${i}__$name")
+      Seq(
+        count(when(both, lit(1))).as(s"p${i}__n"),
+        s(dec(x), "sx"), s(dec(y), "sy"),
+        s(dec(x) * dec(x), "sxx"), s(dec(y) * dec(y), "syy"), s(dec(x) * dec(y), "sxy")
+      )
+    }
+    val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((x, y), i) =>
+        s"'$x', '$y', `p${i}__n`, `p${i}__sx`, `p${i}__sy`, `p${i}__sxx`, `p${i}__syy`, `p${i}__sxy`"
+      }
+      .mkString(", ")
+    agged
+      .selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (x_col, y_col, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)")
+      .orderBy("x_col", "y_col")
+  }
+
+  def oracleCorrEnvelope(table: String, pairs: Seq[(String, String)], inScale: Int = 2): String =
+    pairs
+      .map { case (x, y) =>
+        def s(e: String, name: String) =
+          s"CAST(CAST(sum(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL THEN $e END) AS DECIMAL(38,${2 * inScale})) AS VARCHAR) AS $name"
+        val xd = s"CAST($x AS DECIMAL(19,$inScale))"
+        val yd = s"CAST($y AS DECIMAL(19,$inScale))"
+        s"""SELECT '$x' AS x_col, '$y' AS y_col,
+           |  count(CASE WHEN $x IS NOT NULL AND $y IS NOT NULL THEN 1 END) AS n,
+           |  ${s(xd, "sum_x")}, ${s(yd, "sum_y")},
+           |  ${s(s"$xd * $xd", "sum_xx")}, ${s(s"$yd * $yd", "sum_yy")}, ${s(s"$xd * $yd", "sum_xy")}
+           |FROM $table""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY x_col, y_col")
+
+  /** Winsorized (clipped) envelope — the robust-statistics pass: values are
+    * clipped to the [pLo, pHi] exact quantile bounds, and the declared output
+    * carries the bounds, the clip counts, and the exact decimal sum of the
+    * clipped column. Bounds come from [[quantiles]] (the scale-safe
+    * rank-select, rounded to the repo's 6-decimal canonical form) so both
+    * engines clip at bit-identical thresholds.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      cols: Seq[String],
+      pLo: Double = 0.05,
+      pHi: Double = 0.95
+  ): DataFrame = {
+    require(cols.nonEmpty && pLo < pHi, "winsorizedStats needs columns and pLo < pHi")
+    val bounds: Map[String, (Double, Double)] = quantiles(df, cols, Seq(pLo, pHi))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        val m = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+        c -> ((m(pLo), m(pHi)))
+      }
+    val aggs = cols.flatMap { c =>
+      val (lo, hi) = bounds(c)
+      val clipped = when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c))
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c) < lo, 1L).otherwise(0L)).as(s"${c}__below"),
+        sum(when(col(c) > hi, 1L).otherwise(0L)).as(s"${c}__above"),
+        sum(when(col(c).isNotNull, clipped).cast("decimal(28,6)"))
+          .cast("decimal(28,6)").cast("string").as(s"${c}__wsum")
+      )
+    }
+    val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
+    val rows = cols
+      .map { c =>
+        val (lo, hi) = bounds(c)
+        s"'$c', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE), `${c}__n`, `${c}__below`, `${c}__above`, `${c}__wsum`"
+      }
+      .mkString(", ")
+    agged
+      .selectExpr(
+        s"stack(${cols.size}, $rows) AS (column_name, lo_r, hi_r, n_nonnull, n_below, n_above, winsorized_sum)")
+      .orderBy("column_name")
+  }
+
+  def oracleWinsorizedStats(
+      table: String,
+      cols: Seq[String],
+      pLo: Double = 0.05,
+      pHi: Double = 0.95
+  ): String =
+    cols
+      .map { c =>
+        s"""SELECT '$c' AS column_name, b.lo AS lo_r, b.hi AS hi_r,
+           |  count($c) AS n_nonnull,
+           |  CAST(sum(CASE WHEN $c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           |  CAST(sum(CASE WHEN $c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           |  CAST(CAST(sum(CAST(CASE WHEN $c < b.lo THEN b.lo WHEN $c > b.hi THEN b.hi ELSE $c END
+           |    AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS VARCHAR) AS winsorized_sum
+           |FROM $table, (SELECT round(quantile_cont(CAST($c AS DOUBLE), $pLo), 6) AS lo,
+           |                     round(quantile_cont(CAST($c AS DOUBLE), $pHi), 6) AS hi
+           |              FROM $table) b
+           |GROUP BY b.lo, b.hi""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   def oracleQuantiles(table: String, cols: Seq[String], qs: Seq[Double]): String =
     cols

@@ -137,6 +137,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(byDay(d1 + 9).getAs[Long]("n_users") == 2L)          // users 1, 3
   }
 
+  test("transitions: per-user consecutive pairs, ts tie broken by event_id, no cross-user edges") {
+    val spark0 = SparkTestBase.spark
+    import spark0.implicits._
+    val df = Seq(
+      // user 1: a → b → c (b and c share a timestamp — event_id orders them)
+      (10L, 1L, "a", new java.sql.Timestamp(1000L)),
+      (11L, 1L, "b", new java.sql.Timestamp(2000L)),
+      (12L, 1L, "c", new java.sql.Timestamp(2000L)),
+      // user 2: a → b (no edge to user 1's timeline)
+      (20L, 2L, "a", new java.sql.Timestamp(1500L)),
+      (21L, 2L, "b", new java.sql.Timestamp(2500L))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L))
+  }
+
   test("dailyAnomalies: spike flags once the baseline is deep enough; noise within ±3σ stays silent") {
     val spark0 = SparkTestBase.spark
     import spark0.implicits._

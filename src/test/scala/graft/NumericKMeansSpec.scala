@@ -109,6 +109,33 @@ class NumericKMeansSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("corrEnvelope: exact decimal sums over pairwise-complete rows") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)),
+      (Some(2.5), Some(5.0)),
+      (Some(4.0), None), // not pairwise-complete → excluded from every sum
+      (None, Some(9.0))
+    ).toDF("x", "y")
+    val r = NumericStats.corrEnvelope(df, Seq(("x", "y"))).collect().head
+    assert(r.getAs[Long]("n") == 2L)
+    assert(BigDecimal(r.getAs[String]("sum_x")) == BigDecimal("3.5"))
+    assert(BigDecimal(r.getAs[String]("sum_y")) == BigDecimal("7.0"))
+    assert(BigDecimal(r.getAs[String]("sum_xx")) == BigDecimal("7.25"))   // 1 + 6.25
+    assert(BigDecimal(r.getAs[String]("sum_yy")) == BigDecimal("29.0"))   // 4 + 25
+    assert(BigDecimal(r.getAs[String]("sum_xy")) == BigDecimal("14.5"))   // 2 + 12.5
+  }
+
+  test("winsorizedStats: clip counts and clipped exact sum at the quantile bounds") {
+    // values 1..10: p05 = 1.45, p95 = 9.55 (the (n−1)q convention)
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val r = NumericStats.winsorizedStats(df, Seq("v")).collect().head
+    assert(r.getAs[Double]("lo_r") == 1.45 && r.getAs[Double]("hi_r") == 9.55)
+    assert(r.getAs[Long]("n_nonnull") == 10L)
+    assert(r.getAs[Long]("n_below") == 1L && r.getAs[Long]("n_above") == 1L)
+    // clipped sum: 1.45 + (2..9) + 9.55 = 55 − 1 − 10 + 1.45 + 9.55 = 55.0
+    assert(BigDecimal(r.getAs[String]("winsorized_sum")) == BigDecimal("55.0"))
+  }
+
   test("groupQuantiles: matches the per-group percentile aggregate, all-null groups yield null") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val qs = Seq(0.25, 0.5, 0.75, 0.95)

@@ -80,6 +80,19 @@ object SparkEntry {
       )
     )
 
+  /** Semantic-cluster labels, one CC fixpoint per (session, dir) shared by
+    * the declared clusters query and the survivors cut — the [[clusterCache]]
+    * pattern on the embedding side.
+    */
+  private val semanticClusterCache = TrieMap.empty[(String, String), DataFrame]
+
+  private def semanticLabels(spark: SparkSession, dir: String): DataFrame =
+    semanticClusterCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.similarity.SimilarityOps.semanticClusters(
+        Tables.load(spark, dir, "embeddings"), trainedCentroids(spark, dir))
+    )
+
   /** Trained PQ codebooks (M per-subspace L2 k-means runs), one training per
     * (session, dir) shared by the declared `pq_*` queries and their oracles —
     * the [[centroidCache]] pattern: deterministic training + canonicalized
@@ -100,6 +113,7 @@ object SparkEntry {
   private[graft] def clearCaches(): Unit = {
     profileCache.clear()
     clusterCache.clear()
+    semanticClusterCache.clear()
     postingsCache.values.foreach(_.unpersist(blocking = false))
     postingsCache.clear()
     centroidCache.clear()
@@ -211,7 +225,12 @@ object SparkEntry {
       // top-k vocabulary coverage curve — ks sited inside the 31-token
       // sf0.01 vocabulary so every rank boundary bites (r9)
       "vocab_coverage_documents" -> ((s: SparkSession, d: String) =>
-        graft.text.TextOps.vocabCoverage(docs(s, d)))
+        graft.text.TextOps.vocabCoverage(docs(s, d))),
+      // sliding-window chunking (RAG/pretokenization splitter); window 32 /
+      // stride 24 over 10-99-token docs → 1-4 chunks per doc, short-tail
+      // clamp exercised (r9)
+      "chunks_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.chunks(docs(s, d)))
     )
     val dedup: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact_documents" -> ((s: SparkSession, d: String) => graft.dedup.DedupOps.exactDuplicates(docs(s, d))),
@@ -323,9 +342,12 @@ object SparkEntry {
       "pq_topk_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.Pq.adcTopK(emb(s, d), trainedCodebooks(s, d))),
       // SemDeDup completed: CC labels over the semantic-pair graph, via the
-      // same O(log n) star loop as the text-dedup clusters (r9)
-      "semantic_clusters_embeddings" -> ((s: SparkSession, d: String) =>
-        graft.similarity.SimilarityOps.semanticClusters(emb(s, d), trainedCentroids(s, d)))
+      // same O(log n) star loop as the text-dedup clusters; the label table
+      // is cached per (session, dir) and shared with the survivors cut (r9)
+      "semantic_clusters_embeddings" -> ((s: SparkSession, d: String) => semanticLabels(s, d)),
+      // ... and the cut itself: one survivor per cluster + cluster size (r9)
+      "semantic_survivors_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityOps.semanticSurvivors(semanticLabels(s, d)))
     )
     val vault: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dv_hub_customer" -> ((s: SparkSession, d: String) =>
@@ -592,7 +614,8 @@ object SparkEntry {
       "tfidf_keywords_documents" -> graft.text.TextOps.oracleTfidfKeywords(),
       "novelty_documents" -> graft.text.TextOps.oracleNovelty,
       "boilerplate_documents" -> graft.text.TextOps.oracleBoilerplateShingles(),
-      "vocab_coverage_documents" -> graft.text.TextOps.oracleVocabCoverage()
+      "vocab_coverage_documents" -> graft.text.TextOps.oracleVocabCoverage(),
+      "chunks_documents" -> graft.text.TextOps.oracleChunks()
     )
     val dedup = Seq(
       "dedup_exact_documents"   -> graft.dedup.DedupOps.oracleExactDuplicates,
@@ -647,6 +670,7 @@ object SparkEntry {
           "ivf_topk_embeddings"      -> graft.similarity.SimilarityOps.oracleIvfTopKTrained(c),
           "semantic_dups_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticDupPairs(c),
           "semantic_clusters_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticClusters(c),
+          "semantic_survivors_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticSurvivors(c),
           "outliers_embeddings"      -> graft.similarity.SimilarityOps.oracleEmbeddingOutliers(c)
         )
       }

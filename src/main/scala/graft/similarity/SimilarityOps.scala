@@ -738,14 +738,12 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  /** DuckDB twin of [[semanticClusters]]: the pairs statement nested as a
-    * CTE, then the same recursive min-label reachability the text-dedup
-    * clusters oracle uses (`DedupOps.oracleClusterCtes`). Every vector
-    * appears; singletons label themselves.
+  /** The recursive min-label CTE stack [[oracleSemanticClusters]] and
+    * [[oracleSemanticSurvivors]] share: `cl` = (vec_id, cluster_id).
     */
-  def oracleSemanticClusters(
+  private def semanticClusterCtes(
       centroids: Array[Array[Double]],
-      threshold: Double = 0.45
+      threshold: Double
   ): String =
     s"""WITH RECURSIVE pairs AS (
        |${semanticDupPairsSql(centroids, threshold)}),
@@ -757,6 +755,37 @@ object SimilarityOps {
        |  SELECT vec_id, vec_id FROM embeddings
        |  UNION
        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
-       |cl AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |cl AS (SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB twin of [[semanticClusters]]: the pairs statement nested as a
+    * CTE, then the same recursive min-label reachability the text-dedup
+    * clusters oracle uses (`DedupOps.oracleClusterCtes`). Every vector
+    * appears; singletons label themselves.
+    */
+  def oracleSemanticClusters(
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): String =
+    s"""${semanticClusterCtes(centroids, threshold)}
        |SELECT vec_id, cluster_id FROM cl ORDER BY vec_id""".stripMargin
+
+  /** The SemDeDup CUT itself: one survivor (min vec_id) per semantic
+    * cluster, with the cluster size — the relation a training run semi-joins
+    * to drop semantic duplicates. A |clusters|-row rollup of the label
+    * table; the callers share one labels frame per (session, dir), so the CC
+    * loop never reruns for the cut.
+    */
+  def semanticSurvivors(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("cluster_id"))
+      .agg(min(col("vec_id")).as("keep_vec_id"), count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_id")
+
+  def oracleSemanticSurvivors(
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.45
+  ): String =
+    s"""${semanticClusterCtes(centroids, threshold)}
+       |SELECT cluster_id, min(vec_id) AS keep_vec_id, count(*) AS cluster_size
+       |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 }

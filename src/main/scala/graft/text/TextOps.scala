@@ -356,6 +356,52 @@ object TextOps {
        |ORDER BY k""".stripMargin
   }
 
+  /** Sliding-window document chunking — the RAG/pretokenization splitter:
+    * windows of `window` tokens advancing by `stride` (overlap = window −
+    * stride), the last chunk clamped to the document end. Chunk count is
+    * pure integer arithmetic (1 + ⌈max(0, n − W) / S⌉), so both engines cut
+    * identical chunks; the chunk text itself is declared, putting the
+    * tokenizer + join round-trip under the hash.
+    *
+    * Scale shape: a per-row generator (split → sequence → posexplode) — no
+    * shuffle beyond the declared output order; expansion factor ≈ n/S rows
+    * per doc, each carrying one window.
+    */
+  def chunks(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), expr(s"regexp_extract_all(text, '$TokenRe', 0)").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .where(col("n") > 0)
+      .withColumn("nc",
+        (lit(1) + when(col("n") > window, expr(s"(n - $window + ${stride - 1}) div $stride")).otherwise(0L)).cast("int"))
+      .select(col("doc_id"), col("ts"), col("n"),
+        posexplode(expr(s"transform(sequence(0, nc - 1), i -> struct(i AS ci, array_join(slice(ts, i * $stride + 1, $window), ' ') AS ctext))")).as(Seq("pos", "c")))
+      .select(
+        col("doc_id"),
+        col("c.ci").cast("long").as("chunk_idx"),
+        (col("c.ci") * stride + 1).cast("long").as("start_tok"),
+        least(col("n") - col("c.ci") * stride, lit(window)).cast("long").as("n_tok"),
+        col("c.ctext").as("chunk_text")
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def oracleChunks(window: Int = 32, stride: Int = 24): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$TokenRe') AS ts FROM documents),
+       |base AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+       |k AS (SELECT doc_id, ts, n,
+       |  1 + CASE WHEN n > $window THEN (n - $window + ${stride - 1}) // $stride ELSE 0 END AS nc
+       |FROM base)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $stride + 1 AS BIGINT) AS start_tok,
+       |  CAST(least(n - i * $stride, $window) AS BIGINT) AS n_tok,
+       |  array_to_string(list_slice(ts, i * $stride + 1, i * $stride + $window), ' ') AS chunk_text
+       |FROM k, unnest(range(nc)) AS t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // --- corpus statistics ----------------------------------------------------
 
   /** Corpus statistics grouped by the labeled language: doc counts, token

@@ -161,5 +161,16 @@ class SimilarityOpsSpec extends AnyFunSuite {
       pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
     ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == ref)
+    // the cut: one min-id survivor per cluster, sizes partition the corpus
+    val surv = SimilarityOps.semanticSurvivors(
+      SimilarityOps.semanticClusters(clustered, cents, threshold = 0.2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byCluster = labels.groupBy(_._2)
+    assert(surv.keySet == byCluster.keySet)
+    for ((cid, (keep, size)) <- surv) {
+      assert(keep == byCluster(cid).keys.min)
+      assert(size == byCluster(cid).size.toLong)
+    }
+    assert(surv.values.map(_._2).sum == labels.size.toLong)
   }
 }

@@ -252,6 +252,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(10) == ((8L, 8L, 1.0)))    // k past |vocab| covers everything
   }
 
+  test("chunks: stride windows cover every token, short tail clamped, sub-window docs = one chunk") {
+    val df = docs(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "s", 30L), // 10 toks → 3 chunks
+      (2L, "a b c", "en", "s", 5L),                                   // 3 toks → 1 chunk
+      (3L, "p q r s t", "en", "s", 9L)                                // 5 toks → 2 chunks
+    )
+    val rows = TextOps.chunks(df, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows.size == 6)
+    assert(rows((1L, 0L)) == ((1L, 4L, "t1 t2 t3 t4")))
+    assert(rows((1L, 1L)) == ((4L, 4L, "t4 t5 t6 t7")))
+    assert(rows((1L, 2L)) == ((7L, 4L, "t7 t8 t9 t10")))
+    assert(rows((2L, 0L)) == ((1L, 3L, "a b c")))
+    assert(rows((3L, 0L)) == ((1L, 4L, "p q r s")))
+    assert(rows((3L, 1L)) == ((4L, 2L, "s t"))) // clamped tail
+  }
+
   test("dsirTop: the cut is exactly the n heaviest docs under the (weight desc, doc_id) total order") {
     val corpus = Tables.load(SparkTestBase.spark, "/root/testdata/sf0.001", "documents")
     val n = 10

@@ -194,6 +194,10 @@ object SparkEntry {
       // per-(lang, source) doc/token counts + corpus shares — the data-card
       // mixture report a training run starts from (r7)
       "mixture_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.mixture(docs(s, d))),
+      // the same report with ROLLUP subtotals — grouping sets in one pass,
+      // GROUPING bitmask distinguishing subtotal rows from null strata (r9)
+      "mixture_rollup_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.mixtureRollup(docs(s, d))),
       // BM25 retrieval against a fixed query — the scorer a curation pass
       // uses to mine topic-relevant documents; query mixes hot tokens with
       // the one rare corpus token so the idf term is exercised (r7)
@@ -303,7 +307,13 @@ object SparkEntry {
       // sf0.01 distribution so the rank filter bites on every stratum (r9)
       "quota_documents" -> ((s: SparkSession, d: String) =>
         graft.sampling.Sampling.quotaByHash(
-          docs(s, d), "doc_id", "source", SparkEntry.quotaCap).orderBy("doc_id"))
+          docs(s, d), "doc_id", "source", SparkEntry.quotaCap).orderBy("doc_id")),
+      // relational set ops under the hash gate: the train-minus-bench
+      // holdout (EXCEPT) and the cross-salt leakage set (INTERSECT) (r9)
+      "holdout_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.holdout(docs(s, d), "doc_id", 0.25, 0.05)),
+      "salt_overlap_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.saltOverlap(docs(s, d), "doc_id", 0.5))
     )
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -607,6 +617,7 @@ object SparkEntry {
       // the pinned-MG ground truth IS the exact top-K (that's the claim)
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),
       "mixture_documents" -> graft.text.TextOps.oracleMixture,
+      "mixture_rollup_documents" -> graft.text.TextOps.oracleMixtureRollup,
       "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query),
       "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights(),
       "dsir_top_documents" -> graft.text.TextOps.oracleDsirTop(dsirTopN),
@@ -641,7 +652,11 @@ object SparkEntry {
       "stratified_sample_documents" -> graft.sampling.Sampling.oracleStratifiedSampleByHash(
         "documents", "doc_id", "lang", docCols, stratifiedFractions, defaultFraction = 0.05),
       "quota_documents" -> graft.sampling.Sampling.oracleQuotaByHash(
-        "documents", "doc_id", "source", docCols, quotaCap)
+        "documents", "doc_id", "source", docCols, quotaCap),
+      "holdout_documents" -> graft.sampling.Sampling.oracleHoldout(
+        "documents", "doc_id", docCols, 0.25, 0.05),
+      "salt_overlap_documents" -> graft.sampling.Sampling.oracleSaltOverlap(
+        "documents", "doc_id", docCols, 0.5)
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),

@@ -91,6 +91,39 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** The holdout slice a training run actually materializes: the train
+    * sample MINUS the bench slice, as a relational EXCEPT (row-level set
+    * difference; rows are unique per key so EXCEPT ≡ EXCEPT ALL here). A
+    * hash-gated twin of the anti-join shape — Spark plans it as a left-anti
+    * hash aggregate over both gated scans.
+    */
+  def holdout(
+      df: DataFrame,
+      keyCol: String,
+      trainFraction: Double,
+      benchFraction: Double,
+      trainSalt: String = "graft",
+      benchSalt: String = "bench"
+  ): DataFrame =
+    sampleByHash(df, keyCol, trainFraction, trainSalt)
+      .except(sampleByHash(df, keyCol, benchFraction, benchSalt))
+      .orderBy(keyCol)
+
+  /** The salt-overlap slice (train ∩ eval) as a relational INTERSECT — the
+    * leakage set two independently-salted gates share; the property specs
+    * bound its size, this declared form hash-checks its exact membership.
+    */
+  def saltOverlap(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      saltA: String = "train",
+      saltB: String = "eval"
+  ): DataFrame =
+    sampleByHash(df, keyCol, fraction, saltA)
+      .intersect(sampleByHash(df, keyCol, fraction, saltB))
+      .orderBy(keyCol)
+
   // --- oracles --------------------------------------------------------------
 
   private def oracleGate(keyCol: String, salt: String): String =
@@ -108,6 +141,39 @@ object Sampling {
   ): String =
     s"""SELECT ${cols.mkString(", ")} FROM $table
        |WHERE ${oracleGate(keyCol, salt)} < ${threshold(fraction)}
+       |ORDER BY $keyCol""".stripMargin
+
+  /** DuckDB twin of [[holdout]] — the same EXCEPT over the same gates. */
+  def oracleHoldout(
+      table: String,
+      keyCol: String,
+      cols: Seq[String],
+      trainFraction: Double,
+      benchFraction: Double,
+      trainSalt: String = "graft",
+      benchSalt: String = "bench"
+  ): String =
+    s"""SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, trainSalt)} < ${threshold(trainFraction)}
+       |EXCEPT
+       |SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, benchSalt)} < ${threshold(benchFraction)}
+       |ORDER BY $keyCol""".stripMargin
+
+  /** DuckDB twin of [[saltOverlap]]. */
+  def oracleSaltOverlap(
+      table: String,
+      keyCol: String,
+      cols: Seq[String],
+      fraction: Double,
+      saltA: String = "train",
+      saltB: String = "eval"
+  ): String =
+    s"""SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, saltA)} < ${threshold(fraction)}
+       |INTERSECT
+       |SELECT ${cols.mkString(", ")} FROM $table
+       |WHERE ${oracleGate(keyCol, saltB)} < ${threshold(fraction)}
        |ORDER BY $keyCol""".stripMargin
 
   /** DuckDB twin of [[quotaByHash]]: the identical row_number window over

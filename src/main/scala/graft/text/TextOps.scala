@@ -105,6 +105,33 @@ object TextOps {
        |  FROM documents GROUP BY lang, source
        |) ORDER BY lang, source""".stripMargin
 
+  /** The [[mixture]] report with ROLLUP subtotals — per (lang, source), per
+    * lang, and grand-total rows in ONE aggregation pass (grouping sets:
+    * Spark's rollup = the SQL-standard ROLLUP Expand, partial-aggregated
+    * map-side like any groupBy). `gid` is the SQL-standard GROUPING bitmask
+    * (GROUPING(lang)·2 + GROUPING(source) — identical in both engines), so
+    * subtotal rows are distinguishable from a real NULL stratum.
+    */
+  def mixtureRollup(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    graft.Tables.widen(docs)
+      .rollup(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"))
+      .select(col("lang"), col("source"), col("gid").cast("long").as("gid"), col("n_docs"), col("n_tokens"))
+      .orderBy("gid", "lang", "source")
+  }
+
+  def oracleMixtureRollup: String =
+    s"""SELECT lang, source,
+       |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       |  count(*) AS n_docs,
+       |  sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS n_tokens
+       |FROM documents GROUP BY ROLLUP (lang, source)
+       |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   /** BM25 relevance of every document against a fixed query-token set — the
     * retrieval scorer a curation pipeline uses to mine topic-relevant or
     * quality-like documents out of a crawl (Robertson/Spärck Jones BM25 with

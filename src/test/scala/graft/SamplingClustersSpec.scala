@@ -179,6 +179,17 @@ class SamplingClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("holdout and saltOverlap: relational set ops agree with the gate-set algebra") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = ids(Sampling.sampleByHash(docs, "doc_id", 0.25))
+    val bench = ids(Sampling.sampleByHash(docs, "doc_id", 0.05, salt = "bench"))
+    assert(ids(Sampling.holdout(docs, "doc_id", 0.25, 0.05)) == (train -- bench))
+    val a = ids(Sampling.sampleByHash(docs, "doc_id", 0.5, salt = "train"))
+    val b = ids(Sampling.sampleByHash(docs, "doc_id", 0.5, salt = "eval"))
+    assert(ids(Sampling.saltOverlap(docs, "doc_id", 0.5)) == (a & b))
+  }
+
   test("quotaByHash: at most cap per stratum, deterministic, monotone under cap growth") {
     val out = Sampling.quotaByHash(docs, "doc_id", "source", cap = 3)
     val kept = out.groupBy("source").count().collect()

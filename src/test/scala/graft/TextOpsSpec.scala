@@ -252,6 +252,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(10) == ((8L, 8L, 1.0)))    // k past |vocab| covers everything
   }
 
+  test("mixtureRollup: subtotal rows aggregate their stratum exactly, gid marks the level") {
+    val df = docs(
+      (1L, "w w w", "en", "s1", 5L),
+      (2L, "w w", "en", "s2", 3L),
+      (3L, "w", "de", "s1", 1L)
+    )
+    val rows = TextOps.mixtureRollup(df).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows((Some("en"), Some("s1"), 0L)) == ((1L, 3L)))
+    assert(rows((Some("en"), None, 1L)) == ((2L, 5L)))     // lang subtotal
+    assert(rows((Some("de"), None, 1L)) == ((1L, 1L)))
+    assert(rows((None, None, 3L)) == ((3L, 6L)))           // grand total
+    assert(rows.size == 3 + 2 + 1)
+  }
+
   test("chunks: stride windows cover every token, short tail clamped, sub-window docs = one chunk") {
     val df = docs(
       (1L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "s", 30L), // 10 toks → 3 chunks

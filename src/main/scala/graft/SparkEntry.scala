@@ -198,6 +198,9 @@ object SparkEntry {
       // GROUPING bitmask distinguishing subtotal rows from null strata (r9)
       "mixture_rollup_documents" -> ((s: SparkSession, d: String) =>
         graft.text.TextOps.mixtureRollup(docs(s, d))),
+      // ...and pivoted wide over an explicit language domain (r9)
+      "lang_pivot_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.langPivot(docs(s, d), SparkEntry.pivotLangs)),
       // BM25 retrieval against a fixed query — the scorer a curation pass
       // uses to mine topic-relevant documents; query mixes hot tokens with
       // the one rare corpus token so the idf term is exercised (r7)
@@ -439,6 +442,9 @@ object SparkEntry {
       // funnel (lag window per user, |types|² rollup) (r9)
       "transitions_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.transitions(Tables.load(s, d, "events"))),
+      // JSON payload profiling: get_json_object over the props column (r9)
+      "props_stats_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.propsStats(Tables.load(s, d, "events"))),
       // pairwise correlation envelope as EXACT decimal sums (r9)
       "corr_lineitem" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.corrEnvelope(Tables.load(s, d, "lineitem"), SparkEntry.corrPairs)),
@@ -549,6 +555,11 @@ object SparkEntry {
     */
   val packBudget: Long = 96L
 
+  /** Explicit language domain for the declared pivot (the testdata's five
+    * languages — pivot domains are always enumerated, never scanned).
+    */
+  val pivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
   /** Column pairs for the declared correlation envelope: the four lineitem
     * measures, all six unordered pairs (price = f(quantity) is strongly
     * positive, discount/tax are independent draws — both regimes covered).
@@ -618,6 +629,7 @@ object SparkEntry {
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),
       "mixture_documents" -> graft.text.TextOps.oracleMixture,
       "mixture_rollup_documents" -> graft.text.TextOps.oracleMixtureRollup,
+      "lang_pivot_documents" -> graft.text.TextOps.oracleLangPivot(pivotLangs),
       "bm25_documents" -> graft.text.TextOps.oracleBm25(bm25Query),
       "dsir_weights_documents" -> graft.text.TextOps.oracleDsirWeights(),
       "dsir_top_documents" -> graft.text.TextOps.oracleDsirTop(dsirTopN),
@@ -742,6 +754,7 @@ object SparkEntry {
       "range_bands_lineitem" -> graft.analytics.RangeJoin.oraclePriceBandStats,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
       "transitions_events" -> graft.analytics.EventOps.oracleTransitions,
+      "props_stats_events" -> graft.analytics.EventOps.oraclePropsStats,
       "corr_lineitem" -> graft.stats.NumericStats.oracleCorrEnvelope("lineitem", corrPairs),
       "winsorized_lineitem" -> graft.stats.NumericStats.oracleWinsorizedStats(
         "lineitem", Seq("l_quantity", "l_extendedprice")),

@@ -197,6 +197,34 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Semi-structured payload profiling: extract the JSON `k` field from the
+    * `props` column (a JSON string — the usual shape of event payloads) and
+    * aggregate it per event type. JSON path extraction is per-row and
+    * codegen'd (`get_json_object`); the rollup is an ordinary partial
+    * aggregate. Malformed/missing paths extract NULL and are counted, not
+    * crashed on.
+    */
+  def propsStats(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    graft.Tables.widen(events)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(k).as("n_with_k"),
+        sum(k).as("sum_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  def oraclePropsStats: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS n_with_k,
+       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+       |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Markov transition counts over each user's event sequence — the
     * path-mining pass next to funnels: how often event type A is immediately
     * followed by B within one user's timeline. Ordering is (ts µs, event_id)

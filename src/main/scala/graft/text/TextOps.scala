@@ -132,6 +132,32 @@ object TextOps {
        |FROM documents GROUP BY ROLLUP (lang, source)
        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** The mixture report PIVOTED wide: one row per source, one count column
+    * per language — the spreadsheet-shaped data card. The language list is
+    * explicit (pivot over an enumerated domain — never a schema inferred
+    * from a scan, which would be nondeterministic at 100 TB and costs an
+    * extra pass); missing (source, lang) cells are 0, not null.
+    */
+  def langPivot(docs: DataFrame, langs: Seq[String]): DataFrame = {
+    require(langs.nonEmpty, "langPivot needs an explicit language list")
+    val counted = graft.Tables.widen(docs)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .count()
+    langs.foldLeft(counted)((df, l) => df.withColumn(l, coalesce(col(s"`$l`"), lit(0L))))
+      .select(col("source") +: langs.map(l => col(s"`$l`").as(s"n_$l")): _*)
+      .orderBy("source")
+  }
+
+  def oracleLangPivot(langs: Seq[String]): String = {
+    val cols = langs
+      .map(l => s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cols
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** BM25 relevance of every document against a fixed query-token set — the
     * retrieval scorer a curation pipeline uses to mine topic-relevant or
     * quality-like documents out of a crawl (Robertson/Spärck Jones BM25 with

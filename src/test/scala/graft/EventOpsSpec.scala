@@ -137,6 +137,22 @@ class EventOpsSpec extends AnyFunSuite {
     assert(byDay(d1 + 9).getAs[Long]("n_users") == 2L)          // users 1, 3
   }
 
+  test("propsStats: JSON k extracted per type, malformed payloads counted but not summed") {
+    val spark0 = SparkTestBase.spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "a", """{"k": 10}"""),
+      (2L, "a", """{"k": 32}"""),
+      (3L, "a", """not json"""),   // extraction → null
+      (4L, "b", """{"other": 1}""") // path missing → null
+    ).toDF("event_id", "event_type", "props")
+    val got = EventOps.propsStats(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 2L, 42L)))
+    assert(got("b") == ((1L, 0L, -1L))) // no extractable k → null sum
+  }
+
   test("transitions: per-user consecutive pairs, ts tie broken by event_id, no cross-user edges") {
     val spark0 = SparkTestBase.spark
     import spark0.implicits._

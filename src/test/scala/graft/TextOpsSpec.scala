@@ -268,6 +268,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.size == 3 + 2 + 1)
   }
 
+  test("langPivot: enumerated domain, missing cells are 0, out-of-domain langs dropped") {
+    val df = docs(
+      (1L, "x", "en", "s1", 1L),
+      (2L, "x", "en", "s1", 1L),
+      (3L, "x", "de", "s1", 1L),
+      (4L, "x", "xx", "s2", 1L) // out of the declared domain
+    )
+    val rows = TextOps.langPivot(df, Seq("de", "en")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("s1") == ((1L, 2L)))   // n_de=1, n_en=2
+    assert(rows("s2") == ((0L, 0L)))   // xx not a column; cells backfilled to 0
+  }
+
   test("chunks: stride windows cover every token, short tail clamped, sub-window docs = one chunk") {
     val df = docs(
       (1L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "s", 30L), // 10 toks → 3 chunks

@@ -139,6 +139,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global sort exchange in the top-N plan: $exchanges\n$p")
   }
 
+  test("chunks is a pure per-row generator — no join, no aggregate, no extra exchange") {
+    val p = plan(graft.text.TextOps.chunks(docs))
+    assert(p.contains("Generate"), s"chunking should posexplode windows:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking must not join or aggregate:\n$p")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    // widen round-robin + the declared output order only
+    assert(exchanges.forall(e => e.startsWith("RoundRobin") || e.startsWith("rangepartitioning")),
+      s"unexpected exchange in a per-row generator: $exchanges\n$p")
+  }
+
+  test("rollup/pivot/json reports stay single-aggregation shapes") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // rollup: one Expand feeding one partial/final aggregate pair — no window
+    val r = plan(graft.text.TextOps.mixtureRollup(docs))
+    assert(r.contains("Expand"), s"rollup should expand grouping sets:\n$r")
+    assert(!r.contains("windowspecdefinition"), s"rollup must not window:\n$r")
+    // pivot: a single aggregate pass over the enumerated domain — no join
+    val pv = plan(graft.text.TextOps.langPivot(docs, Seq("de", "en", "es", "fr", "zh")))
+    assert(!pv.contains("Join"), s"pivot should not join:\n$pv")
+    // json extraction is scalar: no Generate, one aggregate pair
+    val pr = plan(graft.analytics.EventOps.propsStats(events))
+    assert(pr.contains("get_json_object"), s"json path should reach the plan:\n$pr")
+    assert(!pr.contains("Generate"), s"json profiling must not explode:\n$pr")
+  }
+
   test("group quantiles rank over a distributed range sort — no buffering aggregate, no per-group window") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p = plan(graft.stats.NumericStats.groupSorted(li, "l_returnflag", Seq("l_quantity", "l_extendedprice")))

@@ -321,6 +321,10 @@ object SparkEntry {
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "knn_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.cosineTopK(emb(s, d))),
+      // per-dimension embedding health (dead/collapsed dims, scale drift) —
+      // counts + bit-exact min/max only, no float sums by design (r9)
+      "dim_stats_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityOps.dimStats(emb(s, d))),
       "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d))),
       // declared dedup-by-embedding route since r3: banded-LSH candidates +
       // exact rerank at a threshold the corpus actually answers (the r2
@@ -672,6 +676,7 @@ object SparkEntry {
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
+      "dim_stats_embeddings"  -> graft.similarity.SimilarityOps.oracleDimStats,
       "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets,
       "cosine_dups_embeddings" -> graft.similarity.SimilarityOps.oracleCosineDupPairsBanded(),
       "ann_embeddings"        -> graft.similarity.SimilarityOps.oracleAnnTopK()

@@ -738,6 +738,43 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Per-DIMENSION embedding health stats — the QA pass an embedding corpus
+    * gets before anything trains on it: for each vector dimension, the
+    * population count, zero count (dead dims), distinct-value count
+    * (collapsed/quantized dims), and bit-exact min/max (scale drift). No
+    * float arithmetic is performed — counts are longs and min/max are input
+    * values — so every declared column is cross-engine exact without the
+    * decimal machinery (float SUMS of arbitrary-precision embeddings cannot
+    * be declared exactly; they stay out by design).
+    *
+    * Plan: one posexplode (×dim narrow rows) into a map-side-combinable
+    * groupBy on the dimension index — |dims| result rows.
+    */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val dv = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    graft.Tables.widen(emb)
+      .select(posexplode(dv).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("dim")
+  }
+
+  def oracleDimStats: String =
+    s"""WITH base AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |expl AS (
+       |  SELECT CAST(t.i - 1 AS BIGINT) AS dim, v[t.i] AS x
+       |  FROM base, unnest(generate_series(1, len(v))) AS t(i))
+       |SELECT dim, count(*) AS n,
+       |  CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  count(DISTINCT x) AS n_distinct,
+       |  min(x) AS min_v, max(x) AS max_v
+       |FROM expl GROUP BY dim ORDER BY dim""".stripMargin
+
   /** The recursive min-label CTE stack [[oracleSemanticClusters]] and
     * [[oracleSemanticSurvivors]] share: `cl` = (vec_id, cluster_id).
     */

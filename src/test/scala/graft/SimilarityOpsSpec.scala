@@ -143,6 +143,20 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(all.filterNot { case (id, _) => kept(id) }.values.forall(_ >= worstKept))
   }
 
+  test("dimStats: dead and collapsed dimensions detected exactly") {
+    val rows = Seq(
+      (1L, Array(0.0f, 1.5f, 2.0f)),
+      (2L, Array(0.0f, 1.5f, -3.0f)),
+      (3L, Array(0.0f, 2.5f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.dimStats(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(0L) == ((3L, 3L, 1L, 0.0, 0.0)))    // dead dim
+    assert(got(1L) == ((3L, 0L, 2L, 1.5, 2.5)))    // partially collapsed
+    assert(got(2L) == ((3L, 0L, 2L, -3.0, 2.0)))
+  }
+
   test("semanticClusters: star labels equal the min-label reference over the semantic pair graph") {
     import org.apache.spark.sql.functions.col
     val cents = SimilarityOps.canonicalizeCentroids(graft.similarity.KMeans.trainCentroids(clustered, k = 4, iters = 2))

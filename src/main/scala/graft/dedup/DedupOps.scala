@@ -464,6 +464,15 @@ object DedupOps {
     * Jaccard twins — a third consumer of the one expensive aggregate. The
     * per-doc rollup is a map-side-combinable groupBy on doc_id; posting-list
     * width never matters because only `size(ids)` crosses the explode.
+    *
+    * 100 TB note: this uses the UNCAPPED postings (declared semantics need
+    * every shingle's true df), sharing the hot-shingle posting-row caveat of
+    * the uncapped Jaccard twin. The exact-with-cap deployment trick: a
+    * shingle with df > cap is duplicated BY DEFINITION, so a capped postings
+    * frame that keeps (shingle, df>cap) flags instead of full hot lists
+    * yields the identical n_dup/n_shingles counts with bounded rows — the
+    * flag contributes `dup=1` per (doc, hot shingle) occurrence without ever
+    * materializing the list.
     */
   def dupShingleStats(postings: DataFrame): DataFrame =
     postings

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.analytics.EventOps.dailyAnomalies]] — the
+  * monitoring rule run CONTINUOUSLY: per event type, daily volumes are
+  * accumulated in state, a day is SEALED when the watermark passes its end
+  * (no more events for it can be admitted), and the sealed day is scored
+  * against the trailing baseline of previously sealed days with the
+  * identical exact-integer z-test the batch twin declares:
+  *
+  *   (m·x − S)² · (m−1)  >  z² · m · (m·S2 − S²)
+  *
+  * State per event type is BOUNDED: the open days inside the watermark
+  * horizon (lateness/day-length many) plus a ring of the last `windowDays`
+  * sealed (day, count) pairs — never raw events, never unbounded history.
+  * |event types| keys × O(windowDays) longs is the whole state store.
+  *
+  * Agreement with the batch twin is spec-asserted (same fixture, sealed
+  * days only): the batch form is the DuckDB-oracled declaration
+  * (`anomalies_events`), this is the deployment shape for an unbounded feed.
+  */
+object StreamingMonitor {
+
+  /** One day's count in the sealed-history ring. */
+  case class DayCount(day: Long, n: Long)
+
+  /** Per-type state: open (unsealed) day counts + the sealed-history ring. */
+  case class MonitorState(pending: Map[Long, Long], history: Seq[DayCount])
+
+  /** A sealed, scored day — identical row shape to the batch twin. */
+  case class ScoredDay(
+      event_type: String,
+      day: Long,
+      n_events: Long,
+      baseline_n: Long,
+      is_anomaly: Boolean
+  )
+
+  private[streaming] case class TypedEvent(eventType: String, tMicros: Long, ts: java.sql.Timestamp)
+
+  val MicrosPerDay = 86400000000L
+
+  /** The exact-integer z-test both twins share (overflow-safe to ~10⁸
+    * events/day at the 28-day window, as documented on the batch side).
+    */
+  private[streaming] def anomalous(
+      x: Long,
+      history: Seq[DayCount],
+      z: Long,
+      minBaseline: Int
+  ): (Long, Boolean) = {
+    val m = history.length.toLong
+    if (m < minBaseline) (m, false)
+    else {
+      val s   = history.map(_.n).sum
+      val s2  = history.map(dc => dc.n * dc.n).sum
+      val dev = m * x - s
+      (m, dev * dev * (m - 1) > z * z * m * (m * s2 - s * s))
+    }
+  }
+
+  private[streaming] def monitorStateFn(windowDays: Int, z: Long, minBaseline: Int)(
+      eventType: String,
+      events: Iterator[TypedEvent],
+      state: GroupState[MonitorState]
+  ): Iterator[ScoredDay] = {
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+
+    def sealAndScore(st: MonitorState): (Seq[ScoredDay], MonitorState) = {
+      // a day is sealed once the watermark passes its exclusive end
+      val (done, open) = st.pending.partition { case (day, _) => (day + 1) * MicrosPerDay <= wmMicros }
+      var history = st.history
+      val scored = done.toSeq.sortBy(_._1).map { case (day, n) =>
+        val (m, anom) = anomalous(n, history, z, minBaseline)
+        history = (history :+ DayCount(day, n)).takeRight(windowDays)
+        ScoredDay(eventType, day, n, m, anom)
+      }
+      (scored, MonitorState(open, history))
+    }
+
+    def park(st: MonitorState): Unit = {
+      state.update(st)
+      if (st.pending.nonEmpty) {
+        // wake when the earliest open day seals; strictly beyond the current
+        // watermark (the Sessionize ms-truncation rule)
+        val horizonMs = st.pending.keys.map(d => (d + 1) * MicrosPerDay / 1000L).min
+        state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+      }
+    }
+
+    if (state.hasTimedOut) {
+      val (out, next) = sealAndScore(state.get)
+      park(next)
+      return out.iterator
+    }
+    // fMGWS does not pre-drop watermark-late rows; admitting one would
+    // mutate a day the batch twin considers closed
+    val st0 = state.getOption.getOrElse(MonitorState(Map.empty, Seq.empty))
+    val pending = events
+      .filter(_.tMicros >= wmMicros)
+      .foldLeft(st0.pending) { (acc, e) =>
+        val day = e.tMicros / MicrosPerDay
+        acc.updated(day, acc.getOrElse(day, 0L) + 1L)
+      }
+    val (out, next) = sealAndScore(MonitorState(pending, st0.history))
+    park(next)
+    out.iterator
+  }
+
+  /** Streaming anomaly monitor over a watermarked event stream: the stream
+    * of sealed, scored days (append semantics — each day emits exactly once).
+    */
+  def streamingAnomalies(
+      events: DataFrame,
+      windowDays: Int = 28,
+      z: Int = 3,
+      minBaseline: Int = 7
+  ): Dataset[ScoredDay] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col("event_type").as("eventType"),
+        unix_micros(col("ts")).as("tMicros"),
+        col("ts"))
+      .as[TypedEvent]
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        monitorStateFn(windowDays, z.toLong, minBaseline)
+      )
+  }
+}

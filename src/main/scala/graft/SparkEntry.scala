@@ -387,6 +387,11 @@ object SparkEntry {
       // `holds` boolean are hash-checked (r9)
       "fd_candidates_orders" -> ((s: SparkSession, d: String) =>
         graft.vault.DataVault.fdCandidates(Tables.load(s, d, "orders"), Tables.columns("orders"))),
+      // composite candidate keys: the declared sets climb from two columns
+      // (45832 of 60000 distinct) to the one true 4-column key, so both
+      // sides of is_key are hash-checked (r9)
+      "composite_keys_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.vault.DataVault.compositeKeys(Tables.load(s, d, "lineitem"), SparkEntry.lineitemKeySets)),
       // masking decisions come from the engine's LIVE cached profile; the
       // oracle recomputes pii_level independently inside SQL — a true
       // end-to-end check of the profile→governance integration
@@ -558,6 +563,17 @@ object SparkEntry {
     * exceed 96 tokens), so the singleton rule itself is hash-checked.
     */
   val packBudget: Long = 96L
+
+  /** Candidate key sets for the declared composite-key query (this corpus's
+    * lineitem is NOT keyed by (orderkey, linenumber) — the declared ladder
+    * surfaces that and finds the real 4-column key).
+    */
+  val lineitemKeySets: Seq[Seq[String]] = Seq(
+    Seq("l_orderkey", "l_linenumber"),
+    Seq("l_orderkey", "l_partkey"),
+    Seq("l_orderkey", "l_linenumber", "l_partkey"),
+    Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+  )
 
   /** Explicit language domain for the declared pivot (the testdata's five
     * languages — pivot domains are always enumerated, never scanned).
@@ -738,6 +754,7 @@ object SparkEntry {
         Seq("order" -> "l_orderkey", "part" -> "l_partkey", "supplier" -> "l_suppkey")),
       "fk_candidates" -> graft.vault.DataVault.oracleFkCandidates,
       "fd_candidates_orders" -> graft.vault.DataVault.oracleFdCandidates("orders", Tables.columns("orders")),
+      "composite_keys_lineitem" -> graft.vault.DataVault.oracleCompositeKeys("lineitem", lineitemKeySets),
       "masked_customer" -> OracleGen.maskedSql(
         "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal"))
     )

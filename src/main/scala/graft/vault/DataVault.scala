@@ -245,6 +245,45 @@ object DataVault {
        |) ORDER BY child_table, child_column, parent_table""".stripMargin
   }
 
+  /** Composite candidate-key discovery — the multi-column extension of the
+    * P4 single-column primary-key heuristic: a column set is a candidate key
+    * when its distinct combination count equals the row count. Emits the
+    * distinct count too, so NEAR-keys (the interesting profiler output) are
+    * visible, not just the boolean.
+    *
+    * Shape per key set: a two-phase distinct + count — never a
+    * multi-`count_distinct` Expand of the scan; the |sets| plans union into
+    * one job of 1-row aggregates.
+    */
+  def compositeKeys(df: DataFrame, keySets: Seq[Seq[String]]): DataFrame = {
+    require(keySets.nonEmpty && keySets.forall(_.nonEmpty), "compositeKeys needs non-empty column sets")
+    val perSet = keySets.map { ks =>
+      val base = df.select(ks.map(col): _*)
+      base
+        .agg(count(lit(1)).as("n_rows"))
+        .crossJoin(base.distinct().agg(count(lit(1)).as("n_distinct")))
+        .select(
+          lit(ks.mkString(",")).as("key_cols"),
+          col("n_rows"),
+          col("n_distinct"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }
+    perSet.reduce(_ unionAll _).orderBy("key_cols")
+  }
+
+  /** DuckDB twin of [[compositeKeys]]: one distinct-subquery pair per set. */
+  def oracleCompositeKeys(table: String, keySets: Seq[Seq[String]]): String = {
+    val selects = keySets.map { ks =>
+      val cols = ks.mkString(", ")
+      s"""SELECT '${ks.mkString(",")}' AS key_cols,
+         |  (SELECT count(*) FROM $table) AS n_rows,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $cols FROM $table)) AS n_distinct""".stripMargin
+    }
+    s"""SELECT key_cols, n_rows, n_distinct, (n_distinct = n_rows) AS is_key FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) ORDER BY key_cols""".stripMargin
+  }
+
   /** Unary functional-dependency discovery over one table's column pairs —
     * the schema-mining pass classical profilers run next to inclusion
     * dependencies ([[fkCandidates]]): `det → dep` holds when no determinant

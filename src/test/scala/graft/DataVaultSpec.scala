@@ -91,6 +91,20 @@ class DataVaultSpec extends AnyFunSuite {
     assert(c2.map(_.getAs[String]("o_orderpriority")).toSeq == Seq("B", "A"), "orderkey tie-break")
   }
 
+  test("compositeKeys: set uniqueness decided exactly, null combos count as values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a")),
+      (1L, Some("b")),
+      (2L, Some("a")),
+      (2L, None)
+    ).toDF("k", "v")
+    val got = DataVault.compositeKeys(df, Seq(Seq("k"), Seq("k", "v"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("k") == ((4L, 2L, false)))
+    assert(got("k,v") == ((4L, 4L, true))) // (2, null) is a distinct combination
+  }
+
   test("fdCandidates: planted FDs hold, violating groups counted, null is a dependent value") {
     import spark.implicits._
     val df = Seq(

@@ -101,7 +101,7 @@ object TextOps {
        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
        |FROM (
        |  SELECT lang, source, count(*) AS n_docs,
-       |    sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS n_tokens
+       |    CAST(sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY lang, source
        |) ORDER BY lang, source""".stripMargin
 
@@ -128,7 +128,7 @@ object TextOps {
     s"""SELECT lang, source,
        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
        |  count(*) AS n_docs,
-       |  sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS n_tokens
+       |  CAST(sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS BIGINT) AS n_tokens
        |FROM documents GROUP BY ROLLUP (lang, source)
        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 

@@ -54,14 +54,29 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         mismatched = []
+        kind_mismatch = []
         for c in expected.columns:
             e, g = expected[c], got[c]
+            # The driver hashes canonical *renderings*, so an int64 vs float64
+            # kind mismatch (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64 vs
+            # Spark long) fails there even when values are numerically equal.
+            # Mirror that: a numeric kind mismatch is a hard failure here too
+            # (this is exactly how the r7 mixture oracles shipped red).
+            numeric = "iuf"
+            if (e.dtype.kind in numeric and g.dtype.kind in numeric
+                    and (e.dtype.kind == "f") != (g.dtype.kind == "f")):
+                kind_mismatch.append(f"{c} (duckdb {e.dtype} vs spark {g.dtype})")
+                continue
             if e.dtype.kind == "f" or g.dtype.kind == "f":
                 ok = (e.astype(float).fillna(-1e308) == g.astype(float).fillna(-1e308)).all()
             else:
                 ok = (e.astype(str) == g.astype(str)).all()
             if not ok:
                 mismatched.append(c)
+        if kind_mismatch:
+            print(f"FAIL {name}: dtype-kind mismatch: {kind_mismatch}")
+            failures += 1
+            continue
         if mismatched:
             print(f"FAIL {name}: value mismatch in columns {mismatched}")
             for c in mismatched[:3]:

@@ -162,9 +162,11 @@ object EventOps {
     *
     *   (m·x − S)² · (m−1)  >  z² · m · (m·S2 − S²)
     *
-    * — counts are longs, every term is a long product (exact up to ~10⁸
-    * events/day at the 28-day window, far past any real per-type daily
-    * volume), and both engines compare identical integers. Scale shape: the
+    * — counts are longs but the comparison terms are DECIMAL(38,0) on the
+    * Spark side and HUGEINT on the DuckDB side: dev² = (m·x−S)² leaves long
+    * range at a ~3× spike on a mere 10⁸/day baseline, where Spark (ANSI off)
+    * would wrap silently while DuckDB raises. In 128-bit both engines stay
+    * exact to ~10¹⁷ events/day/type. Scale shape: the
     * daily rollup is a map-side-combinable groupBy; the window runs over
     * |days| rows per event_type — years of history are thousands of rows per
     * key, so the per-key window never concentrates raw events.
@@ -183,15 +185,19 @@ object EventOps {
       .partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-windowDays.toLong, -1L)
     val m  = count(lit(1)).over(w)
-    val s  = sum(col("n_events")).over(w)
-    val s2 = sum(col("n_events") * col("n_events")).over(w)
-    val dev = m * col("n_events") - s
+    // decimal(19,0) inputs so every product/sum is 128-bit-exact (the long
+    // form wraps at dev² once a day deviates by >~3·10⁹ from baseline·m)
+    val x  = col("n_events").cast("decimal(19,0)")
+    val mD = m.cast("decimal(19,0)")
+    val s  = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val dev = mD * x - s
     daily
       .withColumn("baseline_n", m)
       .withColumn(
         "is_anomaly",
         col("baseline_n") >= minBaseline &&
-          dev * dev * (m - 1) > lit(z.toLong * z) * m * (m * s2 - s * s)
+          dev * dev * (mD - 1) > lit(z.toLong * z) * mD * (mD * s2 - s * s)
       )
       .select(col("event_type"), col("day"), col("n_events"), col("baseline_n"), col("is_anomaly"))
       .orderBy("event_type", "day")
@@ -266,14 +272,18 @@ object EventOps {
        |  FROM events GROUP BY event_type, day),
        |roll AS (
        |  SELECT event_type, day, n_events,
-       |    count(*) OVER w AS m, sum(n_events) OVER w AS s, sum(n_events * n_events) OVER w AS s2
+       |    count(*) OVER w AS m,
+       |    sum(CAST(n_events AS HUGEINT)) OVER w AS s,
+       |    sum(CAST(n_events AS HUGEINT) * n_events) OVER w AS s2
        |  FROM daily
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-       |    ROWS BETWEEN $windowDays PRECEDING AND 1 PRECEDING))
+       |    ROWS BETWEEN $windowDays PRECEDING AND 1 PRECEDING)),
+       |dd AS (
+       |  SELECT *, CAST(m AS HUGEINT) * n_events - s AS dev FROM roll)
        |SELECT event_type, day, n_events, CAST(m AS BIGINT) AS baseline_n,
        |  (m >= $minBaseline AND
-       |   (m*n_events - s)*(m*n_events - s)*(m-1) > ${z.toLong * z}*m*(m*s2 - s*s)) AS is_anomaly
-       |FROM roll ORDER BY event_type, day""".stripMargin
+       |   dev*dev*(m-1) > ${z.toLong * z}*m*(m*s2 - s*s)) AS is_anomaly
+       |FROM dd ORDER BY event_type, day""".stripMargin
 
   def oracleRetention: String =
     s"""WITH ev AS (

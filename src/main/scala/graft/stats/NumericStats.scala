@@ -383,14 +383,28 @@ object NumericStats {
       pHi: Double = 0.95
   ): DataFrame = {
     require(cols.nonEmpty && pLo < pHi, "winsorizedStats needs columns and pLo < pHi")
+    // an all-null column yields null quantile bounds (value_r) — skip it
+    // rather than NPE at the driver; the surviving columns still report
     val bounds: Map[String, (Double, Double)] = quantiles(df, cols, Seq(pLo, pHi))
       .collect()
+      .filter(r => !r.isNullAt(2))
       .groupBy(_.getString(0))
-      .map { case (c, rows) =>
+      .collect { case (c, rows) if rows.length == 2 =>
         val m = rows.map(r => r.getDouble(1) -> r.getDouble(2)).toMap
         c -> ((m(pLo), m(pHi)))
       }
-    val aggs = cols.flatMap { c =>
+    val keep = cols.filter(bounds.contains)
+    if (keep.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("column_name", StringType), StructField("lo_r", DoubleType),
+        StructField("hi_r", DoubleType), StructField("n_nonnull", LongType),
+        StructField("n_below", LongType), StructField("n_above", LongType),
+        StructField("winsorized_sum", StringType)))
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val aggs = keep.flatMap { c =>
       val (lo, hi) = bounds(c)
       val clipped = when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c))
       Seq(
@@ -402,7 +416,7 @@ object NumericStats {
       )
     }
     val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
-    val rows = cols
+    val rows = keep
       .map { c =>
         val (lo, hi) = bounds(c)
         s"'$c', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE), `${c}__n`, `${c}__below`, `${c}__above`, `${c}__wsum`"
@@ -410,7 +424,7 @@ object NumericStats {
       .mkString(", ")
     agged
       .selectExpr(
-        s"stack(${cols.size}, $rows) AS (column_name, lo_r, hi_r, n_nonnull, n_below, n_above, winsorized_sum)")
+        s"stack(${keep.size}, $rows) AS (column_name, lo_r, hi_r, n_nonnull, n_below, n_above, winsorized_sum)")
       .orderBy("column_name")
   }
 

@@ -81,7 +81,18 @@ object StreamJoin {
     val path   = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
 
-    def source(): DataFrame = spark.readStream
+    // a stream-stream join instantiates one state store PER SHUFFLE PARTITION
+    // per side per microbatch — the partition count is a throughput knob, not
+    // a session constant. Run the stream in a cloned session (shared
+    // SparkContext, isolated SQLConf): sizing the stateful shuffle to the
+    // stream then can't re-plan a query planned concurrently on the caller's
+    // session. Only the parquet-nanos legacy flag is carried over.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    sess.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+
+    def source(): DataFrame = sess.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -118,23 +129,14 @@ object StreamJoin {
       )
 
     val name = s"graft_stream_join_${runCounter.incrementAndGet()}"
-    // a stream-stream join instantiates one state store PER SHUFFLE PARTITION
-    // per side per microbatch — the partition count is a throughput knob, not
-    // a session constant. The session default (sized for batch scans) made
-    // this query pay 32 state-store setups per pass at any input size; size
-    // the stateful shuffle to the stream and restore the session conf after.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
-    try {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name).orderBy("purchase_id", "view_id")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(name).orderBy("purchase_id", "view_id")
   }
 
   /** Stateful-shuffle width of the declared streaming query (state stores

@@ -43,8 +43,10 @@ object StreamingMonitor {
 
   val MicrosPerDay = 86400000000L
 
-  /** The exact-integer z-test both twins share (overflow-safe to ~10⁸
-    * events/day at the 28-day window, as documented on the batch side).
+  /** The exact z-test both twins share, in BigInt like the batch twin's
+    * DECIMAL(38,0): dev² = (m·x−S)² leaves long range at a ~3× spike on a
+    * 10⁸/day baseline, and a silently-wrapped score is worse than a slow one.
+    * Runs once per sealed day, so the boxing cost is irrelevant.
     */
   private[streaming] def anomalous(
       x: Long,
@@ -55,10 +57,11 @@ object StreamingMonitor {
     val m = history.length.toLong
     if (m < minBaseline) (m, false)
     else {
-      val s   = history.map(_.n).sum
-      val s2  = history.map(dc => dc.n * dc.n).sum
-      val dev = m * x - s
-      (m, dev * dev * (m - 1) > z * z * m * (m * s2 - s * s))
+      val mB  = BigInt(m)
+      val s   = history.foldLeft(BigInt(0))(_ + _.n)
+      val s2  = history.foldLeft(BigInt(0))((a, dc) => a + BigInt(dc.n) * dc.n)
+      val dev = mB * x - s
+      (m, dev * dev * (mB - 1) > BigInt(z * z) * mB * (mB * s2 - s * s))
     }
   }
 

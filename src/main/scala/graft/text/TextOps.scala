@@ -375,22 +375,27 @@ object TextOps {
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive (got $ks)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // two actions (grand total + top-k) over one aggregate: persist so the
+    // explode+groupBy corpus scan runs once, not twice
     val counts = graft.Tables.widen(docs)
       .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n"))).first().getLong(0)
-    val top = counts
-      .orderBy(col("n").desc, col("token"))
-      .limit(ks.max)
-      .select(col("n"))
-      .collect()
-      .map(_.getLong(0))
-    val cum = top.scanLeft(0L)(_ + _) // cum(i) = occurrences covered by top-i
-    val rows = ks.sorted.map(k => (k, cum(math.min(k, top.length)), total))
-    rows.toDF("k", "covered", "total")
-      .selectExpr("k", "covered", "total", "round(CAST(covered AS DOUBLE) / total, 6) AS share_r")
-      .orderBy("k")
+      .persist()
+    try {
+      val total = counts.agg(sum(col("n"))).first().getLong(0)
+      val top = counts
+        .orderBy(col("n").desc, col("token"))
+        .limit(ks.max)
+        .select(col("n"))
+        .collect()
+        .map(_.getLong(0))
+      val cum = top.scanLeft(0L)(_ + _) // cum(i) = occurrences covered by top-i
+      val rows = ks.sorted.map(k => (k, cum(math.min(k, top.length)), total))
+      rows.toDF("k", "covered", "total")
+        .selectExpr("k", "covered", "total", "round(CAST(covered AS DOUBLE) / total, 6) AS share_r")
+        .orderBy("k")
+    } finally counts.unpersist(false)
   }
 
   def oracleVocabCoverage(ks: Seq[Int] = Seq(5, 10, 20)): String = {

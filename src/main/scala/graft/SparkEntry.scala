@@ -396,7 +396,22 @@ object SparkEntry {
       // oracle recomputes pii_level independently inside SQL — a true
       // end-to-end check of the profile→governance integration
       "masked_customer" -> ((s: SparkSession, d: String) =>
-        graft.governance.Masking.maskedDF(Tables.load(s, d, "customer"), SparkEntry.profiles(s, d, "customer")))
+        graft.governance.Masking.maskedDF(Tables.load(s, d, "customer"), SparkEntry.profiles(s, d, "customer"))),
+      // Data Vault DDL generation (the reference README's headline unbuilt
+      // capability): NOT NULL derived from the measured null_count, the
+      // masked-view cells from the profiled pii_level — the oracle reassembles
+      // the identical strings with both terms recomputed by DuckDB's own
+      // profile cascade (r8)
+      "dv_ddl_customer" -> ((s: SparkSession, d: String) =>
+        graft.vault.DdlGen.vaultDdl(
+          s,
+          Tables.load(s, d, "customer"), SparkEntry.profiles(s, d, "customer"), "customer",
+          keyCols = Seq("c_custkey"),
+          attrCols = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+          linkDf = Tables.load(s, d, "orders"),
+          linkProfiles = SparkEntry.profiles(s, d, "orders"),
+          linkName = "order_customer",
+          linkMembers = Seq("order" -> "o_orderkey", "customer" -> "o_custkey")))
     )
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "stream_events_hourly" -> ((s: SparkSession, d: String) =>
@@ -756,7 +771,15 @@ object SparkEntry {
       "fd_candidates_orders" -> graft.vault.DataVault.oracleFdCandidates("orders", Tables.columns("orders")),
       "composite_keys_lineitem" -> graft.vault.DataVault.oracleCompositeKeys("lineitem", lineitemKeySets),
       "masked_customer" -> OracleGen.maskedSql(
-        "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal"))
+        "customer", Tables.columns("customer"), doubleCols = Set("c_acctbal")),
+      "dv_ddl_customer" -> graft.vault.DdlGen.oracleVaultDdl(
+        "customer",
+        Map("c_custkey" -> "BIGINT", "c_name" -> "VARCHAR", "c_nationkey" -> "INTEGER",
+          "c_acctbal" -> "DOUBLE", "c_mktsegment" -> "VARCHAR"),
+        "customer", Seq("c_custkey"), Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "orders", Map("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT"),
+        "order_customer", Seq("order" -> "o_orderkey", "customer" -> "o_custkey"),
+        doubleCols = Set("c_acctbal"))
     )
     val extra = Seq(
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,

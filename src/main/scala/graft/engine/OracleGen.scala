@@ -135,6 +135,16 @@ object OracleGen {
        |)""".stripMargin
   }
 
+  /** Scalar subqueries over one column's recomputed profile row — exported so
+    * other oracles (the DDL generator's data-dependent terms) can compose the
+    * cascade instead of baking its decisions.
+    */
+  def nullCountSubquery(table: String, colName: String, isMap: Boolean = false): String =
+    s"(SELECT null_count FROM (${profileSelect(table, colName, isMap)}) __p)"
+
+  def piiLevelSubquery(table: String, colName: String, isMap: Boolean = false): String =
+    s"(SELECT pii_level FROM (${profileSelect(table, colName, isMap)}) __p)"
+
   private def profileUnion(table: String, columns: Seq[String], mapCols: Set[String]): String =
     columns.map(c => profileSelect(table, c, mapCols.contains(c))).mkString("\nUNION ALL\n")
 

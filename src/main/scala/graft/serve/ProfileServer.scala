@@ -19,6 +19,16 @@ import graft.model.ColumnProfile
   *     `{"path": "<dataset>"}` → the per-column classification table as a
   *     JSON array (parquet / csv / jsonl, dispatched by extension like the
   *     CLI).
+  *   - `POST /upload?format=csv|jsonl` with the raw file content as the
+  *     request body → the same profile table, computed over the uploaded
+  *     content — the `.env.example` `UPLOAD_DIR`/`MAX_FILE_SIZE` ingestion
+  *     path (`.env.example:24-25`). The body is size-capped (`maxUploadBytes`,
+  *     read incrementally so an oversize body is rejected with 400 without
+  *     buffering it); content lands under `uploadDir` and is read back
+  *     through the [[graft.io.Sources]] readers. Malformed JSONL lines are
+  *     QUARANTINED, not crashed on (PERMISSIVE `_corrupt_record`), and the
+  *     response reports `{"rows", "quarantined", "profiles"}`; content with
+  *     no parseable rows is a 400.
   *
   * Built on the JDK's own httpserver — the zero-egress build adds no HTTP
   * framework dependency. Binds loopback by default: this is a driver-side
@@ -81,10 +91,85 @@ object ProfileServer {
     fromQuery.orElse(fromBody).filter(_.nonEmpty)
   }
 
+  /** Default upload size cap — the `.env.example` MAX_FILE_SIZE role. Uploads
+    * are a control-plane convenience for small datasets; big data arrives by
+    * path (the cluster-readable location), never through the driver's HTTP
+    * socket.
+    */
+  val DefaultMaxUploadBytes: Long = 16L * 1024 * 1024
+
+  private val uploadCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Read the stream up to `cap` bytes; None once the cap is exceeded (the
+    * remainder is not buffered).
+    */
+  private[serve] def readCapped(in: java.io.InputStream, cap: Long): Option[Array[Byte]] = {
+    val buf   = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size() > cap) return None
+      n = in.read(chunk)
+    }
+    Some(buf.toByteArray)
+  }
+
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery)
+      .flatMap(_.split('&').collectFirst {
+        case kv if kv.startsWith(s"$key=") =>
+          java.net.URLDecoder.decode(kv.drop(key.length + 1), "UTF-8")
+      })
+      .filter(_.nonEmpty)
+
+  /** Parse an uploaded file into (good rows, quarantined count, release).
+    * JSONL reads PERMISSIVE with an explicit `_corrupt_record` column
+    * appended to the inferred schema — malformed lines count as quarantined
+    * instead of failing the upload. The parsed frame is CACHED (Spark
+    * disallows filtering a raw file source on `_corrupt_record` alone —
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN); callers run `release()` after
+    * profiling. CSV reads header+inference (the size cap bounds the
+    * inference scan). None when nothing parseable remains.
+    */
+  private[serve] def parseUpload(
+      spark: SparkSession,
+      path: String,
+      format: String
+  ): Option[(org.apache.spark.sql.DataFrame, Long, () => Unit)] = format match {
+    case "jsonl" =>
+      val inferred = graft.io.Sources.readJsonl(spark, path, None)
+      val dataCols = inferred.columns.filterNot(_ == "_corrupt_record")
+      if (dataCols.isEmpty) None
+      else {
+        val q = org.apache.spark.sql.types.StructType(
+          inferred.schema.fields.filterNot(_.name == "_corrupt_record") :+
+            org.apache.spark.sql.types.StructField(
+              "_corrupt_record", org.apache.spark.sql.types.StringType))
+        val withQ = graft.io.Sources.readJsonl(spark, path, Some(q)).cache()
+        val release = () => { withQ.unpersist(false); () }
+        import org.apache.spark.sql.functions.col
+        val quarantined = withQ.where(col("_corrupt_record").isNotNull).count()
+        val good = withQ.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+        if (good.isEmpty) { release(); None }
+        else Some((good, quarantined, release))
+      }
+    case "csv" =>
+      val df = graft.io.Sources.readCsv(spark, path)
+      if (df.columns.isEmpty || df.isEmpty) None else Some((df, 0L, () => ()))
+    case _ => None
+  }
+
   /** Start the server; `port = 0` picks an ephemeral port (tests). Returns
     * the running server — callers stop it with `.stop(0)`.
     */
-  def start(spark: SparkSession, port: Int, host: String = "127.0.0.1"): HttpServer = {
+  def start(
+      spark: SparkSession,
+      port: Int,
+      host: String = "127.0.0.1",
+      maxUploadBytes: Long = DefaultMaxUploadBytes,
+      uploadDir: String = sys.props("java.io.tmpdir") + "/graft_uploads"
+  ): HttpServer = {
     val engine = new graft.engine.ProfilerEngine()
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/health", new HttpHandler {
@@ -106,6 +191,47 @@ object ProfileServer {
                 respond(ex, 500, err(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}"))
             }
         }
+    })
+    server.createContext("/upload", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestMethod != "POST")
+          return respond(ex, 405, err("upload is POST-only"))
+        val format = queryParam(ex, "format").getOrElse("")
+        if (format != "csv" && format != "jsonl")
+          return respond(ex, 400, err("unsupported or missing format (csv|jsonl)"))
+        readCapped(ex.getRequestBody, maxUploadBytes) match {
+          case None =>
+            respond(ex, 400, err(s"payload exceeds MAX_FILE_SIZE ($maxUploadBytes bytes)"))
+          case Some(bytes) if bytes.isEmpty =>
+            respond(ex, 400, err("empty upload body"))
+          case Some(bytes) =>
+            try {
+              val dir = new java.io.File(uploadDir)
+              dir.mkdirs()
+              val file =
+                new java.io.File(dir, s"upload_${uploadCounter.incrementAndGet()}.$format")
+              java.nio.file.Files.write(file.toPath, bytes)
+              parseUpload(spark, file.getAbsolutePath, format) match {
+                case None =>
+                  respond(ex, 400, err("no parseable rows in upload"))
+                case Some((df, quarantined, release)) =>
+                  val profiles =
+                    try engine.analyzeDataFrame(df).columnProfiles
+                    finally release()
+                  val o = mapper.createObjectNode()
+                  o.put("rows", profiles.headOption.map(_.totalRows).getOrElse(0L))
+                  o.put("quarantined", quarantined)
+                  o.set[com.fasterxml.jackson.databind.JsonNode](
+                    "profiles", mapper.readTree(profilesToJson(profiles)))
+                  respond(ex, 200, mapper.writeValueAsString(o))
+              }
+            } catch {
+              case e: Exception =>
+                respond(ex, 500, err(s"${e.getClass.getSimpleName}: " +
+                  s"${String.valueOf(e.getMessage).takeWhile(_ != '\n')}"))
+            }
+        }
+      }
     })
     server.start()
     server

@@ -66,4 +66,58 @@ class ProfileServerSpec extends AnyFunSuite {
     assert(call("/profile", "POST", Some("not json"))._1 == 400)
     assert(call("/profile?path=/no/such/data.parquet")._1 == 404)
   }
+
+  test("POST /upload profiles inline CSV content") {
+    val csv = "user_id,email\n1,a@example.com\n2,b@example.com\n3,c@example.com\n"
+    val (status, body) = call("/upload?format=csv", "POST", Some(csv))
+    assert(status == 200, body)
+    val node = mapper.readTree(body)
+    assert(node.path("rows").asLong() == 3L)
+    assert(node.path("quarantined").asLong() == 0L)
+    val profiles = node.path("profiles")
+    assert(profiles.size() == 2)
+    val email = (0 until profiles.size()).map(profiles.get(_))
+      .find(_.path("column_name").asText() == "email").get
+    assert(email.path("data_type").asText() == "email")
+    assert(email.path("pii_level").asText() == "high")
+  }
+
+  test("POST /upload quarantines malformed JSONL lines instead of failing") {
+    val jsonl = """{"doc_id": 1, "text": "hello world"}
+                  |NOT VALID JSON {{{
+                  |{"doc_id": 2, "text": "goodbye"}
+                  |""".stripMargin
+    val (status, body) = call("/upload?format=jsonl", "POST", Some(jsonl))
+    assert(status == 200, body)
+    val node = mapper.readTree(body)
+    assert(node.path("rows").asLong() == 2L)
+    assert(node.path("quarantined").asLong() == 1L)
+    val names = {
+      val p = node.path("profiles")
+      (0 until p.size()).map(p.get(_).path("column_name").asText()).toSet
+    }
+    assert(names == Set("doc_id", "text"))
+  }
+
+  test("upload guards: oversize body, bad format, unparseable content, GET") {
+    // a tiny-cap server proves the cap without shipping megabytes
+    val small = graft.serve.ProfileServer.start(spark, port = 0, maxUploadBytes = 64L)
+    try {
+      val smallBase = s"http://127.0.0.1:${small.getAddress.getPort}"
+      val conn = URI.create(s"$smallBase/upload?format=csv").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(("a,b\n" + "x,y\n" * 100).getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      assert(conn.getResponseCode == 400)
+      val errBody = new String(conn.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(errBody.contains("MAX_FILE_SIZE"))
+    } finally small.stop(0)
+    assert(call("/upload?format=xml", "POST", Some("x"))._1 == 400)
+    assert(call("/upload?format=jsonl", "POST", Some("NOT JSON AT ALL"))._1 == 400)
+    assert(call("/upload?format=csv", "POST", Some(""))._1 == 400)
+    assert(call("/upload?format=csv")._1 == 405)
+  }
 }

@@ -358,6 +358,12 @@ object SparkEntry {
         graft.similarity.Pq.codesDF(emb(s, d), trainedCodebooks(s, d))),
       "pq_topk_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.Pq.adcTopK(emb(s, d), trainedCodebooks(s, d))),
+      // the full production composition (r8): IVF nprobe cell pruning bounds
+      // what is looked at, PQ/ADC bounds the bytes per look, exact cosine
+      // reranks only the ADC shortlist — both trained models in one plan
+      "ivfpq_topk_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.Pq.ivfPqTopK(
+          emb(s, d), trainedCentroids(s, d), trainedCodebooks(s, d))),
       // SemDeDup completed: CC labels over the semantic-pair graph, via the
       // same O(log n) star loop as the text-dedup clusters; the label table
       // is cached per (session, dir) and shared with the survivors cut (r9)
@@ -722,6 +728,11 @@ object SparkEntry {
         case None if centroidCache.size == 1 => Some(centroidCache.values.head)
         case None => None
       }
+      val cbsForIvfPq: Option[Array[Array[Array[Double]]]] = dir match {
+        case Some(d) => pqCache.collectFirst { case ((_, dd), c) if dd == d => c }
+        case None if pqCache.size == 1 => Some(pqCache.values.head)
+        case None => None
+      }
       if (cents.isEmpty)
         System.err.println(
           s"[SparkEntry] trained-IVF oracle entries OMITTED (dir=$dir, cached dirs=" +
@@ -735,7 +746,10 @@ object SparkEntry {
           "semantic_clusters_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticClusters(c),
           "semantic_survivors_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticSurvivors(c),
           "outliers_embeddings"      -> graft.similarity.SimilarityOps.oracleEmbeddingOutliers(c)
-        )
+        ) ++ cbsForIvfPq.toSeq.map { cb =>
+          // needs BOTH trained models — gated on the two caches together
+          "ivfpq_topk_embeddings" -> graft.similarity.Pq.oracleIvfPqTopK(c, cb)
+        }
       }
     } ++ {
       // trained-PQ oracles: same cache-gated literal inlining as the IVF

@@ -300,6 +300,167 @@ object Pq {
       .orderBy("qid", "adc_r", "vec_id")
   }
 
+  /** The production billion-vector search plan — all three tiers composed:
+    * IVF nprobe cell pruning bounds how many vectors are LOOKED AT, PQ/ADC
+    * scoring bounds the bytes per looked-at vector, exact cosine reranks
+    * only the ADC shortlist. Output: (qid, rank, vec_id, sim_r, adc_r) —
+    * the exact rerank ordering plus the ADC distance that shortlisted the
+    * row, so the oracle hash-checks BOTH scoring tiers through the cut.
+    *
+    * Scale shape: cell assignment is the map-side argmax (×k expansion
+    * collapses in partial aggregates — nothing wide shuffles); candidates =
+    * cells ⋈ probes is an equi-join on centroid_id (each vector lives in
+    * exactly one cell, so no dedup pass is needed); ADC joins the narrow
+    * (vec_id, m, code) relation for CANDIDATES ONLY against the broadcast
+    * |Q|·M·K lookup table; the exact tier touches `rerank` vectors per
+    * query, never the corpus. No scan past the cell filter carries the
+    * full-width embedding except the bounded rerank join.
+    *
+    * Determinism: the ADC shortlist cut ranks on (rounded adc_r, vec_id);
+    * the final ranking on (raw sim DESC, vec_id) — the [[SimilarityOps]]
+    * cosine conventions (≤1 ulp cross-engine, declared rounded).
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 32
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.widen(emb)
+      .select(col("vec_id"), SimilarityOps.dv.as("v"))
+      .withColumn("n2", SimilarityOps.norm2(col("v")))
+    val cents = SimilarityOps.centroidDF(emb, centroids)
+    val csim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
+    val scored = base
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("n2"),
+        struct(csim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
+    // one cell per vector: the map-side argmax (narrow — v dropped here)
+    val cells = scored
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("centroid_id"))
+    // nprobe cells + exact query vector per query id (tiny slice)
+    val probes = scored
+      .where(col("vec_id").isInCollection(queryIds))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("qv"),
+        first(col("n2")).as("qn2"),
+        slice(sort_array(collect_list(col("sc")), asc = false), 1, nprobe).as("top"))
+      .select(col("vec_id").as("qid"), col("qv"), col("qn2"), explode(col("top")).as("sc"))
+      .select(col("qid"), col("qv"), col("qn2"), (-col("sc.negc")).as("centroid_id"))
+    val candidates = cells
+      .join(broadcast(probes.select(col("qid"), col("centroid_id"))), Seq("centroid_id"))
+      .select(col("qid"), col("vec_id"))
+    // ADC over candidates only: narrow codes ⋈ broadcast query lookup table
+    val codes = codesDF(emb, codebooks).select(col("vec_id"), col("m"), col("code"))
+    val table = subsDF(emb, codebooks)
+      .where(col("vec_id").isInCollection(queryIds))
+      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("c_code").as("code"),
+        d2(col("sub"), col("cv")).as("qd2"))
+    val adc = candidates
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(table), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("terms"))
+      .withColumn("adc_r",
+        round(sqrt(expr("aggregate(transform(terms, t -> t.qd2), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_r"), col("vec_id"))
+    val shortlist = adc
+      .select(col("qid"), col("vec_id"), col("adc_r"))
+      .withColumn("srn", row_number().over(wAdc))
+      .where(col("srn") <= rerank)
+      .drop("srn")
+    // exact rerank of the bounded shortlist
+    val q = probes.select(col("qid"), col("qv"), col("qn2")).distinct()
+    val wSim = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(base, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim", DotProduct(col("v"), col("qv")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("qid"), col("vec_id"), col("sim"), col("adc_r"))
+      .withColumn("rank", row_number().over(wSim).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim_r"), col("adc_r"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]] — the IVF oracle's cell/probe CTEs nested
+    * with the PQ oracle's code/lookup CTEs, composed through the same
+    * shortlist → exact-rerank cut.
+    */
+  def oracleIvfPqTopK(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4,
+      rerank: Int = 32
+  ): String = {
+    val sd  = codebooks.head.head.length
+    val ids = queryIds.mkString(", ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${SimilarityOps.centroidSqlCte(centroids)},
+       |assigned AS (
+       |  SELECT b.vec_id, b.v, c.centroid_id,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.centroid_id) AS rn
+       |  FROM base b, cents c),
+       |cells AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, centroid_id
+       |  FROM assigned WHERE vec_id IN ($ids) AND rn <= $nprobe),
+       |candidates AS (
+       |  SELECT p.qid, m.vec_id FROM cells m JOIN probes p ON m.centroid_id = p.centroid_id),
+       |subs AS (
+       |  SELECT vec_id, t.m, list_slice(v, t.m * $sd + 1, t.m * $sd + $sd) AS sub
+       |  FROM base, (VALUES ${(0 until codebooks.length).map(i => s"($i)").mkString(", ")}) AS t(m)),
+       |pqcents AS (SELECT * FROM (VALUES ${codebooks.zipWithIndex.flatMap { case (cb, m) =>
+                      SimilarityOps.centroidStrings(cb).zipWithIndex.map { case (c, code) =>
+                        s"($m, $code, [${c.map(s => s"CAST('$s' AS DOUBLE)").mkString(", ")}])"
+                      }
+                    }.mkString(",\n    ")}) AS t(m, c_code, cv)),
+       |d AS (
+       |  SELECT s.vec_id, s.m, c.c_code, ${d2Sql("s.sub", "c.cv", sd)} AS dd
+       |  FROM subs s JOIN pqcents c ON s.m = c.m),
+       |codes AS (
+       |  SELECT vec_id, m, c_code AS code FROM (
+       |    SELECT vec_id, m, c_code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c_code) AS rn
+       |    FROM d) WHERE rn = 1),
+       |tbl AS (
+       |  SELECT vec_id AS qid, m, c_code AS code, dd AS qd2 FROM d
+       |  WHERE vec_id IN ($ids)),
+       |adc AS (
+       |  SELECT cd.qid, cd.vec_id,
+       |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.qd2 ORDER BY t.m)), (x, y) -> x + y)), 6) AS adc_r
+       |  FROM candidates cd JOIN codes c ON cd.vec_id = c.vec_id
+       |  JOIN tbl t ON cd.qid = t.qid AND c.m = t.m AND c.code = t.code
+       |  GROUP BY cd.qid, cd.vec_id),
+       |shortlist AS (
+       |  SELECT qid, vec_id, adc_r FROM (
+       |    SELECT qid, vec_id, adc_r,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc_r, vec_id) AS srn
+       |    FROM adc) WHERE srn <= $rerank),
+       |q AS (SELECT DISTINCT qid, qv FROM probes),
+       |reranked AS (
+       |  SELECT s.qid, s.vec_id, s.adc_r,
+       |    list_cosine_similarity(b.v, q.qv) AS sim
+       |  FROM shortlist s JOIN base b ON s.vec_id = b.vec_id JOIN q ON s.qid = q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, sim, adc_r,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM reranked)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim_r, adc_r
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleAdcTopK(
       codebooks: Array[Array[Array[Double]]],
       queryIds: Seq[Long] = Seq(0L, 1L, 2L),

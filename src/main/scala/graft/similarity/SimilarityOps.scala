@@ -46,8 +46,8 @@ object SimilarityOps {
     if (((lcg >> 16) & 1L) == 0L) 1 else -1
   }
 
-  private val dv    = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-  private def norm2(v: Column): Column = DotProduct(v, v)
+  private[similarity] val dv    = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+  private[similarity] def norm2(v: Column): Column = DotProduct(v, v)
 
   // --- exact brute-force top-k ---------------------------------------------
 
@@ -194,7 +194,7 @@ object SimilarityOps {
     centroids.map(_.map(x => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toString))
 
   /** Literal centroid relation (centroid_id, cv, cn2) for the Spark side. */
-  private def centroidDF(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private[similarity] def centroidDF(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     centroids.zipWithIndex

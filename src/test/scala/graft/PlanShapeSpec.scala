@@ -76,6 +76,30 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
+  test("ivf+pq composition: no full-corpus operator past the cell filter") {
+    // plan shape is model-value-independent — synthetic literals suffice
+    val cents = Array.tabulate(16, 64)((i, j) => (i * 64 + j + 1).toDouble / 100.0)
+    val cbs   = Array.tabulate(4, 16, 16)((m, c, j) => (m * 256 + c * 16 + j + 1).toDouble / 100.0)
+    val p = plan(graft.similarity.Pq.ivfPqTopK(emb, cents, cbs))
+    assert(!p.contains("CartesianProduct"), s"ivfpq plans a cartesian product:\n$p")
+    // the only nested-loop joins allowed are broadcasts of the k-row centroid
+    // LITERAL relation (the `scored` assignment subtree is re-planned for
+    // cells, probes, and the rerank query slice → ≤3 of them, each a
+    // LocalTableScan build side); every other join is an equi-join
+    // (centroid_id / vec_id / (m, code)) that prunes before it scans
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnljs <= 3, s"ivfpq has $bnljs nested-loop joins:\n$p")
+    assert(p.contains("LocalTableScan"), s"centroid literals should be local relations:\n$p")
+    // both ranking windows partition the narrow per-query candidate rows;
+    // a vec_id-partitioned window is the r4 wide-shuffle shape
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(
+      windows.nonEmpty && windows.forall(w =>
+        w.contains("windowspecdefinition(qid#") && !w.contains("windowspecdefinition(vec_id#")),
+      s"ivfpq windows over vec_id (wide shuffle):\n$p"
+    )
+  }
+
   test("quantiles ranks over a distributed range sort — no buffering aggregate") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p = plan(graft.stats.NumericStats.sortedLong(li, Seq("l_quantity", "l_extendedprice")))

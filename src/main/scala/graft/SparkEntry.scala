@@ -422,6 +422,11 @@ object SparkEntry {
     val extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "stream_events_hourly" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamingProfiler.eventWindowCounts(s, d)),
+      // the monitor's sealed-day output, declared (r8): AvailableNow over the
+      // events table, oracled by the batch anomaly SQL restricted to sealed
+      // days — the sealing discipline itself is under the hash
+      "stream_anomalies_events" -> ((s: SparkSession, d: String) =>
+        graft.streaming.StreamingMonitor.streamingAnomalyScores(s, d)),
       "media_features_documents" -> ((s: SparkSession, d: String) =>
         graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
       "sessions_events" -> ((s: SparkSession, d: String) =>
@@ -828,6 +833,8 @@ object SparkEntry {
       "group_quantiles_lineitem" -> graft.stats.NumericStats.oracleGroupQuantiles(
         "lineitem", "l_returnflag", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "anomalies_events" -> graft.analytics.EventOps.oracleDailyAnomalies(),
+      "stream_anomalies_events" -> graft.analytics.EventOps.oracleDailyAnomalies(
+        sealedDelayMs = Some(1000L)),
       "drift_documents" -> OracleGen.driftSql(
         s"(SELECT * FROM documents WHERE doc_id < $driftSplit)",
         Tables.columns("documents"),

@@ -264,9 +264,22 @@ object EventOps {
        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
 
   /** DuckDB twin of [[dailyAnomalies]] — the identical integer inequality
-    * over the identical trailing-rows frame.
+    * over the identical trailing-rows frame. With `sealedDelayMs` set, the
+    * output is restricted to days SEALED under a streaming watermark of that
+    * delay (day end ≤ max event time truncated to ms minus the delay — the
+    * [[graft.streaming.StreamingMonitor]] sealing rule), making this the
+    * oracle of the declared streaming monitor run.
     */
-  def oracleDailyAnomalies(windowDays: Int = 28, z: Int = 3, minBaseline: Int = 7): String =
+  def oracleDailyAnomalies(
+      windowDays: Int = 28,
+      z: Int = 3,
+      minBaseline: Int = 7,
+      sealedDelayMs: Option[Long] = None
+  ): String = {
+    val sealFilter = sealedDelayMs
+      .map(d => s"\n|WHERE (day + 1) * $MicrosPerDay <= " +
+        s"(SELECT ((max(epoch_us(ts)) // 1000) - $d) * 1000 FROM events)")
+      .getOrElse("")
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day, count(*) AS n_events
        |  FROM events GROUP BY event_type, day),
@@ -283,7 +296,9 @@ object EventOps {
        |SELECT event_type, day, n_events, CAST(m AS BIGINT) AS baseline_n,
        |  (m >= $minBaseline AND
        |   dev*dev*(m-1) > ${z.toLong * z}*m*(m*s2 - s*s)) AS is_anomaly
-       |FROM dd ORDER BY event_type, day""".stripMargin
+       |FROM dd$sealFilter
+       |ORDER BY event_type, day""".stripMargin
+  }
 
   def oracleRetention: String =
     s"""WITH ev AS (

@@ -113,6 +113,56 @@ object StreamingMonitor {
     out.iterator
   }
 
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The declared-query form: the monitor run over the events table AS A
+    * STREAM (file source → 1s watermark → fMGWS → memory sink, AvailableNow)
+    * and returned as the finished frame of sealed, scored days. Shares the
+    * batch twin's oracle restricted to sealed days
+    * ([[graft.analytics.EventOps.oracleDailyAnomalies]] with
+    * `sealedDelayMs`): every day whose end the final watermark passed emits
+    * exactly once, the last (open) day does not — the sealing discipline
+    * itself is under the hash, not just the scoring arithmetic.
+    *
+    * Runs in a cloned session with the stateful shuffle sized to the stream
+    * (the [[StreamJoin]] rule: state stores instantiate per shuffle
+    * partition; |event types| keys need nothing like a batch-scan width).
+    * AvailableNow still fires the sealing timeouts: after the last data
+    * batch, the no-data microbatch (enabled by default) runs the event-time
+    * timers against the final watermark.
+    */
+  def streamingAnomalyScores(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      windowDays: Int = 28,
+      z: Int = 3,
+      minBaseline: Int = 7
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path   = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    sess.conf.set("spark.sql.shuffle.partitions", StreamJoin.StreamShufflePartitions.toString)
+    val stream = sess.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) // TIMESTAMP(NANOS) legacy long
+      .withWatermark("ts", "1 second")
+    val name = s"graft_stream_anomalies_${runCounter.incrementAndGet()}"
+    val q = streamingAnomalies(stream, windowDays, z, minBaseline)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(name).orderBy("event_type", "day")
+  }
+
   /** Streaming anomaly monitor over a watermarked event stream: the stream
     * of sealed, scored days (append semantics — each day emits exactly once).
     */

@@ -32,12 +32,16 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL references only catalog tables or its own CTEs") {
     val tables = Tables.columns.keySet
     for ((name, sql) <- SparkEntry.oracleSql) {
+      // lint the SQL structure, not its data: a quoted literal may contain
+      // SQL-looking text (the DDL oracle emits 'FROM sat_customer' as part
+      // of a generated CREATE VIEW string)
+      val code = sql.replaceAll("'(?:[^']|'')*'", "''")
       // digit-aware identifier capture: `s2` must parse as "s2", not "s" —
       // otherwise numbered CTE references escape the check entirely
-      val froms = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      val froms = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(code).map(_.group(1)).toSet
       // names the SQL itself introduces: CTEs (`x AS (` / `x(cols) AS (`)
       val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
-        .findAllMatchIn(sql).map(_.group(1)).toSet
+        .findAllMatchIn(code).map(_.group(1)).toSet
       val unknown = froms -- tables -- ctes
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }

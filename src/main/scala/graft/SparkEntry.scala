@@ -343,6 +343,10 @@ object SparkEntry {
       "ann_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.annTopK(emb(s, d))),
       "ivf_topk_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.SimilarityOps.ivfTopKTrained(emb(s, d), trainedCentroids(s, d))),
+      // recall@k of the IVF search vs exact brute force — the nprobe-tuning
+      // evaluation loop, both sides' tie-breaks deterministic (r8)
+      "ivf_recall_embeddings" -> ((s: SparkSession, d: String) =>
+        graft.similarity.SimilarityOps.ivfRecall(emb(s, d), trainedCentroids(s, d))),
       // SemDeDup-style semantic dedup: within-trained-cell cosine pairs (r7)
       "semantic_dups_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.SimilarityOps.semanticDupPairs(emb(s, d), trainedCentroids(s, d))),
@@ -448,6 +452,22 @@ object SparkEntry {
       // reuses the cached cluster labels instead of re-running the CC loop
       "curated_documents" -> ((s: SparkSession, d: String) =>
         graft.curation.Curation.curatedDocuments(docs(s, d), clusterLabels(s, d))),
+      // quality-argmax survivor per cluster: map-side-combinable min(struct),
+      // not a window — hot clusters partially reduce before the exchange (r8)
+      "best_survivors_documents" -> ((s: SparkSession, d: String) =>
+        graft.curation.Curation.bestSurvivors(docs(s, d), clusterLabels(s, d))),
+      // token-budget mixture planner: exact-integer targets + the rate the
+      // stratified sampler consumes (r8)
+      "mix_plan_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.mixPlan(docs(s, d))),
+      // Levenshtein verification of the LSH candidate pairs on a bounded
+      // prefix — constant per-pair cost, banded candidate volume (r8)
+      "editdist_pairs_documents" -> ((s: SparkSession, d: String) =>
+        graft.dedup.DedupOps.editDistancePairs(docs(s, d))),
+      // DV2.0 point-in-time table over the SCD2 episodes: broadcast literal
+      // snapshots against the validity ranges (r8)
+      "dv_pit_orders" -> ((s: SparkSession, d: String) =>
+        graft.vault.Scd2.pitOrders(Tables.load(s, d, "orders"))),
       // the full shippable training cut: curated ∧ not-bench ∧ not-leaking —
       // curation and decontamination composed end-to-end under one hash (r7)
       "decontaminated_documents" -> ((s: SparkSession, d: String) => {
@@ -747,6 +767,7 @@ object SparkEntry {
           "ivf_centroids_embeddings" -> graft.similarity.SimilarityOps.oracleIvfCentroids(c),
           "ivf_assign_embeddings"    -> graft.similarity.SimilarityOps.oracleIvfAssignTrained(c),
           "ivf_topk_embeddings"      -> graft.similarity.SimilarityOps.oracleIvfTopKTrained(c),
+          "ivf_recall_embeddings"    -> graft.similarity.SimilarityOps.oracleIvfRecall(c),
           "semantic_dups_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticDupPairs(c),
           "semantic_clusters_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticClusters(c),
           "semantic_survivors_embeddings" -> graft.similarity.SimilarityOps.oracleSemanticSurvivors(c),
@@ -810,6 +831,10 @@ object SparkEntry {
         "orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
       "hist_lineitem_price" -> graft.stats.NumericStats.oracleHistogram("lineitem", "l_extendedprice", 5000.0),
       "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments,
+      "best_survivors_documents" -> graft.curation.Curation.oracleBestSurvivors,
+      "mix_plan_documents"  -> graft.sampling.Sampling.oracleMixPlan,
+      "editdist_pairs_documents" -> graft.dedup.DedupOps.oracleEditDistancePairs(),
+      "dv_pit_orders"       -> graft.vault.Scd2.oraclePitOrders(),
       "decontaminated_documents" -> graft.curation.Curation.oracleDecontaminatedDocuments(),
       "quantiles_lineitem" -> graft.stats.NumericStats.oracleQuantiles(
         "lineitem", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),

@@ -119,4 +119,72 @@ object Curation {
        |WHERE q.quality_class <> 'poor' AND l.pred_lang <> 'und' AND cl.cluster_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin
   }
+
+  // --- quality-argmax survivor selection -------------------------------------
+
+  /** Quality-aware survivor per near-dup cluster — the production rule a
+    * curation pass actually wants instead of "keep the lowest doc_id": within
+    * each cluster keep the best document by (quality class good < fair < poor,
+    * then more tokens, then lowest doc_id as the unique tie-break).
+    *
+    * Plan shape: NOT a window. The argmax is a `min` over a comparison struct
+    * `(quality_rank, -n_tokens, doc_id, …)` — structs compare
+    * lexicographically in both engines' ordering semantics, and Spark's
+    * `min(struct)` is a map-side-combinable hash aggregate, so hot clusters
+    * partially reduce before the exchange. A `row_number` window would shuffle
+    * every member row to its cluster's partition and sort it there; the
+    * aggregate ships one candidate per cluster per map partition. At 100 TB
+    * (where a boilerplate cluster can hold millions of members) that is the
+    * difference between a bounded exchange and a skew hotspot.
+    *
+    * Payload columns ride INSIDE the struct (positions after the unique
+    * doc_id never influence the comparison), so no re-join is needed to
+    * recover them — one scan of the cluster labels + one of the quality
+    * projection, one aggregate exchange.
+    */
+  def bestSurvivors(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val q = TextOps.quality(docs).select(col("doc_id"), col("n_tokens"), col("quality_class"))
+    val qualityRank = when(col("quality_class") === "good", 0L)
+      .when(col("quality_class") === "fair", 1L)
+      .otherwise(2L)
+    clusters
+      .join(q, "doc_id")
+      .select(
+        col("cluster_id"),
+        struct(
+          qualityRank.as("qr"),
+          (-col("n_tokens")).as("neg_tokens"),
+          col("doc_id").as("doc_id"),
+          col("quality_class").as("quality_class"),
+          col("n_tokens").as("n_tokens")
+        ).as("cand")
+      )
+      .groupBy(col("cluster_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(
+        col("cluster_id"),
+        col("best.doc_id").as("doc_id"),
+        col("best.quality_class").as("quality_class"),
+        col("best.n_tokens").as("n_tokens")
+      )
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB twin of [[bestSurvivors]]: the same total order spelled as a
+    * `row_number` pick (the oracle side is allowed the window — correctness
+    * twin, not the scale plan). Deterministic because doc_id breaks all ties.
+    */
+  def oracleBestSurvivors: String = {
+    val q = TextOps.oracleQuality.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE ${DedupOps.oracleClusterCtes},
+       |q AS ($q),
+       |ranked AS (
+       |  SELECT cl.cluster_id, q.doc_id, q.quality_class, q.n_tokens,
+       |    row_number() OVER (PARTITION BY cl.cluster_id ORDER BY
+       |      (CASE q.quality_class WHEN 'good' THEN 0 WHEN 'fair' THEN 1 ELSE 2 END),
+       |      q.n_tokens DESC, q.doc_id) AS rn
+       |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id, quality_class, n_tokens
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
 }

@@ -247,6 +247,45 @@ object DedupOps {
        |WHERE doc_a >= $splitAt OR doc_b >= $splitAt
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Edit-distance verification of the LSH candidate pairs — the exact-ish
+    * confirmation tier a near-dup pipeline runs AFTER banding (MinHash says
+    * "probably similar"; Levenshtein on a bounded prefix says how similar,
+    * in characters). Distance is computed on the first `prefixLen` chars of
+    * each side: Levenshtein is O(len²) per pair, so the scale contract is
+    * that per-pair cost is a CONSTANT (prefixLen²), never corpus-dependent —
+    * the same bounding trick production near-dup verifiers use. Candidate
+    * volume is the banded pair set (bucketed join, never all-pairs), and the
+    * two text lookups are hash joins on the doc-id key.
+    *
+    * Both engines implement textbook Wagner–Fischer over unicode codepoints;
+    * the corpus is ASCII, so the distances agree exactly.
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 200): DataFrame = {
+    val texts = graft.Tables.widen(docs)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("prefix"))
+    minhashCandidatePairs(docs)
+      .join(texts.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist")
+      )
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[editDistancePairs]]: the shared pairs CTE chain plus
+    * two doc-id joins and `levenshtein` over the same prefixes.
+    */
+  def oracleEditDistancePairs(prefixLen: Int = 200): String =
+    s"""WITH $oracleMinhashPairsCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(substr(a.text, 1, $prefixLen), substr(b.text, 1, $prefixLen)) AS BIGINT) AS edit_dist
+       |FROM pairs p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   /** The full CTE chain from documents to a `cl(doc_id, cluster_id)`
     * relation (min-reachable-label connected components over the minhash
     * candidate pairs; UNION dedups the recursive frontier, so the fixpoint

@@ -211,4 +211,70 @@ object Sampling {
        |WHERE ${oracleGate(keyCol, salt)} < (CASE $cases ELSE ${threshold(defaultFraction)} END)
        |ORDER BY $keyCol""".stripMargin
   }
+
+  // --- mixture sampling-rate planner -----------------------------------------
+
+  /** Target language shares for the declared mixture plan, as EXACT integer
+    * fractions (num/den) — float shares like 0.2 are not exact in binary and
+    * DuckDB parses the literal `0.2` as DECIMAL, a classic cross-engine
+    * divergence; integer fractions keep every planned token count an exact
+    * long in both engines. Languages absent from the map get share 0.
+    */
+  val MixShares: Seq[(String, Long, Long)] =
+    Seq(("en", 1L, 2L), ("zh", 1L, 5L), ("es", 1L, 5L), ("fr", 1L, 10L))
+
+  /** Token-budget mixture planner — the step between measuring a corpus mix
+    * ([[graft.text.TextOps.mixtureReport]]) and sampling it
+    * ([[stratifiedSampleByHash]]): given target language shares and a token
+    * budget (half the corpus here), compute per-language target tokens,
+    * achievable planned tokens (capped at what the language has), and the
+    * sampling rate to feed the stratified sampler.
+    *
+    * All token arithmetic is exact-integer (`div`), the only double is the
+    * final `rate = planned/have` quotient (the declared-ratio convention).
+    * Plan: one scan → per-lang sum (map-side combinable) → 1-row total
+    * broadcast back over the handful of language rows — at 100 TB the
+    * exchange carries |langs| rows, nothing else.
+    */
+  def mixPlan(docs: DataFrame): DataFrame = {
+    val spark  = docs.sparkSession
+    import spark.implicits._
+    val shares = broadcast(MixShares.toDF("lang", "share_num", "share_den"))
+    val tokens = graft.Tables.widen(docs)
+      .select(col("lang"), size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long").as("n"))
+    val perLang = tokens.groupBy(col("lang")).agg(sum(col("n")).as("lang_tokens"))
+    val total   = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
+    perLang
+      .crossJoin(broadcast(total))
+      .join(shares, Seq("lang"), "left")
+      .withColumn("budget", expr("total_tokens div 2"))
+      .withColumn(
+        "target_tokens",
+        coalesce(expr("(budget * share_num) div share_den"), lit(0L))
+      )
+      .withColumn("planned_tokens", least(col("target_tokens"), col("lang_tokens")))
+      .withColumn("rate", col("planned_tokens").cast("double") / col("lang_tokens"))
+      .select(col("lang"), col("lang_tokens"), col("target_tokens"), col("planned_tokens"), col("rate"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB twin of [[mixPlan]] — same integer-fraction shares inlined as a
+    * VALUES CTE, same `//` integer division, same single double quotient.
+    */
+  def oracleMixPlan: String = {
+    val values = MixShares.map { case (l, n, d) => s"('$l', $n, $d)" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT lang, CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n FROM documents),
+       |g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_tokens FROM tok GROUP BY lang),
+       |t AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens FROM g),
+       |s(lang, share_num, share_den) AS (VALUES $values),
+       |planned AS (
+       |  SELECT g.lang, g.lang_tokens,
+       |    CAST(coalesce(((t.total_tokens // 2) * s.share_num) // s.share_den, 0) AS BIGINT) AS target_tokens
+       |  FROM g CROSS JOIN t LEFT JOIN s ON g.lang = s.lang)
+       |SELECT lang, lang_tokens, target_tokens,
+       |  least(target_tokens, lang_tokens) AS planned_tokens,
+       |  CAST(least(target_tokens, lang_tokens) AS DOUBLE) / lang_tokens AS rate
+       |FROM planned ORDER BY lang""".stripMargin
+  }
 }

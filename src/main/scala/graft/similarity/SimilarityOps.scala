@@ -379,6 +379,55 @@ object SimilarityOps {
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Recall@k of the trained-IVF search against exact brute-force cosine —
+    * the evaluation loop every ANN deployment runs before trusting an index
+    * (tune nprobe until recall clears the bar). Output per query: hit count
+    * (|IVF top-k ∩ exact top-k|, an exact long) and recall = hits/k.
+    *
+    * Determinism: both top-k sets rank by (sim DESC, vec_id) with the unique
+    * vec_id tie-break, so set membership — and therefore the intersection
+    * count — is a pure function of the data; this adds no float sensitivity
+    * beyond what the two underlying (already hash-green) top-k queries carry.
+    *
+    * Plan shape: the two searches' own scalable plans, then a join on
+    * (qid, vec_id) over k·|queries| rows each side — evaluation cost is
+    * index-search cost, the comparison itself is negligible at any scale.
+    */
+  def ivfRecall(
+      emb: DataFrame,
+      centroids: Array[Array[Double]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): DataFrame = {
+    val exact = cosineTopK(emb, queryIds, k).select(col("qid"), col("vec_id"))
+    val ivf = ivfTopKTrained(emb, centroids, queryIds, k, nprobe)
+      .select(col("qid").as("iqid"), col("vec_id").as("ivec"))
+    exact
+      .join(ivf, exact("qid") === ivf("iqid") && exact("vec_id") === ivf("ivec"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("ivec")).as("hits"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB twin of [[ivfRecall]]: the two top-k oracles as CTEs, joined and
+    * counted the same way.
+    */
+  def oracleIvfRecall(
+      centroids: Array[Array[Double]],
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+      k: Int = 10,
+      nprobe: Int = 4
+  ): String =
+    s"""WITH exact AS (${oracleCosineTopK(queryIds, k)}),
+       |ivf AS (${oracleIvfTopKTrained(centroids, queryIds, k, nprobe)})
+       |SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS hits, CAST($k AS BIGINT) AS k,
+       |  CAST(count(i.vec_id) AS DOUBLE) / $k AS recall
+       |FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   /** IVF probing search: exact cosine over only the vectors in the query's
     * `nprobe` closest cells, reranked. Candidate volume ≈ nprobe/K of the
     * corpus instead of all of it.

@@ -88,4 +88,63 @@ object Scd2 {
        |  lead(valid_from) OVER (PARTITION BY $keyCol ORDER BY episode) AS valid_to,
        |  n_rows
        |FROM eps ORDER BY $keyCol, episode""".stripMargin
+
+  // --- point-in-time (PIT) snapshot table ------------------------------------
+
+  /** The declared PIT snapshot dates — mid-year marks inside the orders
+    * stream's 1995–2001 range, so early snapshots exercise the
+    * "entity not yet born" exclusion and late ones the open current episode.
+    */
+  val PitSnapshots: Seq[String] =
+    Seq("1996-07-01", "1998-07-01", "2000-07-01", "2001-07-01")
+
+  /** Data Vault 2.0 point-in-time table over the SCD2 episodes: for each
+    * snapshot date, the episode in effect for every entity that exists by
+    * then (`valid_from ≤ snap < valid_to`, NULL valid_to = still current) —
+    * the construct a DV warehouse queries instead of re-running as-of logic
+    * per report. Completes the generator family next to hub/sat/link and
+    * the DDL text ([[DdlGen]]).
+    *
+    * Plan shape: the episode build is [[episodes]]' own single-exchange
+    * plan; the snapshot join broadcasts a HANDFUL of literal dates against
+    * it (a broadcast nested-loop by construction — the tiny-side pattern,
+    * same as query-vector crossJoins; the predicate keeps ≤1 episode per
+    * (entity, snapshot)). Never a shuffle keyed on the snapshot.
+    */
+  def pitTable(eps: DataFrame, keyCol: String, snapshots: Seq[String] = PitSnapshots): DataFrame = {
+    val spark = eps.sparkSession
+    import spark.implicits._
+    val snaps = snapshots.toDF("snap").select(to_timestamp(col("snap")).as("snapshot_ts"))
+    eps
+      .join(
+        broadcast(snaps),
+        col("valid_from") <= col("snapshot_ts") &&
+          (col("valid_to").isNull || col("snapshot_ts") < col("valid_to"))
+      )
+      .select(
+        col("snapshot_ts"),
+        col(keyCol),
+        col("episode"),
+        col("o_orderpriority"),
+        col("valid_from")
+      )
+      .orderBy("snapshot_ts", keyCol)
+  }
+
+  /** The declared instance: PIT over [[orderPriorityEpisodes]]. */
+  def pitOrders(orders: DataFrame): DataFrame =
+    pitTable(orderPriorityEpisodes(orders), "o_custkey")
+
+  /** DuckDB twin of [[pitOrders]]: the episodes oracle as a CTE joined to
+    * the same literal snapshot list with the same validity predicate.
+    */
+  def oraclePitOrders(snapshots: Seq[String] = PitSnapshots): String = {
+    val values = snapshots.map(s => s"(TIMESTAMP '$s 00:00:00')").mkString(", ")
+    s"""WITH eps AS (SELECT * FROM ($oracleOrderPriorityEpisodes)),
+       |snaps(snapshot_ts) AS (VALUES $values)
+       |SELECT s.snapshot_ts, e.o_custkey, e.episode, e.o_orderpriority, e.valid_from
+       |FROM eps e JOIN snaps s
+       |  ON e.valid_from <= s.snapshot_ts AND (e.valid_to IS NULL OR s.snapshot_ts < e.valid_to)
+       |ORDER BY s.snapshot_ts, e.o_custkey""".stripMargin
+  }
 }

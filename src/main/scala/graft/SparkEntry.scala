@@ -460,6 +460,11 @@ object SparkEntry {
       // stratified sampler consumes (r8)
       "mix_plan_documents" -> ((s: SparkSession, d: String) =>
         graft.sampling.Sampling.mixPlan(docs(s, d))),
+      // the dataset datasheet: corpus size/breadth/duplication/quality/
+      // lang-ID coverage as one (metric, value) relation — a union of the
+      // operator families' own 1-row aggregates, integration under one hash (r8)
+      "datasheet_documents" -> ((s: SparkSession, d: String) =>
+        graft.report.Datasheet.datasheet(docs(s, d))),
       // Levenshtein verification of the LSH candidate pairs on a bounded
       // prefix — constant per-pair cost, banded candidate volume (r8)
       "editdist_pairs_documents" -> ((s: SparkSession, d: String) =>
@@ -833,6 +838,7 @@ object SparkEntry {
       "curated_documents"   -> graft.curation.Curation.oracleCuratedDocuments,
       "best_survivors_documents" -> graft.curation.Curation.oracleBestSurvivors,
       "mix_plan_documents"  -> graft.sampling.Sampling.oracleMixPlan,
+      "datasheet_documents" -> graft.report.Datasheet.oracleDatasheet,
       "editdist_pairs_documents" -> graft.dedup.DedupOps.oracleEditDistancePairs(),
       "dv_pit_orders"       -> graft.vault.Scd2.oraclePitOrders(),
       "decontaminated_documents" -> graft.curation.Curation.oracleDecontaminatedDocuments(),

@@ -37,8 +37,11 @@ class ContractSpec extends AnyFunSuite {
       // of a generated CREATE VIEW string)
       val code = sql.replaceAll("'(?:[^']|'')*'", "''")
       // digit-aware identifier capture: `s2` must parse as "s2", not "s" —
-      // otherwise numbered CTE references escape the check entirely
-      val froms = "(?i)FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(code).map(_.group(1)).toSet
+      // otherwise numbered CTE references escape the check entirely. The
+      // lookbehind keeps a select list ending in `..._from` from matching
+      // its own suffix and capturing the next keyword as a relation.
+      val froms =
+        "(?i)(?<![a-z0-9_])FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(code).map(_.group(1)).toSet
       // names the SQL itself introduces: CTEs (`x AS (` / `x(cols) AS (`)
       val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(code).map(_.group(1)).toSet

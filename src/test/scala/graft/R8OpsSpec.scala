@@ -132,6 +132,23 @@ class R8OpsSpec extends AnyFunSuite {
     full.foreach(r => assert(r.getDouble(3) == 1.0, s"qid ${r.getLong(0)} recall ${r.getDouble(3)}"))
   }
 
+  // --- datasheet ------------------------------------------------------------
+
+  test("datasheet: fixed metric set, counts exact, ratios in [0,1], value columns disjoint") {
+    val rows = graft.report.Datasheet.datasheet(docs).collect()
+    assert(rows.map(_.getString(0)).toSet == Set(
+      "n_docs", "n_tokens", "n_langs", "n_sources",
+      "exact_dup_groups", "minhash_candidate_pairs",
+      "pct_good_quality", "pred_lang_coverage"))
+    val byMetric = rows.map(r => r.getString(0) -> r).toMap
+    assert(byMetric("n_docs").getLong(1) == docs.count())
+    rows.foreach { r =>
+      // exactly one of (value_long, value_ratio) is set
+      assert(r.isNullAt(1) != r.isNullAt(2))
+      if (!r.isNullAt(2)) assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   // --- pitTable -------------------------------------------------------------
 
   test("pitTable: each snapshot picks exactly the episode in effect, unborn entities excluded") {

@@ -295,7 +295,11 @@ object SparkEntry {
       // per-doc duplicated-shingle density — the exact-substring-dedup
       // signal, a third consumer of the one persisted postings exchange (r9)
       "dupgrams_documents" -> ((s: SparkSession, d: String) =>
-        graft.dedup.DedupOps.dupShingleStats(shinglePostings(s, d)))
+        graft.dedup.DedupOps.dupShingleStats(shinglePostings(s, d))),
+      // banding quality: precision/recall of the LSH candidates against the
+      // exact-Jaccard truth — the text-side twin of ivf_recall (r10)
+      "minhash_recall_documents" -> ((s: SparkSession, d: String) =>
+        graft.dedup.DedupOps.minhashRecall(docs(s, d)))
     )
     val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "sample_documents" -> ((s: SparkSession, d: String) =>
@@ -316,7 +320,12 @@ object SparkEntry {
       "holdout_documents" -> ((s: SparkSession, d: String) =>
         graft.sampling.Sampling.holdout(docs(s, d), "doc_id", 0.25, 0.05)),
       "salt_overlap_documents" -> ((s: SparkSession, d: String) =>
-        graft.sampling.Sampling.saltOverlap(docs(s, d), "doc_id", 0.5))
+        graft.sampling.Sampling.saltOverlap(docs(s, d), "doc_id", 0.5)),
+      // train/val/test split report — one gate banded 80/10/10, so the
+      // three-way split is a partition by construction and raising the train
+      // share only ever MOVES rows train-ward (r10)
+      "splits_documents" -> ((s: SparkSession, d: String) =>
+        graft.sampling.Sampling.splitReport(docs(s, d)))
     )
     val emb = (spark: SparkSession, dir: String) => Tables.load(spark, dir, "embeddings")
     val sim: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -548,6 +557,11 @@ object SparkEntry {
       // monitoring rule that pages when a day's event volume breaks ±3σ (r9)
       "anomalies_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.dailyAnomalies(Tables.load(s, d, "events"))),
+      // key-skew diagnostics on the natural shuffle key — the measurement
+      // that decides between hash partitioning, salting, and AQE skew
+      // handling before a key becomes the straggler (r10)
+      "skew_events" -> ((s: SparkSession, d: String) =>
+        graft.scale.Partitioning.keySkew(Tables.load(s, d, "events"), "user_id")),
       // profile drift between two slices of the corpus — the monitoring
       // layer under the hash gate: "yesterday" (doc_id < split) vs "today"
       // (doc_id >= split, `source` column dropped), so both the schema-diff
@@ -726,7 +740,8 @@ object SparkEntry {
       "contamination_capped_documents" -> graft.dedup.Contamination.oracleContaminatedPairsCapped(
         minShared = contaminationCappedMinShared, maxShingleDf = contaminationCap),
       "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit),
-      "dupgrams_documents" -> graft.dedup.DedupOps.oracleDupShingleStats
+      "dupgrams_documents" -> graft.dedup.DedupOps.oracleDupShingleStats,
+      "minhash_recall_documents" -> graft.dedup.DedupOps.oracleMinhashRecall()
     )
     val docCols = Tables.columns("documents")
     val sampling = Seq(
@@ -739,7 +754,8 @@ object SparkEntry {
       "holdout_documents" -> graft.sampling.Sampling.oracleHoldout(
         "documents", "doc_id", docCols, 0.25, 0.05),
       "salt_overlap_documents" -> graft.sampling.Sampling.oracleSaltOverlap(
-        "documents", "doc_id", docCols, 0.5)
+        "documents", "doc_id", docCols, 0.5),
+      "splits_documents" -> graft.sampling.Sampling.oracleSplitReport()
     )
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
@@ -864,6 +880,7 @@ object SparkEntry {
       "group_quantiles_lineitem" -> graft.stats.NumericStats.oracleGroupQuantiles(
         "lineitem", "l_returnflag", Seq("l_quantity", "l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)),
       "anomalies_events" -> graft.analytics.EventOps.oracleDailyAnomalies(),
+      "skew_events" -> graft.scale.Partitioning.oracleKeySkew("events", "user_id"),
       "stream_anomalies_events" -> graft.analytics.EventOps.oracleDailyAnomalies(
         sealedDelayMs = Some(1000L)),
       "drift_documents" -> OracleGen.driftSql(

@@ -539,6 +539,68 @@ object DedupOps {
        |FROM sh JOIN df ON sh.s = df.s
        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Banding quality report — precision/recall of the MinHash-LSH candidate
+    * pairs against the exact-Jaccard ground truth at `threshold`, the number
+    * a pipeline owner reads before trusting the banded tier at full scale
+    * (the ANN-side twin is [[graft.similarity.SimilarityOps.ivfRecall]]).
+    * One row: |truth|, |candidates|, |hits|, recall = hits/truth (what the
+    * bands missed), precision = hits/candidates (how much exact-verify work
+    * the bands force downstream).
+    *
+    * Scale shape: both pair sets come from their existing bucketed
+    * generators (inverted-index join and band join — never |docs|²); the
+    * hit count is an equi-join on (doc_a, doc_b); the three totals are
+    * 1-row aggregates crossJoined broadcast-style (the repo's bounded
+    * crossJoin convention). Counts are exact longs; ratios are rounded
+    * quotients of exact longs.
+    */
+  def minhashRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val truth = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val cand  = minhashCandidatePairs(docs).select(col("doc_a"), col("doc_b"))
+    val nHit   = truth.join(cand, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand  = cand.agg(count(lit(1)).as("n_cand"))
+    nTruth
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nHit))
+      .select(
+        col("n_truth"),
+        col("n_cand"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall_r"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision_r")
+      )
+  }
+
+  /** DuckDB twin of [[minhashRecall]]: the minhash pair CTEs and the exact
+    * Jaccard chain share ONE shingle CTE (`sh`), then the same counts.
+    */
+  def oracleMinhashRecall(threshold: Double = 0.5): String =
+    s"""WITH $oracleMinhashPairsCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |    FROM inter
+       |    JOIN sizes sa ON sa.doc_id = doc_a
+       |    JOIN sizes sb ON sb.doc_id = doc_b)
+       |  WHERE jaccard >= $threshold),
+       |hit AS (
+       |  SELECT count(*) AS n_hit FROM truth t
+       |  JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+       |SELECT
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_cand,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth), 6) AS recall_r,
+       |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM pairs), 6) AS precision_r
+       |FROM hit""".stripMargin
+
   def oracleJaccardPairs(threshold: Double = 0.5): String =
     s"""WITH $oracleShingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -124,10 +124,65 @@ object Sampling {
       .intersect(sampleByHash(df, keyCol, fraction, saltB))
       .orderBy(keyCol)
 
+  /** Train/val/test split assignment as BANDS of ONE hash gate: a row lands
+    * in `train` iff gate < ⌊trainFrac·2³²⌋, in `val` iff gate < ⌊(trainFrac+
+    * valFrac)·2³²⌋, else in `test`. One gate (not three salted ones) makes
+    * the three-way split a partition by construction — every row gets
+    * exactly one label, no overlap/gap audit needed — and keeps the
+    * subset-under-growth property DIRECTIONAL: raising trainFrac only moves
+    * rows from val/test into train, never reshuffles existing members (the
+    * property a long-lived corpus needs so checkpointed training runs stay
+    * valid as the split ratio evolves). Per-row projection, no shuffle.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      trainFrac: Double,
+      valFrac: Double,
+      salt: String = "split"
+  ): DataFrame = {
+    require(trainFrac + valFrac <= 1.0, s"train+val must be ≤ 1 (got ${trainFrac + valFrac})")
+    val g = gate(col(keyCol), salt)
+    df.withColumn(
+      "split",
+      when(g < threshold(trainFrac), "train")
+        .when(g < threshold(trainFrac + valFrac), "val")
+        .otherwise("test")
+    )
+  }
+
+  /** The declared split report: per (split, lang) doc and token counts — the
+    * sanity table a pipeline checks before training (is val big enough, is
+    * any language missing from test?). Map-side-combinable groupBy on a
+    * |splits|×|langs| key over the [[splitAssign]] projection; the gate
+    * filter never shuffles, the aggregate exchanges only the tiny rollup.
+    */
+  def splitReport(docs: DataFrame, trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(graft.text.TextOps.TokenRe), lit(0))).cast("long")
+    splitAssign(graft.Tables.widen(docs), "doc_id", trainFrac, valFrac)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
   // --- oracles --------------------------------------------------------------
 
   private def oracleGate(keyCol: String, salt: String): String =
     s"CAST('0x' || substr(md5($keyCol || ':$salt'), 1, 8) AS BIGINT)"
+
+  /** DuckDB twin of [[splitReport]]: the same gate banded by the same
+    * thresholds, rolled up the same way.
+    */
+  def oracleSplitReport(trainFrac: Double = 0.8, valFrac: Double = 0.1, salt: String = "split"): String =
+    s"""SELECT split, lang, count(*) AS n_docs,
+       |  CAST(sum(CAST(len(regexp_extract_all(text, '${graft.text.TextOps.TokenRe}')) AS BIGINT)) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT lang, text,
+       |    CASE WHEN ${oracleGate("doc_id", salt)} < ${threshold(trainFrac)} THEN 'train'
+       |         WHEN ${oracleGate("doc_id", salt)} < ${threshold(trainFrac + valFrac)} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY split, lang ORDER BY split, lang""".stripMargin
 
   /** DuckDB twin of [[sampleByHash]] over `table`, emitting `cols` ordered
     * by the key.

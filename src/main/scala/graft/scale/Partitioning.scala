@@ -72,4 +72,53 @@ object Partitioning {
     val salts = dim.sparkSession.range(factor).select(col("id").cast("int").as("__salt"))
     salted.join(dim.crossJoin(broadcast(salts)), Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnostics — the measurement that DECIDES between the levers
+    * above: per-key row counts summarized as one row of exact longs (total
+    * rows, distinct keys, the heaviest key's rows, the top-`topK` keys'
+    * combined rows) plus the derived shares. `max_share_r` ≈ 1/|keys| means
+    * hash partitioning is safe; a `top_share_r` concentrated in a handful of
+    * keys at 100 TB means the shuffle on this key needs salting or AQE skew
+    * handling BEFORE it becomes the straggler. This is run-it-first
+    * tooling, not an afterthought: the counts frame is one
+    * map-side-combinable exchange over the key, the summary is a 1-row
+    * aggregate, and the top-K probe is a bounded TakeOrdered head (per-
+    * partition heaps, driver merge of P·topK rows — never a global sort).
+    */
+  def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).persist()
+    val totals = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_key_rows")
+    )
+    val top = counts
+      .orderBy(col("n").desc, col(key))
+      .limit(topK)
+      .agg(sum(col("n")).as("top_rows"))
+    totals
+      .crossJoin(broadcast(top))
+      .select(
+        col("n_rows"),
+        col("n_keys"),
+        col("max_key_rows"),
+        col("top_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6).as("max_share_r"),
+        round(col("top_rows").cast("double") / col("n_rows"), 6).as("top_share_r")
+      )
+  }
+
+  /** DuckDB twin of [[keySkew]] over `table`.`key` — same counts, same
+    * (n DESC, key) top-K total order, same rounded shares.
+    */
+  def oracleKeySkew(table: String, key: String, topK: Int = 10): String =
+    s"""WITH counts AS (SELECT $key AS k, count(*) AS n FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+       |               CAST(max(n) AS BIGINT) AS max_key_rows FROM counts),
+       |top AS (SELECT CAST(sum(n) AS BIGINT) AS top_rows FROM (
+       |  SELECT n FROM counts ORDER BY n DESC, k LIMIT $topK))
+       |SELECT n_rows, n_keys, max_key_rows, top_rows,
+       |  round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS max_share_r,
+       |  round(CAST(top_rows AS DOUBLE) / n_rows, 6) AS top_share_r
+       |FROM tot, top""".stripMargin
 }

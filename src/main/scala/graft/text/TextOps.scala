@@ -23,7 +23,7 @@ object TextOps {
     * [[Packing]] so packed token budgets mean the same thing as the declared
     * tokencount query.
     */
-  private[text] val TokenRe = "[^ ]+"
+  private[graft] val TokenRe = "[^ ]+"
 
   /** BPE-ish pre-tokenization: letter runs | digit runs | single other
     * non-space symbol (the classic GPT-2-style regex family reduced to the

@@ -527,6 +527,26 @@ object SparkEntry {
       // SCD2 validity episodes of order priority per customer (r7b)
       "scd2_orders" -> ((s: SparkSession, d: String) =>
         graft.vault.Scd2.orderPriorityEpisodes(Tables.load(s, d, "orders"))),
+      // Deequ-style declarative constraint suite: the whole rule set is ONE
+      // aggregate pass (conditional sums + a single count-distinct) over a
+      // broadcast-joined referential arm; the 100k price-cap rule genuinely
+      // fails, exercising the passed=false path (r10b)
+      "checks_orders" -> ((s: SparkSession, d: String) =>
+        graft.quality.Checks.orderChecks(Tables.load(s, d, "orders"), Tables.load(s, d, "customer"))),
+      // CDC changelog compaction — latest-wins upsert/tombstone apply, the
+      // MERGE INTO per-commit primitive as a batch operator; rank-1 window
+      // rides the same map-side WindowGroupLimit as quota_documents (r10b)
+      "cdc_snapshot_orders" -> ((s: SparkSession, d: String) =>
+        graft.cdc.ChangeCapture.cdcSnapshotOrders(Tables.load(s, d, "orders"))),
+      // wide->long melt (native unpivot, one Expand) + grouped envelope —
+      // the inverse of lang_pivot; exact decimal sums as strings (r10b)
+      "unpivot_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.report.Reshape.unpivotStats(
+          Tables.load(s, d, "lineitem"), "l_returnflag", SparkEntry.meltMeasures)),
+      // padding-waste planner: power-of-two length buckets, the quantified
+      // argument for sequence packing (r10b)
+      "padding_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.Packing.paddingReport(docs(s, d))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -589,6 +609,11 @@ object SparkEntry {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax"
   )
+
+  /** The lineitem measures the declared melt (`unpivot_lineitem`) reshapes
+    * into long form — the per-row quantities, not the key columns.
+    */
+  val meltMeasures: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** The declared conversion funnel (signup → view → purchase, 7 days). */
   val funnelSteps: Seq[String] = Seq("signup", "view", "purchase")
@@ -871,6 +896,11 @@ object SparkEntry {
         "lineitem", Seq("l_quantity", "l_extendedprice")),
       "rolling_events" -> graft.analytics.EventOps.oracleRollingDaily(),
       "scd2_orders" -> graft.vault.Scd2.oracleOrderPriorityEpisodes,
+      "checks_orders" -> graft.quality.Checks.oracleOrderChecks,
+      "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
+      "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
+        "lineitem", "l_returnflag", meltMeasures),
+      "padding_documents" -> graft.text.Packing.oraclePaddingReport,
       "merged_stats_documents" -> graft.stats.MergeableStats.oracleMergedStats(
         "documents", Tables.columns("documents").filterNot(_ == "lang")),
       "jsonl_roundtrip_documents" ->

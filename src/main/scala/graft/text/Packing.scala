@@ -145,4 +145,66 @@ object Packing {
     if (packs == 0L || row.isNullAt(row.fieldIndex("filled"))) 0.0
     else row.getAs[Long]("filled").toDouble / (packs * maxTokens)
   }
+
+  // --- padding-waste planner -------------------------------------------------
+
+  /** The fixed length-bucket ladder a batching layer pads to (powers of two,
+    * the near-universal choice because kernels tile on them). Declared as a
+    * constant so the CASE cascade is identical in both engines — a
+    * `2^ceil(log2 n)` float round-trip would be a cross-engine hazard for
+    * nothing.
+    */
+  val BucketLadder: Seq[Long] = Seq(32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** Longest bucket: docs over the ladder top land here (a real batching
+    * layer truncates them to it).
+    */
+  val BucketCap: Long = 8192L
+
+  /** Padding-waste report — the planner's answer to "what does NOT packing
+    * cost": bucket every document by token count into the smallest ladder
+    * length that holds it, and report per bucket the doc count, true token
+    * count, padded token count (`bucket_len · n_docs`, what a pad-to-bucket
+    * batcher actually feeds the accelerator) and the waste ratio. Read next
+    * to [[packingEfficiency]], this is the quantified argument for packing.
+    *
+    * One scan, per-row CASE projection, map-side-combinable groupBy on ≤9
+    * bucket keys — the exchange carries the ladder, not the corpus. All
+    * counts are exact longs; the single ratio is the declared
+    * `CAST(long AS DOUBLE)/long` convention.
+    */
+  def paddingReport(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TextOps.TokenRe), lit(0))).cast("long")
+    val bucket = BucketLadder.foldRight(lit(BucketCap)) { (len, acc) =>
+      when(toks <= len, lit(len)).otherwise(acc)
+    }
+    graft.Tables.widen(docs)
+      .select(bucket.as("bucket_len"), toks.as("n"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("padded_tokens", col("bucket_len") * col("n_docs"))
+      .withColumn(
+        "waste",
+        (col("padded_tokens") - col("n_tokens")).cast("double") / col("padded_tokens")
+      )
+      .orderBy("bucket_len")
+  }
+
+  /** DuckDB twin of [[paddingReport]] — the same ladder CASE, rollup and
+    * ratio.
+    */
+  def oraclePaddingReport: String = {
+    val cases = BucketLadder.map(l => s"WHEN n <= $l THEN $l").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT CAST(len(regexp_extract_all(text, '${TextOps.TokenRe}')) AS BIGINT) AS n
+       |  FROM documents),
+       |b AS (SELECT CASE $cases ELSE $BucketCap END AS bucket_len, n FROM toks),
+       |g AS (
+       |  SELECT bucket_len, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY bucket_len)
+       |SELECT bucket_len, n_docs, n_tokens,
+       |  bucket_len * n_docs AS padded_tokens,
+       |  CAST(bucket_len * n_docs - n_tokens AS DOUBLE) / (bucket_len * n_docs) AS waste
+       |FROM g ORDER BY bucket_len""".stripMargin
+  }
 }

@@ -547,6 +547,26 @@ object SparkEntry {
       // argument for sequence packing (r10b)
       "padding_documents" -> ((s: SparkSession, d: String) =>
         graft.text.Packing.paddingReport(docs(s, d))),
+      // classic star-join OLAP: TPC-H Q5/Q10 shapes — fact⋈fact shuffles on
+      // their keys, the fixed nation dim broadcast, money in exact decimals
+      // rendered as strings (r10b)
+      "revenue_nation" -> ((s: SparkSession, d: String) =>
+        graft.olap.Reporting.revenueByNation(
+          Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
+          Tables.load(s, d, "customer"), Tables.load(s, d, "nation"))),
+      "top_customers" -> ((s: SparkSession, d: String) =>
+        graft.olap.Reporting.topCustomers(
+          Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
+          Tables.load(s, d, "customer"))),
+      // calendar-spine gap fill: explicit zero rows for silent hours — the
+      // spine derives from the aggregate's bounds, raw events never meet it
+      // (r10b)
+      "gapfill_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.gapFilledHourly(Tables.load(s, d, "events"))),
+      // equi-depth deciles WITHOUT the single-partition NTILE window: rank-
+      // select boundaries + a per-row CASE over broadcast scalars (r10b)
+      "deciles_customer" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.percentileBuckets(Tables.load(s, d, "customer"), "c_acctbal")),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -897,6 +917,10 @@ object SparkEntry {
       "rolling_events" -> graft.analytics.EventOps.oracleRollingDaily(),
       "scd2_orders" -> graft.vault.Scd2.oracleOrderPriorityEpisodes,
       "checks_orders" -> graft.quality.Checks.oracleOrderChecks,
+      "revenue_nation" -> graft.olap.Reporting.oracleRevenueByNation,
+      "top_customers" -> graft.olap.Reporting.oracleTopCustomers(),
+      "gapfill_events" -> graft.analytics.EventOps.oracleGapFilledHourly,
+      "deciles_customer" -> graft.stats.NumericStats.oraclePercentileBuckets("customer", "c_acctbal"),
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

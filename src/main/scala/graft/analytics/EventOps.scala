@@ -308,4 +308,56 @@ object EventOps {
        |  count(DISTINCT e.user_id) AS n_users
        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  // --- calendar-spine gap fill ----------------------------------------------
+
+  private val MicrosPerHour = 3600000000L
+
+  /** Gap-filled hourly series per event type — the dense calendar spine a
+    * charting layer, forecaster, or SLA monitor needs: a (type, hour) with
+    * zero events must appear as an explicit zero row (and be flagged), not
+    * silently vanish from the aggregate. "No data" IS the signal an ingest
+    * monitor exists to catch.
+    *
+    * Scale shape: the raw scan collapses to the (type, hour) aggregate
+    * first (map-side combinable); the spine is generated from that
+    * aggregate's 1-row bounds (`sequence(min,max)` exploded — spine size ∝
+    * observed hours, never the event count) crossed with the distinct type
+    * list — both post-aggregate relations, so the cross and the zero-fill
+    * left join are broadcast-sized by construction. Raw events never meet
+    * the spine.
+    */
+  def gapFilledHourly(events: DataFrame): DataFrame = {
+    val hourly = graft.Tables.widen(events)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerHour").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val hours = hourly.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour"))
+    val types = hourly.select(col("event_type")).distinct()
+    types
+      .crossJoin(broadcast(hours))
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select(
+        col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("is_gap")
+      )
+      .orderBy("event_type", "hour")
+  }
+
+  /** DuckDB twin of [[gapFilledHourly]]. */
+  def oracleGapFilledHourly: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerHour AS hour, count(*) AS n
+       |  FROM events GROUP BY event_type, hour),
+       |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hourly),
+       |hours AS (SELECT unnest(generate_series(mn, mx)) AS hour FROM b),
+       |types AS (SELECT DISTINCT event_type FROM hourly)
+       |SELECT t.event_type, h.hour,
+       |  CAST(coalesce(n.n, 0) AS BIGINT) AS n_events,
+       |  n.n IS NULL AS is_gap
+       |FROM types t CROSS JOIN hours h
+       |LEFT JOIN hourly n ON t.event_type = n.event_type AND h.hour = n.hour
+       |ORDER BY t.event_type, h.hour""".stripMargin
 }

@@ -1,0 +1,102 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic multi-way-join OLAP reporting — the TPC-H-shaped queries a user
+  * of an analytics engine runs against the warehouse star: fact⋈fact joins
+  * on their keys, fixed-size dimensions broadcast, money arithmetic in
+  * exact decimals (reference intent: the profiler feeds THESE queries; an
+  * engine that can't run the revenue report isn't an analytics engine).
+  *
+  * Scale shape: lineitem⋈orders is the one genuinely large join — both
+  * sides shuffle on the order key (AQE handles skew); orders⋈customer
+  * shuffles on the customer key (customer scales with the corpus, so it is
+  * NOT broadcast — Catalyst/AQE may still choose to when a filtered side
+  * fits); nation is a fixed ≤25-row dimension and is broadcast explicitly.
+  * Aggregates ride map-side partial combine on low-cardinality keys.
+  *
+  * Money convention (`NumericStats.scala:321`): inputs cast to
+  * DECIMAL(19,2) — exact for the 2-decimal testdata, width 19 so DuckDB
+  * backs the product with int128 — revenue terms
+  * `price · (1 − discount)` are exact DECIMAL(38,4), sums are declared as
+  * the fixed-scale string rendering (float summation is order-dependent and
+  * forbidden).
+  */
+object Reporting {
+
+  /** Exact per-row revenue term: `l_extendedprice · (1 − l_discount)` in
+    * DECIMAL(19,2)×DECIMAL(19,2) → DECIMAL(38,4). The discount complement is
+    * re-cast to (19,2) — lossless, its value has scale 2 — because a
+    * (20,2)×(19,2) product would need width 39, which DuckDB cannot
+    * represent (its DECIMAL caps at 38).
+    */
+  private def revenueTerm: Column =
+    col("l_extendedprice").cast("decimal(19,2)") *
+      (lit(1).cast("decimal(19,2)") - col("l_discount").cast("decimal(19,2)")).cast("decimal(19,2)")
+
+  private val OracleRevenueTerm =
+    "CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(1 - CAST(l_discount AS DECIMAL(19,2)) AS DECIMAL(19,2))"
+
+  /** Revenue by customer nation (TPC-H Q5 shape): lineitem⋈orders⋈customer
+    * ⋈nation, grouped by nation name. Emits exact item counts and the
+    * decimal revenue rendering, ordered by nation.
+    */
+  def revenueByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame
+  ): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(revenueTerm).cast("decimal(38,4)").cast("string").as("revenue_str")
+      )
+      .orderBy("n_name")
+
+  def oracleRevenueByNation: String =
+    s"""SELECT n_name, count(*) AS n_items,
+       |  CAST(CAST(sum($OracleRevenueTerm) AS DECIMAL(38,4)) AS VARCHAR) AS revenue_str
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Top-N customers by revenue (TPC-H Q10 shape). The limit makes the
+    * global order a TakeOrderedAndProject — per-partition top-N heaps merged
+    * at the driver, never a full sort-exchange of the aggregate (the
+    * DSIR-cut pattern, `text/TextOps.scala`). Ordering is on the EXACT
+    * decimal revenue (ties broken by key) so both engines rank identically;
+    * the declared column is its string rendering.
+    */
+  def topCustomers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      n: Int = 20
+  ): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(revenueTerm).cast("decimal(38,4)").as("__rev"))
+      .orderBy(col("__rev").desc, col("c_custkey"))
+      .limit(n)
+      .select(col("c_custkey"), col("c_name"), col("__rev").cast("string").as("revenue_str"))
+
+  def oracleTopCustomers(n: Int = 20): String =
+    s"""SELECT c_custkey, c_name, CAST(rev AS VARCHAR) AS revenue_str FROM (
+       |  SELECT c_custkey, c_name,
+       |    CAST(sum($OracleRevenueTerm) AS DECIMAL(38,4)) AS rev
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_custkey, c_name)
+       |ORDER BY rev DESC, c_custkey LIMIT $n""".stripMargin
+}

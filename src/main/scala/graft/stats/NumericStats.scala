@@ -459,4 +459,58 @@ object NumericStats {
         }
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name, q_r")
+
+  // --- percentile bucketing (the scale-safe NTILE) ---------------------------
+
+  /** Equi-depth bucketing of a column into `k` cohorts — what analysts reach
+    * for NTILE(k) to do, WITHOUT NTILE's scale-killer: an empty
+    * `partitionBy()` window funnels the whole table through ONE partition's
+    * sort. Here the k−1 boundaries come from the rank-select [[quantiles]]
+    * pass (two scans, per-partition counters, ≤2(k−1) values to the driver),
+    * and bucketing is then a per-row CASE over broadcast-scalar bounds — a
+    * map-only pass that keeps whole-stage codegen and scales embarrassingly.
+    *
+    * Boundary semantics: value ≤ boundary_i → bucket i (ties go low), nulls
+    * excluded. Boundaries are the round-6 quantile values — the SAME
+    * rendering [[quantiles]] declares and its oracle reproduces, so both
+    * engines make identical bucket decisions. Emits per bucket the count,
+    * bit-exact min/max and the exact decimal sum.
+    */
+  def percentileBuckets(df: DataFrame, c: String, k: Int = 10): DataFrame = {
+    require(k >= 2, s"need at least 2 buckets (got $k)")
+    val qs = (1 until k).map(_.toDouble / k)
+    val bounds = quantiles(df, Seq(c), qs)
+      .orderBy("q_r").select("value_r").collect().map(_.getDouble(0))
+    val v = col(c).cast("double")
+    val bucket = bounds.zipWithIndex.foldRight(lit(k)) { case ((b, i), acc) =>
+      when(v <= b, lit(i + 1)).otherwise(acc)
+    }
+    graft.Tables.widen(df)
+      .where(col(c).isNotNull)
+      .select(bucket.as("bucket"), v.as("v"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").cast("string").as("sum_str")
+      )
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[percentileBuckets]]: the list-form quantile_cont
+    * computes the same boundaries in one aggregate, round-6 like the Spark
+    * side's collected `value_r`, then the same ties-go-low CASE.
+    */
+  def oraclePercentileBuckets(table: String, c: String, k: Int = 10): String = {
+    val qsList = (1 until k).map(_.toDouble / k).mkString("[", ", ", "]")
+    val cases = (1 until k).map(i => s"WHEN v <= round(qs[$i], 6) THEN $i").mkString(" ")
+    s"""WITH b AS (
+       |  SELECT quantile_cont(CAST($c AS DOUBLE), $qsList) AS qs FROM $table),
+       |x AS (SELECT CAST($c AS DOUBLE) AS v FROM $table WHERE $c IS NOT NULL),
+       |bk AS (SELECT CASE $cases ELSE $k END AS bucket, v FROM x CROSS JOIN b)
+       |SELECT bucket, count(*) AS n_v, min(v) AS min_v, max(v) AS max_v,
+       |  CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_str
+       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 }

@@ -567,6 +567,23 @@ object SparkEntry {
       // select boundaries + a per-row CASE over broadcast scalars (r10b)
       "deciles_customer" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.percentileBuckets(Tables.load(s, d, "customer"), "c_acctbal")),
+      // release-gate reconciliation: documents vs its deterministic "next
+      // release" (redacted text, gated drops/adds) — added/removed/identical
+      // and per-column changed counts off one full-outer join (r10c)
+      "diff_documents" -> ((s: SparkSession, d: String) =>
+        graft.quality.Diff.diffDocuments(docs(s, d))),
+      // partitioned write + partition-PRUNED read under the identity oracle:
+      // the lang=en read opens only that partition's files (r10c)
+      "partitioned_roundtrip_documents" -> ((s: SparkSession, d: String) =>
+        graft.io.Sources.partitionedRoundTrip(
+          docs(s, d),
+          s"/tmp/graft_partitioned/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
+          "lang", "en", "doc_id")),
+      // the CDC apply as a STREAMING materialized view — latest-wins
+      // max_by state per key, declared against the same oracle as the batch
+      // twin (stream≡batch, like stream_events_hourly) (r10c)
+      "stream_cdc_orders" -> ((s: SparkSession, d: String) =>
+        graft.streaming.StreamCdc.streamingCdcSnapshot(s, d)),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -921,6 +938,10 @@ object SparkEntry {
       "top_customers" -> graft.olap.Reporting.oracleTopCustomers(),
       "gapfill_events" -> graft.analytics.EventOps.oracleGapFilledHourly,
       "deciles_customer" -> graft.stats.NumericStats.oraclePercentileBuckets("customer", "c_acctbal"),
+      "diff_documents" -> graft.quality.Diff.oracleDiffDocuments,
+      "partitioned_roundtrip_documents" ->
+        s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents WHERE lang = 'en' ORDER BY doc_id",
+      "stream_cdc_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

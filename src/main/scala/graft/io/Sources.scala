@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** File ingestion surface (SURVEY.md §2 I1/I2; reference:
@@ -143,5 +144,35 @@ object Sources {
   def orcRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
     writeOrc(df, path)
     readOrc(df.sparkSession, path).orderBy(orderCol)
+  }
+
+  /** Hive-style partitioned layout: write `df` partitioned by
+    * `partitionCol` (one directory per value), read it back with an
+    * equality filter on that column. The filter is satisfied by PARTITION
+    * PRUNING — directory listing, zero data files of other partitions
+    * opened — the mechanism that turns a 100 TB scan into a 1-partition
+    * scan when queries filter on the layout key. R10dOpsSpec asserts the
+    * pruned plan (`PartitionFilters` carries the predicate; non-matching
+    * partitions never reach the scan's file listing).
+    *
+    * Declared form: documents partitioned by `lang`, read back at one
+    * language, identity-oracled against `WHERE lang = ...` on the source
+    * table. Column order is restored to the canonical table order
+    * (partitioned writes move the partition column to the directory level;
+    * the read appends it last).
+    */
+  def partitionedRoundTrip(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      value: String,
+      orderCol: String
+  ): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    graft.Tables.widthCacheClear()
+    df.sparkSession.read.parquet(path)
+      .where(col(partitionCol) === value)
+      .select(df.columns.map(col): _*)
+      .orderBy(orderCol)
   }
 }

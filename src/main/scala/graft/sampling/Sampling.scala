@@ -29,11 +29,11 @@ object Sampling {
   /** 2³² as a long — the hash-space size of the 8-hex-digit gate. */
   val HashSpace: Long = 4294967296L
 
-  private def gate(key: Column, salt: String): Column =
+  private[graft] def gate(key: Column, salt: String): Column =
     conv(substring(md5(concat(key.cast("string"), lit(":" + salt)).cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
-  private def threshold(fraction: Double): Long = {
+  private[graft] def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1] (got $fraction)")
     math.floor(fraction * HashSpace).toLong
   }
@@ -167,7 +167,7 @@ object Sampling {
 
   // --- oracles --------------------------------------------------------------
 
-  private def oracleGate(keyCol: String, salt: String): String =
+  private[graft] def oracleGate(keyCol: String, salt: String): String =
     s"CAST('0x' || substr(md5($keyCol || ':$salt'), 1, 8) AS BIGINT)"
 
   /** DuckDB twin of [[splitReport]]: the same gate banded by the same

@@ -584,6 +584,23 @@ object SparkEntry {
       // twin (stream≡batch, like stream_events_hourly) (r10c)
       "stream_cdc_orders" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamCdc.streamingCdcSnapshot(s, d)),
+      // join-size estimation from key histograms, validated against the
+      // materialized many-to-many self-join — the AQE-skew planner datum
+      // (r10d)
+      "join_size_lineitem" -> ((s: SparkSession, d: String) => {
+        val li = Tables.load(s, d, "lineitem")
+        graft.scale.Partitioning.joinSizeProfile(li, li, "l_partkey", "l_partkey")
+      }),
+      // per-column dictionary-vs-plain storage advisory from NDV ratios
+      // (r10d)
+      "encoding_advice_customer" -> ((s: SparkSession, d: String) =>
+        graft.scale.Partitioning.encodingAdvice(
+          Tables.load(s, d, "customer"), Tables.columns("customer"))),
+      // CUBE totals over the mixture report — every subset of {lang,source}
+      // in one Expand pass, incl. the per-source marginal ROLLUP lacks
+      // (r10d)
+      "cube_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.mixtureCube(docs(s, d))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -942,6 +959,10 @@ object SparkEntry {
       "partitioned_roundtrip_documents" ->
         s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents WHERE lang = 'en' ORDER BY doc_id",
       "stream_cdc_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
+      "join_size_lineitem" -> graft.scale.Partitioning.oracleJoinSizeSelf("lineitem", "l_partkey"),
+      "encoding_advice_customer" -> graft.scale.Partitioning.oracleEncodingAdvice(
+        "customer", Tables.columns("customer")),
+      "cube_documents" -> graft.text.TextOps.oracleMixtureCube,
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

@@ -121,4 +121,108 @@ object Partitioning {
        |  round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS max_share_r,
        |  round(CAST(top_rows AS DOUBLE) / n_rows, 6) AS top_share_r
        |FROM tot, top""".stripMargin
+
+  /** Equi-join size profile from key-count histograms — the planner datum
+    * behind join reordering and AQE skew thresholds: for an inner equi-join,
+    * output rows = Σ_k cₗ(k)·cᵣ(k) over shared keys, and the hottest key's
+    * single-task output is max cₗ(k)·cᵣ(k). At full key granularity the
+    * prediction is an IDENTITY (both sides declared, so the hash gate proves
+    * the estimator arithmetic against the materialized join); a production
+    * estimator keeps only the top-K histogram + a uniform tail, trading
+    * exactness for state — same formula, truncated input.
+    *
+    * Scale shape: two count aggregates (map-side combinable, one exchange
+    * each on the key), their join carries |keys| rows, never the facts;
+    * `actual_rows` is the real join counted — the one deliberately expensive
+    * term, included BECAUSE the declared form is the estimator's validation
+    * harness. `max_key_pairs` is the number AQE's skew-split threshold is
+    * judged against.
+    */
+  def joinSizeProfile(left: DataFrame, right: DataFrame, keyL: String, keyR: String): DataFrame = {
+    val ca = left.groupBy(col(keyL).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(keyR).as("k")).agg(count(lit(1)).as("cb"))
+    val predicted = ca.join(cb, "k").agg(
+      count(lit(1)).as("n_join_keys"),
+      sum(col("ca") * col("cb")).as("predicted_rows"),
+      max(col("ca") * col("cb")).as("max_key_pairs")
+    )
+    val nL = left.agg(count(lit(1)).as("n_left"))
+    val nR = right.agg(count(lit(1)).as("n_right"))
+    // aliased single-column projections: a self-join of the same DataFrame
+    // instance would otherwise be an ambiguous (trivially-true) condition,
+    // and the join only needs the keys anyway (explicit column pruning)
+    val actual = left.select(col(keyL).as("__kl"))
+      .join(right.select(col(keyR).as("__kr")), col("__kl") === col("__kr"))
+      .agg(count(lit(1)).as("actual_rows"))
+    predicted
+      .crossJoin(broadcast(nL))
+      .crossJoin(broadcast(nR))
+      .crossJoin(broadcast(actual))
+      .select(
+        col("n_left"), col("n_right"), col("n_join_keys"),
+        col("predicted_rows"), col("actual_rows"), col("max_key_pairs")
+      )
+  }
+
+  /** DuckDB twin of [[joinSizeProfile]] for a self-join of `table` on
+    * `key` (the declared form: lineitem⋈lineitem on l_partkey, a genuine
+    * many-to-many).
+    */
+  def oracleJoinSizeSelf(table: String, key: String): String =
+    s"""WITH c AS (SELECT $key AS k, count(*) AS n FROM $table GROUP BY 1),
+       |p AS (SELECT count(*) AS n_join_keys,
+       |             CAST(sum(n * n) AS BIGINT) AS predicted_rows,
+       |             CAST(max(n * n) AS BIGINT) AS max_key_pairs FROM c),
+       |t AS (SELECT count(*) AS n_left, count(*) AS n_right FROM $table),
+       |a AS (SELECT CAST(sum(n * n) AS BIGINT) AS actual_rows FROM c)
+       |SELECT n_left, n_right, n_join_keys, predicted_rows, actual_rows, max_key_pairs
+       |FROM p, t, a""".stripMargin
+
+  // --- storage-encoding advisory ---------------------------------------------
+
+  /** NDV ratio below which dictionary encoding wins (the parquet writer's
+    * own dictionary path pays off when values repeat heavily).
+    */
+  val DictNdvRatio = 0.10
+
+  /** Per-column storage-encoding advisory — the layout decision a 100 TB
+    * table bakes in at write time: columns whose distinct-value count is a
+    * small fraction of the rows dictionary-encode (and dictionary pages are
+    * what predicate pushdown row-group skipping feeds on); near-unique
+    * columns stay plain. One multi-aggregate scan (each exact distinct
+    * isolates in the same Expand the profiler already pays), stack-pivoted
+    * to (column_name, n_rows, n_distinct, ndv_ratio, advice).
+    *
+    * The cutoff is a declared constant, not tuned magic: the advisory's
+    * value is surfacing the NDV ratio next to the decision.
+    */
+  def encodingAdvice(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "encodingAdvice needs at least one column")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => countDistinct(col(c)).as(s"__d_$c"))
+    val row = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__d_$c`").mkString(", ")
+    row
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct)", "__n AS n_rows")
+      .select(
+        col("column_name"), col("n_rows"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_rows"), 6).as("ndv_ratio"),
+        when(col("n_distinct").cast("double") / col("n_rows") < DictNdvRatio, "dictionary")
+          .otherwise("plain").as("advice")
+      )
+      .orderBy("column_name")
+  }
+
+  /** DuckDB twin of [[encodingAdvice]]. */
+  def oracleEncodingAdvice(table: String, cols: Seq[String]): String =
+    cols
+      .map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 6) AS ndv_ratio,
+           |  CASE WHEN CAST(count(DISTINCT $c) AS DOUBLE) / count(*) < $DictNdvRatio
+           |       THEN 'dictionary' ELSE 'plain' END AS advice
+           |FROM $table""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 }

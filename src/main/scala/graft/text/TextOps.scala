@@ -132,6 +132,32 @@ object TextOps {
        |FROM documents GROUP BY ROLLUP (lang, source)
        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  /** The [[mixture]] report with CUBE totals — ROLLUP's hierarchy PLUS the
+    * per-source marginal (gid=2) the rollup can't express: every subset of
+    * {lang, source} aggregated in the ONE Expand pass. Same GROUPING
+    * bitmask discipline as [[mixtureRollup]]; the gid=2 slice answers "how
+    * big is each source across languages" without a second query.
+    */
+  def mixtureCube(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
+    graft.Tables.widen(docs)
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"))
+      .select(col("lang"), col("source"), col("gid").cast("long").as("gid"), col("n_docs"), col("n_tokens"))
+      .orderBy("gid", "lang", "source")
+  }
+
+  def oracleMixtureCube: String =
+    s"""SELECT lang, source,
+       |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT)) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY CUBE (lang, source)
+       |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   /** The mixture report PIVOTED wide: one row per source, one count column
     * per language — the spreadsheet-shaped data card. The language list is
     * explicit (pivot over an enumerated domain — never a schema inferred

@@ -601,6 +601,18 @@ object SparkEntry {
       // (r10d)
       "cube_documents" -> ((s: SparkSession, d: String) =>
         graft.text.TextOps.mixtureCube(docs(s, d))),
+      // dedup cluster-size histogram off the cached CC labels — the dup-
+      // pressure report, two tiny nested aggregates, no fixpoint rerun
+      // (r10e)
+      "cluster_sizes_documents" -> ((s: SparkSession, d: String) =>
+        graft.dedup.DedupOps.clusterSizes(clusterLabels(s, d))),
+      // bottom-k-by-hash quantile sketch — the mergeable approximate tier
+      // (TakeOrdered IS the sketch merge); estimates hash-check cross-engine
+      // because the sample is deterministic (r10e)
+      "sketch_quantiles_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.BottomKSketch.sketchQuantiles(
+          Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"),
+          Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -963,6 +975,10 @@ object SparkEntry {
       "encoding_advice_customer" -> graft.scale.Partitioning.oracleEncodingAdvice(
         "customer", Tables.columns("customer")),
       "cube_documents" -> graft.text.TextOps.oracleMixtureCube,
+      "cluster_sizes_documents" -> graft.dedup.DedupOps.oracleClusterSizes,
+      "sketch_quantiles_lineitem" -> graft.stats.BottomKSketch.oracleSketchQuantiles(
+        "lineitem", Seq("l_orderkey", "l_linenumber"),
+        Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)),
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

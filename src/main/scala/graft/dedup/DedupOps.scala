@@ -311,6 +311,30 @@ object DedupOps {
     s"""WITH RECURSIVE $oracleClusterCtes
        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram over the CC labels — the dedup REPORT a corpus
+    * release reads (how much of the corpus sits in dup clusters of which
+    * size; singletons = unique docs). Two nested tiny aggregates off the
+    * cached label table: the first carries |clusters| rows, the second
+    * |distinct sizes| — nothing here rescans documents or reruns the
+    * fixpoint.
+    */
+  def clusterSizes(labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    labels
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+
+  /** DuckDB twin of [[clusterSizes]], nesting the recursive cluster CTEs. */
+  def oracleClusterSizes: String =
+    s"""WITH RECURSIVE $oracleClusterCtes,
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // --- tier 3: SimHash ------------------------------------------------------
 
   /** 32-bit SimHash per document, computed entirely per-row by the native

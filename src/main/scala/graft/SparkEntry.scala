@@ -613,6 +613,12 @@ object SparkEntry {
         graft.stats.BottomKSketch.sketchQuantiles(
           Tables.load(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"),
           Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95))),
+      // z-order cell stats: Morton-interleaved (partkey, suppkey) cells with
+      // per-cell min/max of BOTH keys — the data-skipping footer stats a
+      // z-ordered layout publishes; pure integer bit arithmetic (r10e)
+      "zorder_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.scale.ZOrder.zCellStats(
+          Tables.load(s, d, "lineitem"), "l_partkey", "l_suppkey")),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -979,6 +985,7 @@ object SparkEntry {
       "sketch_quantiles_lineitem" -> graft.stats.BottomKSketch.oracleSketchQuantiles(
         "lineitem", Seq("l_orderkey", "l_linenumber"),
         Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)),
+      "zorder_lineitem" -> graft.scale.ZOrder.oracleZCellStats("lineitem", "l_partkey", "l_suppkey"),
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

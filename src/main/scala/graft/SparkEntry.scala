@@ -619,6 +619,17 @@ object SparkEntry {
       "zorder_lineitem" -> ((s: SparkSession, d: String) =>
         graft.scale.ZOrder.zCellStats(
           Tables.load(s, d, "lineitem"), "l_partkey", "l_suppkey")),
+      // cross-table audit: header total vs the item charge formula — the
+      // warehouse reconciliation that exposes this corpus's independent
+      // totalprice (and its 257 item-less orphan orders at sf0.01) (r10f)
+      "consistency_orders" -> ((s: SparkSession, d: String) =>
+        graft.quality.Checks.orderItemsConsistency(
+          Tables.load(s, d, "orders"), Tables.load(s, d, "lineitem"))),
+      // per-type daily-volume trend as exact least-squares aggregates —
+      // slope numerator/denominator in DECIMAL(38,0), never a float
+      // quotient, never int64 products (the z-test lesson) (r10f)
+      "trend_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.volumeTrend(Tables.load(s, d, "events"))),
       // the incremental-pipeline invariant, hash-checked: per-lang slice
       // profiles merged ≡ one full scan (exact count monoids; r4)
       "merged_stats_documents" -> ((s: SparkSession, d: String) =>
@@ -986,6 +997,8 @@ object SparkEntry {
         "lineitem", Seq("l_orderkey", "l_linenumber"),
         Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)),
       "zorder_lineitem" -> graft.scale.ZOrder.oracleZCellStats("lineitem", "l_partkey", "l_suppkey"),
+      "consistency_orders" -> graft.quality.Checks.oracleOrderItemsConsistency,
+      "trend_events" -> graft.analytics.EventOps.oracleVolumeTrend,
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

@@ -309,6 +309,69 @@ object EventOps {
        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  // --- volume trend (per-group least squares over aggregates) ---------------
+
+  /** Per-type daily-volume TREND as exact least-squares aggregates — the
+    * "is this source growing or dying" monitor next to the level-based
+    * anomaly test: over the observed (day, count) points of each type,
+    * publish m, Σt, Σy, Σty, Σt² and the slope's exact numerator/denominator
+    * (slope = (m·Σty − Σt·Σy) / (m·Σt² − (Σt)²)). The repo convention after
+    * the r7 unigram incident: never declare a rounded float quotient —
+    * publish exact integer algebra and divide at the consumer.
+    *
+    * The slope products are computed in DECIMAL(38,0) (the z-test lesson,
+    * ADVICE r7): with day ≈ 2·10⁴ and 100 TB-scale counts ≈ 10⁹/day over
+    * years, m·Σty ≈ 2.6·10¹⁸ grazes Long.Max — Spark (ANSI off) would wrap
+    * silently where DuckDB raises, so neither engine is allowed to compute
+    * it in int64.
+    *
+    * Scale shape: daily rollup (map-side combinable), then a per-type
+    * aggregate over |days| rows — the regression never sees raw events.
+    */
+  def volumeTrend(events: DataFrame): DataFrame = {
+    val daily = graft.Tables.widen(events)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("t"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("t")).as("sum_t"),
+        sum(col("y")).as("sum_y"),
+        sum(col("t") * col("y")).as("sum_ty"),
+        sum(col("t") * col("t")).as("sum_tt")
+      )
+      .select(
+        col("event_type"), col("m"), col("sum_t"), col("sum_y"), col("sum_ty"), col("sum_tt"),
+        (dec(col("m")) * dec(col("sum_ty")) - dec(col("sum_t")) * dec(col("sum_y")))
+          .cast("decimal(38,0)").cast("string").as("slope_num_str"),
+        (dec(col("m")) * dec(col("sum_tt")) - dec(col("sum_t")) * dec(col("sum_t")))
+          .cast("decimal(38,0)").cast("string").as("slope_den_str")
+      )
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[volumeTrend]] — same rollup, same DECIMAL(38,0)
+    * products.
+    */
+  def oracleVolumeTrend: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS t, count(*) AS y
+       |  FROM events GROUP BY event_type, t),
+       |g AS (
+       |  SELECT event_type, count(*) AS m,
+       |    CAST(sum(t) AS BIGINT) AS sum_t, CAST(sum(y) AS BIGINT) AS sum_y,
+       |    CAST(sum(t * y) AS BIGINT) AS sum_ty, CAST(sum(t * t) AS BIGINT) AS sum_tt
+       |  FROM daily GROUP BY event_type)
+       |SELECT event_type, m, sum_t, sum_y, sum_ty, sum_tt,
+       |  CAST(CAST(CAST(m AS DECIMAL(38,0)) * sum_ty - CAST(sum_t AS DECIMAL(38,0)) * sum_y
+       |       AS DECIMAL(38,0)) AS VARCHAR) AS slope_num_str,
+       |  CAST(CAST(CAST(m AS DECIMAL(38,0)) * sum_tt - CAST(sum_t AS DECIMAL(38,0)) * sum_t
+       |       AS DECIMAL(38,0)) AS VARCHAR) AS slope_den_str
+       |FROM g ORDER BY event_type""".stripMargin
+
   // --- calendar-spine gap fill ----------------------------------------------
 
   private val MicrosPerHour = 3600000000L

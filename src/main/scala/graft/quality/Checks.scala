@@ -101,6 +101,63 @@ object Checks {
   def orderChecks(orders: DataFrame, customer: DataFrame): DataFrame =
     ruleReport(orders, customer.select(col("c_custkey")), "o_custkey", "o_orderkey", OrdersRules)
 
+  /** Cross-table reconciliation: does the order header's total agree with
+    * the TPC-H charge formula over its own line items,
+    * `Σ extendedprice · (1−discount)(1+tax)`? One row out: order count,
+    * headerless-orphan count (orders with NO items — a referential defect
+    * the row-level FK rule can't see), exact- and within-5%-agreement
+    * counts, and the exact decimal total of absolute drift. On clean TPC-H
+    * data the agreement counts equal the order count; on this synthetic
+    * corpus they expose that `o_totalprice` is independent of the items —
+    * which is precisely the finding an audit exists to surface.
+    *
+    * Exactness: the per-item factor (1−d)(1+t) is a product of 2-decimal
+    * values → exactly 4 decimals, cast losslessly to DECIMAL(9,4) so the
+    * price product stays inside DuckDB's width-38 cap
+    * ((19,2)×(9,4) → (29,6)); the drift sum is the (38,6) string rendering.
+    * Scale shape: one map-side-combinable per-order aggregate of lineitem,
+    * one key-shuffled left join from orders, one 1-row aggregate.
+    */
+  def orderItemsConsistency(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val factor = ((lit(1).cast("decimal(19,2)") - col("l_discount").cast("decimal(19,2)")) *
+      (lit(1).cast("decimal(19,2)") + col("l_tax").cast("decimal(19,2)"))).cast("decimal(9,4)")
+    val liSums = graft.Tables.widen(lineitem)
+      .select(col("l_orderkey"), (col("l_extendedprice").cast("decimal(19,2)") * factor).as("chg"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("chg")).as("li_total"))
+    val joined = orders
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(19,2)").as("header_total"))
+      .join(liSums, col("o_orderkey") === col("l_orderkey"), "left")
+    val diff = abs(col("header_total") - col("li_total"))
+    joined.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("li_total").isNull, 1L).otherwise(0L)).as("n_no_items"),
+      sum(when(diff < lit(new java.math.BigDecimal("0.01")), 1L).otherwise(0L)).as("n_exact_match"),
+      sum(when(diff.cast("double") / col("header_total").cast("double") < 0.05, 1L).otherwise(0L))
+        .as("n_within_5pct"),
+      sum(diff).cast("decimal(38,6)").cast("string").as("sum_abs_diff_str")
+    )
+  }
+
+  /** DuckDB twin of [[orderItemsConsistency]]. */
+  def oracleOrderItemsConsistency: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(19,2)) *
+       |        CAST((1 - CAST(l_discount AS DECIMAL(19,2))) *
+       |             (1 + CAST(l_tax AS DECIMAL(19,2))) AS DECIMAL(9,4))) AS li_total
+       |  FROM lineitem GROUP BY l_orderkey),
+       |j AS (
+       |  SELECT CAST(o.o_totalprice AS DECIMAL(19,2)) AS header_total, li.li_total
+       |  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+       |SELECT count(*) AS n_orders,
+       |  CAST(sum(CASE WHEN li_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
+       |  CAST(sum(CASE WHEN abs(header_total - li_total) < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
+       |  CAST(sum(CASE WHEN CAST(abs(header_total - li_total) AS DOUBLE) / CAST(header_total AS DOUBLE) < 0.05
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct,
+       |  CAST(CAST(sum(abs(header_total - li_total)) AS DECIMAL(38,6)) AS VARCHAR) AS sum_abs_diff_str
+       |FROM j""".stripMargin
+
   /** DuckDB twin of [[orderChecks]]: same broadcast-shaped left join, same
     * conditional sums, same stack-to-rows — expressed as one aggregate CTE
     * unpivoted by a UNION ALL of 1-column selects.

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.dedup.{DedupClusters, DedupOps}
 import graft.stats.BottomKSketch
@@ -54,6 +55,44 @@ class R10fOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     // a k=1024 uniform sample's median sits well inside [p25, p75]
     assert(est >= exact(0.25) && est <= exact(0.75), s"$est outside [${exact(0.25)}, ${exact(0.75)}]")
+  }
+
+  // --- orderItemsConsistency ------------------------------------------------
+
+  test("orderItemsConsistency: formula-clean orders match exactly, orphans counted") {
+    val orders = Seq(
+      (1L, 216.00),  // 2 items below, formula-consistent
+      (2L, 50.00),   // 1 item, off by a lot
+      (3L, 10.00)    // no items — orphan
+    ).toDF("o_orderkey", "o_totalprice")
+    // item charge: 100·(1−0.10)(1+0.20) = 108.00 each → order 1 sums to 216.00
+    val lineitem = Seq(
+      (1L, 100.0, 0.10, 0.20),
+      (1L, 100.0, 0.10, 0.20),
+      (2L, 100.0, 0.00, 0.00)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = graft.quality.Checks.orderItemsConsistency(orders, lineitem).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1) // orders, orphans
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1) // exact match, within 5%
+    assert(BigDecimal(r.getString(4)) == BigDecimal("50.000000")) // |50−100| drift
+  }
+
+  // --- volumeTrend ----------------------------------------------------------
+
+  test("volumeTrend: exact slope algebra on a hand-built linear series") {
+    // type 'a': counts 2,4,6 on days 0,1,2 → slope 2 exactly
+    val ts = for {
+      (day, n) <- Seq((0, 2), (1, 4), (2, 6))
+      i <- 0 until n
+    } yield (day.toLong * 86400000000L * 1000 + i, "a")
+    val events = ts.toDF("nanos", "event_type")
+      .select(expr("timestamp_micros(nanos DIV 1000)").as("ts"), $"event_type",
+        monotonically_increasing_id().as("event_id"), lit(1L).as("user_id"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    val r = graft.analytics.EventOps.volumeTrend(events).collect().head
+    assert(r.getLong(1) == 3 && r.getLong(3) == 12)           // m, Σy
+    val num = BigDecimal(r.getString(6)); val den = BigDecimal(r.getString(7))
+    assert(den != 0 && num / den == BigDecimal(2))            // slope exactly 2
   }
 
   test("sketchQuantiles: estimates monotone in q, plan is TakeOrdered not a global sort") {

@@ -442,6 +442,31 @@ object SparkEntry {
         graft.streaming.StreamingMonitor.streamingAnomalyScores(s, d)),
       "media_features_documents" -> ((s: SparkSession, d: String) =>
         graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
+      // Pareto skyline (min price, max size): distributed sort-filter —
+      // distinct pairs, partition-local running-max prune, tiny global
+      // pass — vs the oracle's quadratic NOT EXISTS (r11)
+      "skyline_part" -> ((s: SparkSession, d: String) =>
+        graft.olap.Skyline.skyline(
+          Tables.load(s, d, "part"), "p_retailprice", "p_size", Seq("p_partkey"))),
+      // market-basket co-occurrence: per-order sorted sets + in-row pair
+      // expression — the plan that never self-joins the fact table (r11)
+      "copurchase_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.olap.Basket.copurchaseTopK(Tables.load(s, d, "lineitem"))),
+      // degree-oriented triangle count over the thresholded co-purchase
+      // graph — out-degree bounded O(√E) so the wedge join survives hubs
+      // (r11)
+      "triangles_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.olap.Basket.triangleCount(Tables.load(s, d, "lineitem"))),
+      // in-session event-type trigrams — sequential-pattern mining on the
+      // gap-and-island session definition; one shuffle feeds both windows
+      // (r11)
+      "trigrams_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.sessionTrigrams(Tables.load(s, d, "events"))),
+      // α=1/2 EWMA of daily volume — power-of-two weights make the smoother
+      // exact integer algebra; the join input is the rollup, never the fact
+      // (r11)
+      "ewma_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.ewmaDailyVolume(Tables.load(s, d, "events"))),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
       // stream-stream interval join run AS A STREAM (two watermarked file
@@ -999,6 +1024,11 @@ object SparkEntry {
       "zorder_lineitem" -> graft.scale.ZOrder.oracleZCellStats("lineitem", "l_partkey", "l_suppkey"),
       "consistency_orders" -> graft.quality.Checks.oracleOrderItemsConsistency,
       "trend_events" -> graft.analytics.EventOps.oracleVolumeTrend,
+      "skyline_part" -> graft.olap.Skyline.oracleSkylinePart,
+      "copurchase_lineitem" -> graft.olap.Basket.oracleCopurchaseTopK(),
+      "triangles_lineitem" -> graft.olap.Basket.oracleTriangleCount(),
+      "trigrams_events" -> graft.analytics.EventOps.oracleSessionTrigrams(),
+      "ewma_events" -> graft.analytics.EventOps.oracleEwmaDailyVolume(),
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

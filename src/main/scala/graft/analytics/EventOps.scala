@@ -423,4 +423,144 @@ object EventOps {
        |FROM types t CROSS JOIN hours h
        |LEFT JOIN hourly n ON t.event_type = n.event_type AND h.hour = n.hour
        |ORDER BY t.event_type, h.hour""".stripMargin
+
+  // --- sequential pattern mining --------------------------------------------
+
+  /** Top-`k` event-type TRIGRAMS within sessions — the sequential-pattern
+    * report ("view → view → purchase") a behavioral pipeline mines for
+    * funnel hypotheses. Session boundaries are [[graft.streaming.Sessionize]]'s
+    * gap-and-island definition (same `gapSeconds`, same (t, event_id)
+    * ordering), so a trigram never spans two sessions.
+    *
+    * Scale shape: one hash-shuffle on user_id feeds BOTH window stages —
+    * hashpartitioning(user_id) already satisfies the second window's
+    * (user_id, session_idx) clustering, so Catalyst inserts a sort, not a
+    * second exchange. The trigram count is a map-side-combinable groupBy on
+    * a |types|³-bounded key space, and the cut is TakeOrderedAndProject
+    * under a total order (count desc, then the three types).
+    */
+  def sessionTrigrams(
+      events: DataFrame,
+      gapSeconds: Long = graft.streaming.Sessionize.DefaultGapSeconds,
+      k: Int = 50
+  ): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_idx")).orderBy(col("t"), col("event_id"))
+    graft.Tables.widen(events)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .withColumn(
+        "nf",
+        when(lag(col("t"), 1).over(w).isNull || col("t") - lag(col("t"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "session_idx",
+        sum(col("nf")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+      )
+      .select(
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(ws).as("t2"),
+        lead(col("event_type"), 2).over(ws).as("t3")
+      )
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[sessionTrigrams]] — same sessionization CTE as
+    * [[graft.streaming.Sessionize.oracleBatchSessions]], then `lead` ×2.
+    */
+  def oracleSessionTrigrams(
+      gapSeconds: Long = graft.streaming.Sessionize.DefaultGapSeconds,
+      k: Int = 50
+  ): String = {
+    val gapUs = gapSeconds * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+       |flg AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    (CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $gapUs THEN 1 ELSE 0 END) AS nf
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    sum(nf) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+       |      AS session_idx
+       |  FROM flg),
+       |seq AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER ws AS t2,
+       |    lead(event_type, 2) OVER ws AS t3
+       |  FROM sess WINDOW ws AS (PARTITION BY user_id, session_idx ORDER BY t, event_id))
+       |SELECT t1, t2, t3, count(*) AS n
+       |FROM seq WHERE t3 IS NOT NULL
+       |GROUP BY t1, t2, t3
+       |ORDER BY n DESC, t1, t2, t3 LIMIT $k""".stripMargin
+  }
+
+  // --- exponentially weighted smoothing -------------------------------------
+
+  /** Per-type EWMA of daily event volume with α = 1/2, truncated at
+    * `horizon` days — the smoothed load curve a capacity dashboard plots.
+    * With a power-of-two α every weight is a power of two, so the whole
+    * smoother is EXACT INTEGER algebra (the repo's cross-engine rule: no
+    * order-dependent float accumulation): the numerator is
+    *
+    *   num(d) = Σ_{j=0..horizon−1} count(d−j) · 2^(horizon−1−j)
+    *
+    * (missing calendar days contribute 0), and the implied denominator is
+    * the constant 2^horizon − err where err only matters at the series head;
+    * the declared output is the exact numerator — a client divides by
+    * 2^horizon for the display value. counts ≤ ~10¹⁰/day stay inside long
+    * at horizon 20 (10¹⁰·2¹⁹·20 ≈ 10¹⁷).
+    *
+    * Scale shape: the daily rollup (map-side combinable) collapses the fact
+    * table to |types|·|days| rows FIRST; the weighted sum is then a
+    * range-join of that tiny rollup with itself on (type, 0 ≤ Δday <
+    * horizon) — the join input is the rollup, never the raw events, so at
+    * 100 TB the smoother costs one aggregate plus an O(|types|·|days|·
+    * horizon) joinlet.
+    */
+  def ewmaDailyVolume(events: DataFrame, horizon: Int = 20): DataFrame = {
+    require(horizon >= 1 && horizon <= 40, "horizon must keep 2^horizon in long range")
+    val daily = graft.Tables.widen(events)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val hist = daily.select(
+      col("event_type").as("et2"), col("day").as("day2"), col("n_events").as("n2"))
+    daily
+      .join(
+        hist,
+        col("event_type") === col("et2") &&
+          (col("day") - col("day2")).between(0, horizon - 1)
+      )
+      .groupBy(col("event_type"), col("day"), col("n_events"))
+      .agg(
+        sum(col("n2") * expr(s"shiftleft(1L, ${horizon - 1} - cast(day - day2 AS int))"))
+          .as("ewma_num")
+      )
+      .orderBy("event_type", "day")
+      .select("event_type", "day", "n_events", "ewma_num")
+  }
+
+  /** DuckDB twin of [[ewmaDailyVolume]] — same rollup, same power-of-two
+    * weights (`2^k` is float-exact well past k = 40, so the POWER cast is
+    * portable).
+    */
+  def oracleEwmaDailyVolume(horizon: Int = 20): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day, count(*) AS n_events
+       |  FROM events GROUP BY event_type, day)
+       |SELECT d.event_type, d.day, d.n_events,
+       |  CAST(sum(h.n_events * CAST(POWER(2, ${horizon - 1} - (d.day - h.day)) AS BIGINT))
+       |    AS BIGINT) AS ewma_num
+       |FROM daily d JOIN daily h
+       |  ON d.event_type = h.event_type AND d.day - h.day BETWEEN 0 AND ${horizon - 1}
+       |GROUP BY d.event_type, d.day, d.n_events
+       |ORDER BY d.event_type, d.day""".stripMargin
 }

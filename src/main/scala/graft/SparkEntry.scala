@@ -467,6 +467,11 @@ object SparkEntry {
       // (r11)
       "ewma_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.ewmaDailyVolume(Tables.load(s, d, "events"))),
+      // co-located bucketed join: both facts written bucketed+sorted on the
+      // order key, report joins with zero exchange — pay the shuffle once at
+      // write time; oracled against the plain parquet join (r11)
+      "bucketed_join_orders" -> ((s: SparkSession, d: String) =>
+        graft.scale.Bucketing.bucketedJoinRevenue(s, d)),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
       // stream-stream interval join run AS A STREAM (two watermarked file
@@ -1029,6 +1034,7 @@ object SparkEntry {
       "triangles_lineitem" -> graft.olap.Basket.oracleTriangleCount(),
       "trigrams_events" -> graft.analytics.EventOps.oracleSessionTrigrams(),
       "ewma_events" -> graft.analytics.EventOps.oracleEwmaDailyVolume(),
+      "bucketed_join_orders" -> graft.scale.Bucketing.oracleBucketedJoinRevenue,
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

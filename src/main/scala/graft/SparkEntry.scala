@@ -472,6 +472,18 @@ object SparkEntry {
       // write time; oracled against the plain parquet join (r11)
       "bucketed_join_orders" -> ((s: SparkSession, d: String) =>
         graft.scale.Bucketing.bucketedJoinRevenue(s, d)),
+      // per-language percentile rank: the "top X% per language" curation
+      // knob as an exact per-doc assignment (r11b)
+      "quality_rank_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.qualityRank(docs(s, d))),
+      // pairwise top-k vocabulary overlap between sources — everything
+      // pairwise runs on the |sources|·k shortlist, never the vocab (r11b)
+      "vocab_overlap_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.vocabOverlap(docs(s, d))),
+      // cross-source duplication matrix in closed form off the cached CC
+      // labels — per-(cluster, source) counts, never enumerated pairs (r11b)
+      "cross_source_dups_documents" -> ((s: SparkSession, d: String) =>
+        graft.dedup.DedupOps.crossSourceDups(clusterLabels(s, d), docs(s, d))),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
       // stream-stream interval join run AS A STREAM (two watermarked file
@@ -1035,6 +1047,9 @@ object SparkEntry {
       "trigrams_events" -> graft.analytics.EventOps.oracleSessionTrigrams(),
       "ewma_events" -> graft.analytics.EventOps.oracleEwmaDailyVolume(),
       "bucketed_join_orders" -> graft.scale.Bucketing.oracleBucketedJoinRevenue,
+      "quality_rank_documents" -> graft.text.TextOps.oracleQualityRank(),
+      "vocab_overlap_documents" -> graft.text.TextOps.oracleVocabOverlap(),
+      "cross_source_dups_documents" -> graft.dedup.DedupOps.oracleCrossSourceDups,
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

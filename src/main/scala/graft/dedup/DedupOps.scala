@@ -335,6 +335,57 @@ object DedupOps {
        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Cross-source duplication matrix off the CC labels — WHERE the dup
+    * pressure comes from: for every source pair (including the diagonal),
+    * the number of same-cluster doc pairs drawn one from each source. The
+    * mirror-site / re-crawl diagnostic a corpus release reads next to
+    * [[clusterSizes]].
+    *
+    * Counted in closed form, never by enumerating pairs: per (cluster,
+    * source) counts first (one small join + aggregate off the cached label
+    * table), then Σ over clusters of n_a·n_b (a<b) resp. n·(n−1)/2 on the
+    * diagonal — the join input is |clusters|·|sources| rows, so the pair
+    * count is exact at any scale without a pair exchange.
+    */
+  def crossSourceDups(labels: org.apache.spark.sql.DataFrame, docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perSource = labels
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = perSource
+      .select(col("cluster_id"), col("source").as("source_a"), col("n").as("na"))
+    val b = perSource
+      .select(col("cluster_id"), col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, "cluster_id")
+      .where(col("source_a") <= col("source_b"))
+      .select(
+        col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"), expr("na * (na - 1) div 2"))
+          .otherwise(col("na") * col("nb")).as("pairs")
+      )
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("pairs")).as("n_dup_pairs"))
+      .where(col("n_dup_pairs") > 0)
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of [[crossSourceDups]], nesting the recursive cluster CTEs. */
+  def oracleCrossSourceDups: String =
+    s"""WITH RECURSIVE $oracleClusterCtes,
+       |src AS (
+       |  SELECT cluster_id, source, count(*) AS n
+       |  FROM cl JOIN documents USING (doc_id)
+       |  GROUP BY cluster_id, source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+       |                ELSE a.n * b.n END) AS BIGINT) AS n_dup_pairs
+       |FROM src a JOIN src b ON a.cluster_id = b.cluster_id AND a.source <= b.source
+       |GROUP BY source_a, source_b
+       |HAVING sum(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+       |           ELSE a.n * b.n END) > 0
+       |ORDER BY source_a, source_b""".stripMargin
+
   // --- tier 3: SimHash ------------------------------------------------------
 
   /** 32-bit SimHash per document, computed entirely per-row by the native

@@ -1079,4 +1079,101 @@ object TextOps {
       |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS ths
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
+
+  // --- per-language quality percentile rank ---------------------------------
+
+  /** Per-language percentile rank of documents by token count — the
+    * "keep the top X% per language" curation knob in report form: rank,
+    * percent_rank and a `buckets`-ile per doc within its language, under
+    * the total order (n_tokens desc, doc_id) so every rank is
+    * deterministic. percent_rank is (rank−1)/(rows−1) in both engines —
+    * one IEEE division of exact integers, bit-portable.
+    *
+    * Scale shape: the window partitions by language, so per-task work is
+    * bounded by the largest language's slice — the honest cost of an exact
+    * within-language ranking. At 100 TB the same report would run the
+    * two-pass rank-select (`NumericStats.groupQuantiles`) for the cut
+    * POINTS and a broadcast threshold filter for the cut itself; this
+    * operator is the exact per-doc assignment tier below that.
+    */
+  def qualityRank(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_tokens").desc, col("doc_id"))
+    graft.Tables.widen(docs)
+      .select(
+        col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long").as("n_tokens"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pctile", percent_rank().over(w))
+      .withColumn("qbucket", ntile(buckets).over(w).cast("long"))
+      .orderBy("lang", "rnk")
+  }
+
+  /** DuckDB twin of [[qualityRank]]. */
+  def oracleQualityRank(buckets: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '$TokenRe')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+       |  percent_rank() OVER w AS pctile,
+       |  CAST(ntile($buckets) OVER w AS BIGINT) AS qbucket
+       |FROM toks WINDOW w AS (PARTITION BY lang ORDER BY n_tokens DESC, doc_id)
+       |ORDER BY lang, rnk""".stripMargin
+
+  // --- cross-source vocabulary overlap --------------------------------------
+
+  /** Pairwise top-`k` vocabulary overlap between sources — the corpus-mixture
+    * diagnostic that says which slices speak the same language before a
+    * mixture is weighted: for every source pair, how many of their top-`k`
+    * tokens coincide, and the Jaccard over the two top-`k` sets.
+    *
+    * Scale shape: one map-side-combinable (source, token) count over the
+    * exploded corpus; the per-source top-`k` is a window over |vocab_s| rows
+    * per source under a total order (n desc, token); everything pairwise
+    * happens on |sources|·k rows — the join input is the shortlist, never
+    * the vocabulary. The Jaccard denominator is 2k − shared when both
+    * shortlists are full (asserted by construction at these k).
+    */
+  def vocabOverlap(docs: DataFrame, k: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+    val top = graft.Tables.widen(docs)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+      .select(col("source"), col("token"))
+    val a = top.select(col("source").as("source_a"), col("token"))
+    val b = top.select(col("source").as("source_b"), col("token"))
+    a.join(b, "token")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") / (lit(2L * k) - col("n_shared")).cast("double"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of [[vocabOverlap]]. */
+  def oracleVocabOverlap(k: Int = 100): String =
+    s"""WITH counts AS (
+       |  SELECT source, token, count(*) AS n FROM (
+       |    SELECT source, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS token
+       |    FROM documents)
+       |  GROUP BY source, token),
+       |top AS (
+       |  SELECT source, token FROM (
+       |    SELECT source, token, row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS r
+       |    FROM counts)
+       |  WHERE r <= $k)
+       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared,
+       |  CAST(count(*) AS DOUBLE) / CAST(${2L * k} - count(*) AS DOUBLE) AS jaccard
+       |FROM top a JOIN top b ON a.token = b.token AND a.source < b.source
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
 }

@@ -484,6 +484,17 @@ object SparkEntry {
       // labels — per-(cluster, source) counts, never enumerated pairs (r11b)
       "cross_source_dups_documents" -> ((s: SparkSession, d: String) =>
         graft.dedup.DedupOps.crossSourceDups(clusterLabels(s, d), docs(s, d))),
+      // keyword-in-context concordance: per-row array algebra behind a
+      // pushdown-friendly contains prefilter (r11c)
+      "kwic_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.kwic(docs(s, d), SparkEntry.kwicTerm)),
+      // CSV write→read round-trip with declared schema — the quoting
+      // contract under the identity hash (r11c)
+      "csv_roundtrip_documents" -> ((s: SparkSession, d: String) =>
+        graft.io.Sources.csvRoundTrip(
+          docs(s, d),
+          s"/tmp/graft_csv/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
+          "doc_id")),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
       // stream-stream interval join run AS A STREAM (two watermarked file
@@ -761,6 +772,12 @@ object SparkEntry {
     * ranking.
     */
   val bm25Query: Seq[String] = Seq("hash", "join", "dup")
+
+  /** Concordance term for the declared KWIC query — mid-frequency in the
+    * fixture corpus (present in ~77% of docs at sf0.001) so both the match
+    * and the no-match paths are exercised.
+    */
+  val kwicTerm: String = "spark"
 
   /** "Yesterday vs today" slice split + ratio tolerance for the declared
     * drift query. The tolerance sits where the sf0.01 halves make it BITE in
@@ -1050,6 +1067,9 @@ object SparkEntry {
       "quality_rank_documents" -> graft.text.TextOps.oracleQualityRank(),
       "vocab_overlap_documents" -> graft.text.TextOps.oracleVocabOverlap(),
       "cross_source_dups_documents" -> graft.dedup.DedupOps.oracleCrossSourceDups,
+      "kwic_documents" -> graft.text.TextOps.oracleKwic(kwicTerm),
+      "csv_roundtrip_documents" ->
+        s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents ORDER BY doc_id",
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
       "unpivot_lineitem" -> graft.report.Reshape.oracleUnpivotStats(
         "lineitem", "l_returnflag", meltMeasures),

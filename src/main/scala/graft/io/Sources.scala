@@ -146,6 +146,17 @@ object Sources {
     readOrc(df.sparkSession, path).orderBy(orderCol)
   }
 
+  /** CSV round-trip under the hash gate, same contract as
+    * [[jsonlRoundTrip]]: written with Spark's quoting/escaping, read back
+    * with the SOURCE schema declared (the interchange-format contract —
+    * schema travels out-of-band; inference is for exploration, not
+    * pipelines). Puts the quoting round-trip itself under the hash check.
+    */
+  def csvRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
+    writeCsv(df, path)
+    readCsv(df.sparkSession, path, Some(df.schema)).orderBy(orderCol)
+  }
+
   /** Hive-style partitioned layout: write `df` partitioned by
     * `partitionCol` (one directory per value), read it back with an
     * equality filter on that column. The filter is satisfied by PARTITION

@@ -1159,6 +1159,59 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  // --- keyword-in-context (concordance) -------------------------------------
+
+  /** KWIC / concordance search: for every document containing `term`, the
+    * token position of its FIRST occurrence and a ±`window`-token context
+    * snippet — the "show me how the corpus uses this word" query a corpus
+    * linguist (or a contamination analyst chasing a leaked benchmark
+    * phrase) runs.
+    *
+    * Scale shape: pure per-row array expressions (split → filter →
+    * array_position → slice → array_join) inside whole-stage codegen — no
+    * shuffle except the declared output ordering; the filter on position
+    * drops non-matching docs before the sort. At 100 TB the same operator
+    * composes with a pushed-down substring prefilter
+    * (`text LIKE '%term%'`) so the tokenizer only runs on candidate rows —
+    * included here as the `contains` guard, which Catalyst evaluates first.
+    */
+  def kwic(docs: DataFrame, term: String, window: Int = 3): DataFrame = {
+    require(term.nonEmpty && !term.exists(_.isWhitespace), "term must be a single token")
+    val tokens = filter(split(lower(col("text")), " "), t => t =!= "")
+    val kw = graft.Tables.widen(docs)
+      .where(lower(col("text")).contains(term))
+      .select(col("doc_id"), tokens.as("tokens"))
+      .select(col("doc_id"), col("tokens"), array_position(col("tokens"), term).as("pos"))
+      .where(col("pos") > 0)
+    kw.select(
+        col("doc_id"),
+        col("pos"),
+        array_join(
+          slice(
+            col("tokens"),
+            greatest(lit(1L), col("pos") - window).cast("int"),
+            (least(size(col("tokens")).cast("long"), col("pos") + window)
+              - greatest(lit(1L), col("pos") - window) + 1).cast("int")
+          ),
+          " "
+        ).as("context")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[kwic]] (list slicing is 1-based inclusive in both
+    * formulations; Spark's `slice` takes (start, length) — same bounds).
+    */
+  def oracleKwic(term: String, window: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS tokens
+       |  FROM documents),
+       |p AS (SELECT doc_id, tokens, list_position(tokens, '$term') AS pos FROM toks)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  array_to_string(
+       |    tokens[greatest(1, pos - $window):least(len(tokens), pos + $window)], ' ') AS context
+       |FROM p WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[vocabOverlap]]. */
   def oracleVocabOverlap(k: Int = 100): String =
     s"""WITH counts AS (

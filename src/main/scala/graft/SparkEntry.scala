@@ -495,6 +495,17 @@ object SparkEntry {
           docs(s, d),
           s"/tmp/graft_csv/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
           "doc_id")),
+      // exact global length-percentile rank per doc: range-sort +
+      // zipWithIndex offsets, never row_number over an empty window (r11f)
+      "length_ranks_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.TextOps.lengthRanks(docs(s, d))),
+      // parquet schema evolution: by-name mergeSchema reconciliation with
+      // NULL backfill of the batch written before the column existed (r11f)
+      "schema_merge_documents" -> ((s: SparkSession, d: String) =>
+        graft.io.Sources.mergeSchemaRoundTrip(
+          docs(s, d),
+          s"/tmp/graft_merge/${s.sparkContext.applicationId}/${d.replaceAll("[^a-zA-Z0-9]", "_")}/documents",
+          "source", "doc_id")),
       "sessions_events" -> ((s: SparkSession, d: String) =>
         graft.streaming.Sessionize.batchSessions(Tables.load(s, d, "events"))),
       // stream-stream interval join run AS A STREAM (two watermarked file
@@ -574,6 +585,30 @@ object SparkEntry {
       "winsorized_lineitem" -> ((s: SparkSession, d: String) =>
         graft.stats.NumericStats.winsorizedStats(
           Tables.load(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
+      // median/MAD robust-outlier gate: two rank-select passes + one
+      // counting scan, threshold from the declared round-6 values (r11d)
+      "mad_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.madStats(
+          Tables.load(s, d, "lineitem"), SparkEntry.madCols)),
+      // Benford first-digit audit: digit from integer rendering, exact
+      // per-mille share, round-6 expectation (r11d)
+      "benford_lineitem" -> ((s: SparkSession, d: String) =>
+        graft.stats.NumericStats.benford(Tables.load(s, d, "lineitem"), "l_extendedprice")),
+      // Theil–Sen robust daily-volume slope — pairwise-median over the
+      // calendar-bounded rollup, the outage-tolerant twin of trend_events (r11d)
+      "theilsen_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.theilSen(Tables.load(s, d, "events"))),
+      // running distinct audience WITHOUT a running distinct: first-seen
+      // rollup + |days|-row prefix sum (r11e)
+      "cumulative_users_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.cumulativeUsers(Tables.load(s, d, "events"))),
+      // per-type staleness monitor: last-seen lag behind the corpus max (r11e)
+      "freshness_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.freshness(Tables.load(s, d, "events"))),
+      // per-type inter-arrival cadence quantiles over the grouped
+      // rank-select pass — turns freshness lag into a judgment (r11e)
+      "interarrival_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.interArrival(Tables.load(s, d, "events"))),
       // trailing-7-day rolling event volumes per type (r7b)
       "rolling_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.rollingDaily(Tables.load(s, d, "events"))),
@@ -745,6 +780,12 @@ object SparkEntry {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax"
   )
+
+  /** The measures the declared MAD gate profiles — the monetary/quantity
+    * columns where contamination-resistant outlier detection matters (the
+    * key columns are uniform, their MAD gate is vacuous).
+    */
+  val madCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** The lineitem measures the declared melt (`unpivot_lineitem`) reshapes
     * into long form — the per-row quantities, not the key columns.
@@ -1036,6 +1077,12 @@ object SparkEntry {
       "corr_lineitem" -> graft.stats.NumericStats.oracleCorrEnvelope("lineitem", corrPairs),
       "winsorized_lineitem" -> graft.stats.NumericStats.oracleWinsorizedStats(
         "lineitem", Seq("l_quantity", "l_extendedprice")),
+      "mad_lineitem" -> graft.stats.NumericStats.oracleMadStats("lineitem", madCols),
+      "benford_lineitem" -> graft.stats.NumericStats.oracleBenford("lineitem", "l_extendedprice"),
+      "theilsen_events" -> graft.analytics.EventOps.oracleTheilSen,
+      "cumulative_users_events" -> graft.analytics.EventOps.oracleCumulativeUsers,
+      "freshness_events" -> graft.analytics.EventOps.oracleFreshness,
+      "interarrival_events" -> graft.analytics.EventOps.oracleInterArrival(),
       "rolling_events" -> graft.analytics.EventOps.oracleRollingDaily(),
       "scd2_orders" -> graft.vault.Scd2.oracleOrderPriorityEpisodes,
       "checks_orders" -> graft.quality.Checks.oracleOrderChecks,
@@ -1068,6 +1115,13 @@ object SparkEntry {
       "vocab_overlap_documents" -> graft.text.TextOps.oracleVocabOverlap(),
       "cross_source_dups_documents" -> graft.dedup.DedupOps.oracleCrossSourceDups,
       "kwic_documents" -> graft.text.TextOps.oracleKwic(kwicTerm),
+      "length_ranks_documents" -> graft.text.TextOps.oracleLengthRanks,
+      "schema_merge_documents" ->
+        """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source, n_chars,
+          |  CAST(1 AS BIGINT) AS batch FROM documents
+          |UNION ALL
+          |SELECT doc_id, text, lang, source, n_chars, CAST(2 AS BIGINT) AS batch
+          |FROM documents ORDER BY doc_id, batch""".stripMargin,
       "csv_roundtrip_documents" ->
         s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents ORDER BY doc_id",
       "cdc_snapshot_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,

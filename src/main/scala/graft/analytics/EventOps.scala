@@ -372,6 +372,184 @@ object EventOps {
        |       AS DECIMAL(38,0)) AS VARCHAR) AS slope_den_str
        |FROM g ORDER BY event_type""".stripMargin
 
+  // --- cumulative audience (running distinct without a running distinct) ------
+
+  /** Cumulative distinct users per day — "how big is the audience so far".
+    * The naive form (`count_distinct(user) OVER (ORDER BY day)`) re-counts
+    * the whole user set per frame, and a per-day distinct union is a
+    * scale-killer. The identity that removes it: a user contributes to day d
+    * iff their FIRST day ≤ d — so one first-seen aggregate (map-combined
+    * min per user), a |days|-row rollup of debuts, and a prefix sum over the
+    * calendar-bounded day series give the exact running distinct. The only
+    * window runs over |days| rows — the raw scan never sorts, and no state
+    * ever holds a user set.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val debuts = graft.Tables.widen(events)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new"))
+    debuts
+      .withColumn("n_cum", sum(col("n_new")).over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[cumulativeUsers]]. */
+  def oracleCumulativeUsers: String =
+    s"""WITH debut AS (
+       |  SELECT user_id, min(epoch_us(ts) // $MicrosPerDay) AS first_day
+       |  FROM events GROUP BY user_id),
+       |d AS (SELECT first_day AS day, count(*) AS n_new FROM debut GROUP BY 1)
+       |SELECT day, CAST(n_new AS BIGINT) AS n_new,
+       |  CAST(sum(n_new) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+       |FROM d ORDER BY day""".stripMargin
+
+  // --- freshness (the staleness monitor) --------------------------------------
+
+  /** Per-type data freshness: first/last event time and the lag behind the
+    * corpus' newest event — the "did source X stop sending" check an ingest
+    * SLA monitor runs before anything downstream trusts the data. A type
+    * whose `lag_us` exceeds its expected cadence is stale even though every
+    * row it DID send is valid — absence is the signal, the same doctrine as
+    * the gap-filled spine.
+    *
+    * Scale shape: one map-combined min/max aggregate per type (exchange
+    * carries |types| rows), the global max from a broadcast 1-row aggregate
+    * of THAT relation — the raw scan happens once.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    val perType = graft.Tables.widen(events)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .groupBy(col("event_type"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        count(lit(1)).as("n"))
+    val newest = perType.agg(max(col("last_us")).as("newest_us"))
+    perType.crossJoin(broadcast(newest))
+      .select(col("event_type"), col("n"), col("first_us"), col("last_us"),
+        (col("newest_us") - col("last_us")).as("lag_us"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[freshness]]. */
+  def oracleFreshness: String =
+    s"""WITH t AS (
+       |  SELECT event_type, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+       |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, count(*) AS n
+       |  FROM events GROUP BY event_type),
+       |g AS (SELECT max(last_us) AS newest_us FROM t)
+       |SELECT event_type, n, first_us, last_us,
+       |  CAST(newest_us - last_us AS BIGINT) AS lag_us
+       |FROM t CROSS JOIN g ORDER BY event_type""".stripMargin
+
+  // --- inter-arrival gaps (cadence profile) -----------------------------------
+
+  /** Per-type inter-arrival-time quantiles (seconds) — the cadence profile
+    * that turns [[freshness]]'s lag into a judgment: a type whose median gap
+    * is 2 s and whose lag is 10 min is DOWN; the same lag on a daily digest
+    * type is routine. Gaps come from one lag-window pass per type (the
+    * irreducible sort — sequence gaps need the sequence); tie ordering
+    * doesn't matter because consecutive differences of a sorted multiset
+    * are tie-invariant. The quantiles then run through the scale-safe
+    * grouped rank-select pass ([[graft.stats.NumericStats.groupQuantiles]])
+    * — never a per-group buffering percentile over the unbounded gaps.
+    *
+    * UNIT IS A DETERMINISM DECISION: gaps are declared in seconds
+    * (`µs/1e6`, one identical IEEE division both engines), because the
+    * pass's round-6 rendering is meaningless at µs magnitudes — a corpus
+    * spanning years has gaps up to ~10¹⁰ µs, where adjacent doubles sit
+    * >10⁻⁶ apart and the engines' round() paths snap to different
+    * representables (caught live by the sf0.001 gate). At seconds
+    * magnitude (≤10⁵) round-6 is 10⁶× inside double spacing.
+    */
+  def interArrival(events: DataFrame, qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("us")
+    val gaps = graft.Tables.widen(events)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_s",
+        (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1e6)
+      .where(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    graft.stats.NumericStats.groupQuantiles(gaps, "event_type", Seq("gap_s"), qs)
+      .select(col("grp").as("event_type"), col("q_r"), col("value_r"))
+      .orderBy("event_type", "q_r")
+  }
+
+  /** DuckDB twin of [[interArrival]] — same lag window, same µs→s division,
+    * same (n−1)·q interpolation, round-6 like the grouped rank-select pass
+    * declares.
+    */
+  def oracleInterArrival(qs: Seq[Double] = Seq(0.5, 0.95)): String = {
+    val branches = qs.map(q =>
+      s"SELECT event_type, CAST($q AS DOUBLE) AS q_r, round(quantile_cont(gap_s, $q), 6) AS value_r FROM g GROUP BY event_type")
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS gap_us
+       |  FROM events),
+       |g AS (SELECT event_type, CAST(gap_us AS DOUBLE) / 1e6 AS gap_s FROM s WHERE gap_us IS NOT NULL)
+       |${branches.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY event_type, q_r""".stripMargin
+  }
+
+  // --- robust trend (Theil–Sen over daily aggregates) -------------------------
+
+  /** Theil–Sen robust slope of each type's daily volume — the median of all
+    * pairwise (Δcount/Δday) slopes. The least-squares trend ([[volumeTrend]])
+    * is exact but fragile: one backfill day or outage spike drags the fitted
+    * slope arbitrarily; the pairwise-median slope tolerates up to ~29% wild
+    * days, which is what an ingest-volume monitor actually faces.
+    *
+    * Scale shape: the raw scan collapses to the (type, day, count) rollup
+    * FIRST (map-side combinable); the pair join and the median both run over
+    * that aggregate, so the work is ∝ |types|·|days|² — calendar-bounded
+    * (a decade of days ≈ 3.6k ⇒ ≤6.7M pairs per type), never a function of
+    * the event count. At that bounded size the buffering `percentile`
+    * aggregate is safe by construction — the raw-data quantile ban
+    * (NumericStats §quantiles) is about unbounded columns, not
+    * calendar-bounded pair sets.
+    *
+    * Cross-engine: slopes are single IEEE divisions of exact longs —
+    * bit-identical both engines — and `percentile`/`quantile_cont` share
+    * the (n−1)·q interpolation convention, so the round-6 median matches.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = graft.Tables.widen(events)
+      .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("t"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("event_type"), col("t").as("t1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("t").as("t2"), col("y").as("y2"))
+    a.join(b, Seq("event_type"))
+      .where(col("t1") < col("t2"))
+      .select(
+        col("event_type"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5D)"), 6).as("slope_r"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[theilSen]] — same rollup, same pair algebra, same
+    * interpolated median.
+    */
+  def oracleTheilSen: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS t, count(*) AS y
+       |  FROM events GROUP BY event_type, t),
+       |p AS (
+       |  SELECT a.event_type,
+       |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+       |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.t < b.t)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(quantile_cont(slope, 0.5), 6) AS slope_r
+       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- calendar-spine gap fill ----------------------------------------------
 
   private val MicrosPerHour = 3600000000L

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** File ingestion surface (SURVEY.md §2 I1/I2; reference:
@@ -155,6 +155,32 @@ object Sources {
   def csvRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
     writeCsv(df, path)
     readCsv(df.sparkSession, path, Some(df.schema)).orderBy(orderCol)
+  }
+
+  /** Schema-evolution round-trip: batch 1 is written WITHOUT `dropCol`
+    * (yesterday's producer), batch 2 with it (today's), and the read
+    * reconciles both under `mergeSchema` — old rows surface the new column
+    * as NULL, by name, no rewrite of the old files. This is the normal
+    * state of a long-lived corpus: schemas drift batch to batch, and the
+    * engine must read the union without a migration.
+    *
+    * Scale note: `mergeSchema` reconciles by reading every file's footer —
+    * fine per-batch, wasteful as the standing contract at 10⁶ files; a
+    * production table keeps ONE declared current schema (the
+    * [[csvRoundTrip]] doctrine) and uses this reconciliation at
+    * schema-change boundaries. The semantics proven here (by-name merge,
+    * NULL backfill) are what that declared schema evolves under.
+    */
+  def mergeSchemaRoundTrip(
+      df: DataFrame, path: String, dropCol: String, orderCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.drop(dropCol).withColumn("batch", lit(1L))
+      .write.mode("overwrite").parquet(s"$path/b1")
+    df.withColumn("batch", lit(2L))
+      .write.mode("overwrite").parquet(s"$path/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+      .select((df.columns.map(col) :+ col("batch")).toSeq: _*)
+      .orderBy(orderCol, "batch")
   }
 
   /** Hive-style partitioned layout: write `df` partitioned by

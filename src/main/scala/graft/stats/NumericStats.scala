@@ -498,6 +498,159 @@ object NumericStats {
       .orderBy("bucket")
   }
 
+  // --- robust dispersion (median / MAD outlier gate) -------------------------
+
+  /** Median/MAD robust-outlier profile per column — (column_name, median_r,
+    * mad_r, n_outliers), where an outlier sits more than `k`·1.4826·MAD
+    * from the median (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a consistent σ
+    * estimator under normality). This is the outlier gate that survives
+    * contaminated columns: one corrupt 10¹² row moves a mean/stddev z-score
+    * arbitrarily, but moves a median and MAD not at all — which is exactly
+    * when you need the gate.
+    *
+    * Scale shape: two rank-select [[quantiles]] passes (distributed range
+    * sort, bounded driver state — never a buffering percentile aggregate)
+    * and ONE map-combined counting scan; nothing holds a column in memory.
+    *
+    * Cross-engine determinism: the threshold is computed from the ROUNDED
+    * declared median/MAD — the same round-6 rendering both engines already
+    * hash-check — with identical left-associated double arithmetic
+    * ((k·1.4826)·mad), so the outlier decisions follow the declared
+    * columns. Columns that are entirely null are skipped (no median
+    * exists), the [[groupQuantiles]] empty-group convention.
+    */
+  def madStats(df: DataFrame, cols: Seq[String], k: Double = 3.0): DataFrame = {
+    require(cols.nonEmpty, "madStats needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def roundedMedians(in: DataFrame, cs: Seq[String]): Map[String, Double] =
+      quantiles(in, cs, Seq(0.5))
+        .select("column_name", "value_r").collect()
+        .collect { case r if !r.isNullAt(1) => r.getString(0) -> r.getDouble(1) }
+        .toMap
+    val med  = roundedMedians(df, cols)
+    val live = cols.filter(med.contains)
+    require(live.nonEmpty, "madStats: every requested column is entirely null")
+    val devs = df.select(live.map(c => abs(col(c).cast("double") - med(c)).as(c)): _*)
+    val mad  = roundedMedians(devs, live)
+    val counts: Map[String, Long] = {
+      val row = df.select(live.map { c =>
+        sum(when(abs(col(c).cast("double") - med(c)) > lit(k * 1.4826) * mad(c), 1L)
+          .otherwise(0L)).as(c)
+      }: _*).collect().head
+      live.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    }
+    live.map(c => (c, med(c), mad(c), counts(c)))
+      .toDF("column_name", "median_r", "mad_r", "n_outliers")
+      .orderBy("column_name")
+  }
+
+  /** DuckDB twin of [[madStats]]: one UNION branch per column, each
+    * computing the round-6 median and MAD with `quantile_cont` (the same
+    * (n−1)·q interpolation as [[quantiles]]) and counting deviations beyond
+    * the identically-associated `(k·1.4826)·mad_r` threshold.
+    */
+  def oracleMadStats(table: String, cols: Seq[String], k: Double = 3.0): String =
+    cols.map { c =>
+      s"""SELECT * FROM (
+         |WITH m AS (
+         |  SELECT round(quantile_cont(CAST($c AS DOUBLE), 0.5), 6) AS med FROM $table),
+         |d AS (
+         |  SELECT round(quantile_cont(abs(CAST(t.$c AS DOUBLE) - m.med), 0.5), 6) AS mad
+         |  FROM $table t CROSS JOIN m)
+         |SELECT '$c' AS column_name, m.med AS median_r, d.mad AS mad_r,
+         |  CAST(count(*) FILTER (
+         |    abs(CAST(t.$c AS DOUBLE) - m.med) > ($k * 1.4826) * d.mad) AS BIGINT)
+         |    AS n_outliers
+         |FROM $table t CROSS JOIN m CROSS JOIN d
+         |GROUP BY m.med, d.mad)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  // --- exact global ranks (the scale-safe ROW_NUMBER-over-everything) --------
+
+  /** Exact global rank and per-mille percentile of every row by
+    * (`valCol`, `keyCol`) — what `row_number() OVER (ORDER BY v)` means,
+    * WITHOUT its scale-killer: an empty `partitionBy()` window funnels the
+    * entire table through one partition. Here `orderBy` range-partitions
+    * the sort across the cluster and `zipWithIndex` assigns global indices
+    * with one extra size-count job (per-partition counts → driver prefix
+    * offsets — the same two-pass offset trick as [[quantiles]], built into
+    * Spark). The unique `keyCol` tiebreak makes the total order — and so
+    * the hash — deterministic.
+    *
+    * The percentile share is EXACT integer arithmetic (1000·rank div n),
+    * never a float cume_dist.
+    */
+  def globalRanks(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df
+      .select(col(keyCol).cast("long"), col(valCol).cast("long"))
+      .where(col(valCol).isNotNull)
+    val total = slim.count() // narrow pre-shuffle scan; bounded driver state
+    slim
+      .orderBy(valCol, keyCol)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex()
+      .map { case ((k, v), i) => (k, v, i + 1L, 1000L * (i + 1L) / total) }
+      .toDF(keyCol, valCol, "pos_rank", "pct_millis")
+      .orderBy(keyCol)
+  }
+
+  // --- Benford first-digit audit ---------------------------------------------
+
+  /** Benford's-law first-digit distribution of a monetary column — the
+    * classic fabricated-data / fraud screen: naturally-occurring amounts
+    * spread over orders of magnitude put digit d first with probability
+    * log₁₀(1+1/d); invented numbers don't. Emits per leading digit the
+    * count, the observed per-mille share in EXACT integer division, and the
+    * round-6 Benford expectation — the consumer compares the two columns.
+    *
+    * Determinism: the leading digit comes from the STRING RENDERING OF AN
+    * INTEGER (the value at `scale` decimals, half-up), never from
+    * log10-of-a-double digit math — integer-to-string is identical across
+    * engines where float log10 near a power of 10 is not. Zero values at
+    * that scale are excluded (no leading digit).
+    *
+    * Scale shape: per-row digit extraction inside codegen → map-combined
+    * groupBy on ≤9 keys → broadcast 1-row total for the exact share. The
+    * exchange carries 9 rows.
+    */
+  def benford(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
+    val units = round(col(c).cast("double") * math.pow(10, scale).toLong, 0).cast("long")
+    val digits = graft.Tables.widen(df)
+      .where(col(c).isNotNull && col(c) > 0)
+      .select(units.as("u")).where(col("u") > 0)
+      .select(substring(col("u").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n"),
+        expr("1000 * n div n_total").as("pct_millis"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("expected_r"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB twin of [[benford]] — same integer-rendering digit extraction,
+    * exact integer share, round-6 log10 expectation (both engines' log10
+    * are ≤1 ulp from correctly rounded; every Benford constant sits ≥10⁻⁷
+    * from a round-6 boundary, so the renderings agree).
+    */
+  def oracleBenford(table: String, c: String, scale: Int = 2): String =
+    s"""WITH u AS (
+       |  SELECT CAST(round(CAST($c AS DOUBLE) * ${math.pow(10, scale).toLong}, 0) AS BIGINT) AS u
+       |  FROM $table WHERE $c IS NOT NULL AND $c > 0),
+       |d AS (
+       |  SELECT substr(CAST(u AS VARCHAR), 1, 1) AS digit, count(*) AS n
+       |  FROM u WHERE u > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  CAST(1000 * n AS BIGINT) // n_total AS pct_millis,
+       |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_r
+       |FROM d CROSS JOIN t ORDER BY digit""".stripMargin
+
   /** DuckDB twin of [[percentileBuckets]]: the list-form quantile_cont
     * computes the same boundaries in one aggregate, round-6 like the Spark
     * side's collected `value_r`, then the same ties-go-low CASE.

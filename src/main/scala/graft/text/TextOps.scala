@@ -1159,6 +1159,41 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  // --- length percentile ranks ----------------------------------------------
+
+  /** Exact corpus-wide length-percentile rank per document — the curation
+    * signal behind "drop the bottom 5% by length" cuts: every doc's token
+    * count, its global rank under the deterministic (n_tokens, doc_id)
+    * order, and its exact per-mille percentile. Runs through
+    * [[graft.stats.NumericStats.globalRanks]] — a distributed range sort +
+    * offset pass, never `row_number()` over an empty window (one-partition
+    * sort of the corpus).
+    */
+  def lengthRanks(docs: DataFrame): DataFrame = {
+    val nTokens = size(filter(tokens(col("text")), t => t =!= ""))
+    val scored = graft.Tables.widen(docs)
+      .select(col("doc_id"), nTokens.cast("long").as("n_tokens"))
+    graft.stats.NumericStats.globalRanks(scored, "doc_id", "n_tokens")
+  }
+
+  /** DuckDB twin of [[lengthRanks]] — `row_number` over the same
+    * deterministic order, exact integer per-mille.
+    */
+  def oracleLengthRanks: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS pos_rank
+       |  FROM s),
+       |t AS (SELECT count(*) AS n FROM s)
+       |SELECT doc_id, n_tokens, pos_rank,
+       |  CAST(1000 * pos_rank AS BIGINT) // n AS pct_millis
+       |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin
+
   // --- keyword-in-context (concordance) -------------------------------------
 
   /** KWIC / concordance search: for every document containing `term`, the

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.stats.NumericStats
+import graft.text.TextOps
+
+/** Round-11f wave: exact global ranks without a one-partition window, and
+  * the parquet mergeSchema evolution contract.
+  */
+class R11fOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, dir, "documents")
+
+  // --- globalRanks -----------------------------------------------------------
+
+  test("globalRanks: ties break by key; ranks are a permutation; shares exact") {
+    val d = Seq((10L, 5L), (20L, 3L), (30L, 5L), (40L, 1L)).toDF("k", "v")
+    val got = NumericStats.globalRanks(d, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    // order by (v, k): 40(1) < 20(3) < 10(5) < 30(5, higher key)
+    assert(got == List((10L, 3L, 750L), (20L, 2L, 500L), (30L, 4L, 1000L), (40L, 1L, 250L)))
+  }
+
+  test("globalRanks: null values drop out and the shares renormalize") {
+    val d = Seq((1L, Some(7L)), (2L, None), (3L, Some(2L))).toDF("k", "v")
+    val got = NumericStats.globalRanks(d, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1L, 2L, 1000L), (3L, 1L, 500L)))
+  }
+
+  test("lengthRanks: rank order agrees with a driver-side sort of the corpus") {
+    val rows = TextOps.lengthRanks(docs).collect()
+    assert(rows.length == docs.count())
+    val expected = rows.map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.zipWithIndex.map { case ((_, k), i) => k -> (i + 1L) }.toMap
+    rows.foreach(r => assert(r.getLong(2) == expected(r.getLong(0))))
+  }
+
+  // --- mergeSchemaRoundTrip --------------------------------------------------
+
+  test("mergeSchemaRoundTrip: old batch backfills the new column as NULL") {
+    val path = s"/tmp/graft_merge_spec/${spark.sparkContext.applicationId}"
+    val back = graft.io.Sources.mergeSchemaRoundTrip(docs, path, "source", "doc_id")
+    assert(back.columns.toSeq == (docs.columns.toSeq :+ "batch"))
+    val n = docs.count()
+    assert(back.count() == 2 * n)
+    assert(back.where(col("batch") === 1 && col("source").isNull).count() == n)
+    assert(back.where(col("batch") === 2 && col("source").isNotNull).count() == n)
+    // non-evolved columns round-trip bit-exactly in both batches
+    val orig = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    Seq(1, 2).foreach { b =>
+      val got = back.where(col("batch") === b).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(got.toSeq == orig.toSeq)
+    }
+  }
+}

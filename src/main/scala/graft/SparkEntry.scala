@@ -646,6 +646,22 @@ object SparkEntry {
         graft.olap.Reporting.topCustomers(
           Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
           Tables.load(s, d, "customer"))),
+      // per-group leaderboard: rank-limit plans as two-phase WindowGroupLimit
+      // — each input partition forwards ≤ n rows per nation (r11g)
+      "top_customers_nation" -> ((s: SparkSession, d: String) =>
+        graft.olap.Reporting.topCustomersByNation(
+          Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
+          Tables.load(s, d, "customer"), Tables.load(s, d, "nation"))),
+      // ratio-to-report in pure integer algebra: exact e4 revenue + exact
+      // per-mille share, decimal(38,0) partials vs DuckDB HUGEINT (r11g)
+      "revenue_share_nation" -> ((s: SparkSession, d: String) =>
+        graft.olap.Reporting.revenueShareByNation(
+          Tables.load(s, d, "lineitem"), Tables.load(s, d, "orders"),
+          Tables.load(s, d, "customer"), Tables.load(s, d, "nation"))),
+      // monthly cohort retention matrix: distinct (user, month) activity +
+      // first-seen cohort, exact integer per-mille retention (r11g)
+      "cohorts_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.EventOps.cohorts(Tables.load(s, d, "events"))),
       // calendar-spine gap fill: explicit zero rows for silent hours — the
       // spine derives from the aggregate's bounds, raw events never meet it
       // (r10b)
@@ -1088,6 +1104,9 @@ object SparkEntry {
       "checks_orders" -> graft.quality.Checks.oracleOrderChecks,
       "revenue_nation" -> graft.olap.Reporting.oracleRevenueByNation,
       "top_customers" -> graft.olap.Reporting.oracleTopCustomers(),
+      "top_customers_nation" -> graft.olap.Reporting.oracleTopCustomersByNation(),
+      "revenue_share_nation" -> graft.olap.Reporting.oracleRevenueShareByNation,
+      "cohorts_events" -> graft.analytics.EventOps.oracleCohorts,
       "gapfill_events" -> graft.analytics.EventOps.oracleGapFilledHourly,
       "deciles_customer" -> graft.stats.NumericStats.oraclePercentileBuckets("customer", "c_acctbal"),
       "diff_documents" -> graft.quality.Diff.oracleDiffDocuments,

@@ -741,4 +741,61 @@ object EventOps {
        |  ON d.event_type = h.event_type AND d.day - h.day BETWEEN 0 AND ${horizon - 1}
        |GROUP BY d.event_type, d.day, d.n_events
        |ORDER BY d.event_type, d.day""".stripMargin
+
+  // --- monthly cohort retention ----------------------------------------------
+
+  /** Monthly cohort retention matrix — for each signup cohort (the calendar
+    * month of a user's first event, UTC), how many of its users were active
+    * 0, 1, 2… months later, with the exact per-mille retention share. The
+    * growth report every product/ops team runs; here it doubles as the
+    * corpus-freshness view of a training-data feed ("how much of January's
+    * source population is still emitting in June").
+    *
+    * Scale shape: the raw scan collapses to the DISTINCT (user, month)
+    * activity relation first — the one corpus-sized shuffle. The cohort
+    * assignment is a map-combined min per user; joining it back to the
+    * activity relation hashes on user_id (both relations are
+    * post-aggregate, ≤ |users|·|months| rows); the matrix itself is a
+    * |cohorts|·|months| rollup. No window ever sees raw events, and no
+    * state holds a user set — the same first-seen doctrine as
+    * [[cumulativeUsers]].
+    *
+    * Determinism: month index = UTC year·12 + month − 1 (integer calendar
+    * arithmetic, both engines); retention is EXACT integer per-mille
+    * (1000·n_active div n_cohort), never a float ratio.
+    */
+  def cohorts(events: DataFrame): DataFrame = {
+    val activity = graft.Tables.widen(events)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("midx"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id")).agg(min(col("midx")).as("cohort"))
+    val sizes = cohort.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("months_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("months_since"), col("n_active"), col("n_cohort"),
+        expr("1000 * n_active div n_cohort").as("retention_millis"))
+      .orderBy("cohort", "months_since")
+  }
+
+  /** DuckDB twin of [[cohorts]] — same UTC month index, same exact integer
+    * per-mille (`//` and `div` agree: both floor, operands positive).
+    */
+  def oracleCohorts: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 AS midx FROM events),
+       |c AS (SELECT user_id, min(midx) AS cohort FROM a GROUP BY user_id),
+       |s AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY cohort),
+       |j AS (
+       |  SELECT c.cohort, a.midx - c.cohort AS months_since, count(*) AS n_active
+       |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+       |SELECT CAST(j.cohort AS BIGINT) AS cohort,
+       |  CAST(j.months_since AS BIGINT) AS months_since,
+       |  CAST(j.n_active AS BIGINT) AS n_active,
+       |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       |  CAST(1000 * j.n_active AS BIGINT) // s.n_cohort AS retention_millis
+       |FROM j JOIN s ON j.cohort = s.cohort
+       |ORDER BY cohort, months_since""".stripMargin
 }

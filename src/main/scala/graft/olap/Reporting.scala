@@ -99,4 +99,113 @@ object Reporting {
        |  JOIN customer ON o_custkey = c_custkey
        |  GROUP BY c_custkey, c_name)
        |ORDER BY rev DESC, c_custkey LIMIT $n""".stripMargin
+
+  /** Top-N customers WITHIN each nation by exact revenue — the per-group
+    * leaderboard. Unlike [[topCustomers]]'s single global TakeOrdered, the
+    * per-group rank-limit plans as a two-phase WindowGroupLimit (the quota
+    * / CDC-compaction shape, `PLANS.md` §13/§19): every input partition
+    * forwards at most `n` candidate rows per nation BEFORE the shuffle, so
+    * the exchange carries ≤ n·partitions rows per group — a nation with a
+    * billion customers crosses the wire as n·P rows, never as itself.
+    *
+    * Determinism: ranking on the EXACT decimal revenue with a custkey
+    * tiebreak is a total order, so both engines pick identical rows.
+    */
+  def topCustomersByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      n: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(revenueTerm).cast("decimal(38,4)").as("__rev"))
+    rev
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("n_name")).orderBy(col("__rev").desc, col("c_custkey"))))
+      .where(col("rk") <= n)
+      .select(col("n_name"), col("rk").cast("long").as("rk"),
+        col("c_custkey"), col("__rev").cast("string").as("revenue_str"))
+      .orderBy("n_name", "rk")
+  }
+
+  def oracleTopCustomersByNation(n: Int = 3): String =
+    s"""SELECT n_name, CAST(rk AS BIGINT) AS rk, c_custkey,
+       |  CAST(rev AS VARCHAR) AS revenue_str FROM (
+       |  SELECT n_name, c_custkey, rev,
+       |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, c_custkey) AS rk
+       |  FROM (
+       |    SELECT n_name, c_custkey,
+       |      CAST(sum($OracleRevenueTerm) AS DECIMAL(38,4)) AS rev
+       |    FROM lineitem
+       |    JOIN orders   ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation   ON c_nationkey = n_nationkey
+       |    GROUP BY n_name, c_custkey))
+       |WHERE rk <= $n ORDER BY n_name, rk""".stripMargin
+
+  /** Ratio-to-report: each nation's exact revenue in integer
+    * ten-thousandths (the revenue term has scale 4, so ×10⁴ per row is an
+    * exact long product of price-cents · (100 − discount-cents)) and its
+    * EXACT per-mille share of the corpus total. All arithmetic is integer:
+    * the per-row term is a product of two longs ≤ 10⁹, partial sums ride
+    * DECIMAL(38,0) (long sums wrap past ~10¹⁰ rows of max-price items —
+    * decimal partials are exact at any scale, matching DuckDB's HUGEINT
+    * accumulation), and the share is `1000·rev div total` — no float ever
+    * appears, so the hash can't drift.
+    *
+    * Scale shape: one fact-join tree (the [[revenueByNation]] plan), a
+    * |nations|-row aggregate, and a broadcast 1-row total.
+    */
+  def revenueShareByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame
+  ): DataFrame = {
+    val termE4 =
+      ((col("l_extendedprice").cast("decimal(19,2)") * 100).cast("long") *
+        (lit(100L) - (col("l_discount").cast("decimal(19,2)") * 100).cast("long")))
+        .cast("decimal(30,0)")
+    val rev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(termE4).cast("decimal(38,0)").as("rev_e4"))
+    val total = rev.agg(sum(col("rev_e4")).cast("decimal(38,0)").as("total_e4"))
+    rev.crossJoin(broadcast(total))
+      .select(
+        col("n_name"),
+        col("rev_e4").cast("string").as("rev_e4_str"),
+        expr("CAST((1000 * rev_e4) div total_e4 AS BIGINT)").as("share_millis"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB twin of [[revenueShareByNation]] — the same integer algebra
+    * with HUGEINT standing in for Spark's DECIMAL(38,0) accumulator; both
+    * are exact 128-bit integer sums, and `//`/`div` agree on positive
+    * operands.
+    */
+  def oracleRevenueShareByNation: String =
+    s"""WITH r AS (
+       |  SELECT n_name,
+       |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS BIGINT) *
+       |             (100 - CAST(CAST(l_discount AS DECIMAL(19,2)) * 100 AS BIGINT))
+       |        AS HUGEINT)) AS rev_e4
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |t AS (SELECT sum(rev_e4) AS total_e4 FROM r)
+       |SELECT n_name, CAST(rev_e4 AS VARCHAR) AS rev_e4_str,
+       |  CAST((1000 * rev_e4) // total_e4 AS BIGINT) AS share_millis
+       |FROM r CROSS JOIN t ORDER BY n_name""".stripMargin
 }

@@ -299,7 +299,11 @@ object SparkEntry {
       // banding quality: precision/recall of the LSH candidates against the
       // exact-Jaccard truth — the text-side twin of ivf_recall (r10)
       "minhash_recall_documents" -> ((s: SparkSession, d: String) =>
-        graft.dedup.DedupOps.minhashRecall(docs(s, d)))
+        graft.dedup.DedupOps.minhashRecall(docs(s, d))),
+      // ExactSubstr span dedup: duplicated k-token spans keep only their
+      // first corpus occurrence; documents re-stitched from survivors (r11h)
+      "spandedup_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.SpanDedup.spanDedup(docs(s, d)))
     )
     val sampling: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "sample_documents" -> ((s: SparkSession, d: String) =>
@@ -334,6 +338,11 @@ object SparkEntry {
       // counts + bit-exact min/max only, no float sums by design (r9)
       "dim_stats_embeddings" -> ((s: SparkSession, d: String) =>
         graft.similarity.SimilarityOps.dimStats(emb(s, d))),
+      // reciprocal-rank fusion of the BM25 and cosine top-k lists — hybrid
+      // lexical+dense retrieval with exact integer fusion terms (r11h)
+      "rrf_hybrid_documents" -> ((s: SparkSession, d: String) =>
+        graft.similarity.HybridSearch.rrfHybrid(
+          docs(s, d), emb(s, d), SparkEntry.bm25Query)),
       "lshbuckets_embeddings" -> ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.lshBuckets(emb(s, d))),
       // declared dedup-by-embedding route since r3: banded-LSH candidates +
       // exact rerank at a threshold the corpus actually answers (the r2
@@ -575,6 +584,10 @@ object SparkEntry {
       // funnel (lag window per user, |types|² rollup) (r9)
       "transitions_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.transitions(Tables.load(s, d, "events"))),
+      // damped PageRank over the transition graph — exact 10^12-scaled
+      // integer ranks, 3 fixed iterations, bounded-|V| collect (r11h)
+      "pagerank_events" -> ((s: SparkSession, d: String) =>
+        graft.analytics.PageRank.pageRank(s, Tables.load(s, d, "events"))),
       // JSON payload profiling: get_json_object over the props column (r9)
       "props_stats_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.propsStats(Tables.load(s, d, "events"))),
@@ -965,7 +978,8 @@ object SparkEntry {
         minShared = contaminationCappedMinShared, maxShingleDf = contaminationCap),
       "incremental_pairs_documents" -> graft.dedup.DedupOps.oracleIncrementalMinhashPairs(incrementalSplit),
       "dupgrams_documents" -> graft.dedup.DedupOps.oracleDupShingleStats,
-      "minhash_recall_documents" -> graft.dedup.DedupOps.oracleMinhashRecall()
+      "minhash_recall_documents" -> graft.dedup.DedupOps.oracleMinhashRecall(),
+      "spandedup_documents" -> graft.text.SpanDedup.oracleSpanDedup()
     )
     val docCols = Tables.columns("documents")
     val sampling = Seq(
@@ -984,6 +998,9 @@ object SparkEntry {
     val sim = Seq(
       "knn_embeddings"        -> graft.similarity.SimilarityOps.oracleCosineTopK(),
       "dim_stats_embeddings"  -> graft.similarity.SimilarityOps.oracleDimStats,
+      "rrf_hybrid_documents"  -> graft.similarity.HybridSearch.oracleRrfHybrid(
+        graft.text.TextOps.oracleBm25(bm25Query),
+        graft.similarity.SimilarityOps.oracleCosineTopK(Seq(0L), 20)),
       "lshbuckets_embeddings" -> graft.similarity.SimilarityOps.oracleLshBuckets,
       "cosine_dups_embeddings" -> graft.similarity.SimilarityOps.oracleCosineDupPairsBanded(),
       "ann_embeddings"        -> graft.similarity.SimilarityOps.oracleAnnTopK()
@@ -1089,6 +1106,7 @@ object SparkEntry {
       "range_bands_lineitem" -> graft.analytics.RangeJoin.oraclePriceBandStats,
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
       "transitions_events" -> graft.analytics.EventOps.oracleTransitions,
+      "pagerank_events" -> graft.analytics.PageRank.oraclePageRank(),
       "props_stats_events" -> graft.analytics.EventOps.oraclePropsStats,
       "corr_lineitem" -> graft.stats.NumericStats.oracleCorrEnvelope("lineitem", corrPairs),
       "winsorized_lineitem" -> graft.stats.NumericStats.oracleWinsorizedStats(

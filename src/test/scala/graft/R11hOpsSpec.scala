@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.analytics.PageRank
+import graft.similarity.HybridSearch
+import graft.text.SpanDedup
+
+/** Round-11h wave: ExactSubstr span dedup with reconstruction, integer
+  * PageRank over the transition graph, RRF hybrid retrieval.
+  */
+class R11hOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+  private def emb  = Tables.load(spark, dir, "embeddings")
+  private def ev   = Tables.load(spark, dir, "events")
+
+  // --- spanDedup -------------------------------------------------------------
+
+  test("spanDedup: hand-built duplicated span keeps first occurrence only") {
+    val d = Seq(
+      (0L, "a b c d e f g h x"),
+      (1L, "z a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val rows = SpanDedup.spanDedup(d, k = 8).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(1) == 9L && byId(0L).getLong(2) == 9L)
+    assert(byId(0L).getString(3) == "a b c d e f g h x")
+    // doc1: positions 1..8 (the duplicated span's non-first occurrence) cut
+    assert(byId(1L).getLong(1) == 9L && byId(1L).getLong(2) == 1L)
+    assert(byId(1L).getString(3) == "z")
+  }
+
+  test("spanDedup: corpus invariants — kept counts match rebuilt text; clean docs round-trip") {
+    val rows = SpanDedup.spanDedup(docs).collect()
+    assert(rows.nonEmpty)
+    val orig = docs.select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, nTok, nKept, kept) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nKept <= nTok)
+      val keptToks = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(keptToks == nKept, s"doc $id: n_kept=$nKept but text has $keptToks tokens")
+      if (nKept == nTok) assert(kept == orig(id), s"doc $id untouched but text differs")
+    }
+    // the synthetic corpus DOES contain duplicated 8-token spans — the op bites
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)), "expected at least one cut")
+  }
+
+  // --- pageRank --------------------------------------------------------------
+
+  test("pageRank: positive ranks, mass bounded by SCALE, deterministic") {
+    val r1 = PageRank.pageRank(spark, ev).collect()
+    assert(r1.nonEmpty)
+    assert(r1.forall(_.getLong(1) > 0))
+    // total mass ≤ SCALE (floor losses + dangling drain only ever shrink it)
+    val total = r1.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L && total > 500000000000L)
+    // heaviest-first ordering with event_type tiebreak
+    val ranks = r1.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted(Ordering[Long].reverse))
+    val r2 = PageRank.pageRank(spark, ev).collect()
+    assert(r1.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      r2.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("pageRank: teleport floor — a node with no in-edges still holds mass") {
+    // hand graph: a -> b only; c isolated. c ends at pure teleport share.
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val d = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(1)), (3L, 2L, "c", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val rows = PageRank.pageRank(spark, d, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * 3)
+    assert(rows("c") == teleport)
+    assert(rows("b") > rows("a")) // b receives a's routed mass
+    assert(rows("a") == teleport) // a has no in-edges
+  }
+
+  // --- rrfHybrid -------------------------------------------------------------
+
+  test("rrfHybrid: fusion terms match the integer formula; ordering holds") {
+    val rows = HybridSearch.rrfHybrid(docs, emb, SparkEntry.bm25Query).collect()
+    assert(rows.length >= 20 && rows.length <= 40)
+    rows.foreach { r =>
+      val (b, a, s) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = (if (b > 0) 1000000000L / (60 + b) else 0L) +
+        (if (a > 0) 1000000000L / (60 + a) else 0L)
+      assert(s == expect, s"doc ${r.getLong(0)}: rrf $s != $expect")
+      assert(b > 0 || a > 0)
+    }
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted(Ordering[Long].reverse))
+    // the top fused doc must sit near the head of at least one list
+    val headRanks = Seq(rows.head.getLong(1), rows.head.getLong(2)).filter(_ > 0)
+    assert(headRanks.nonEmpty && headRanks.min <= 3L)
+  }
+}

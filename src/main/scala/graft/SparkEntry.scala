@@ -184,6 +184,18 @@ object SparkEntry {
       // within-doc repetition + unigram-LM quality signals (r4)
       "repetition_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.repetition(docs(s, d))),
       "unigram_scores_documents" -> ((s: SparkSession, d: String) => graft.text.TextOps.unigramScores(docs(s, d))),
+      // bigram-LM conditional logprob — word-ORDER fluency, the KenLM-shaped
+      // filter one step up from the unigram bag score (r11i)
+      "bigram_scores_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.BigramLm.bigramScores(docs(s, d))),
+      // blocklist phrase tagging via the replace-length identity — exact
+      // integer hit counts, no regex dialect surface (r11i)
+      "blocklist_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.Blocklist.blocklistHits(docs(s, d), SparkEntry.blocklistPhrases)),
+      // per-source KL divergence from the corpus token mixture — the
+      // distribution-level "which feed drags the blend" read (r11i)
+      "source_kl_documents" -> ((s: SparkSession, d: String) =>
+        graft.text.SourceDivergence.sourceKl(docs(s, d))),
       // deterministic declared twins of the partition-parallel library ops
       // (r5 verdict asks #6/#8): global-order greedy packing + pinned
       // exact-by-construction Misra-Gries, both under the hash gate
@@ -843,6 +855,12 @@ object SparkEntry {
     */
   val bm25Query: Seq[String] = Seq("hash", "join", "dup")
 
+  /** Declared blocklist: one hot single token, one multi-word phrase, one
+    * substring that also matches inside longer tokens — exercising all three
+    * semantics of the replace-length kernel.
+    */
+  val blocklistPhrases: Seq[String] = Seq("dup", "vector hash", "agg")
+
   /** Concordance term for the declared KWIC query — mid-frequency in the
     * fixture corpus (present in ~77% of docs at sf0.001) so both the match
     * and the no-match paths are exercised.
@@ -946,6 +964,9 @@ object SparkEntry {
       "redacted_documents"    -> graft.text.Redaction.oracleRedact,
       "repetition_documents"  -> graft.text.TextOps.oracleRepetition,
       "unigram_scores_documents" -> graft.text.TextOps.oracleUnigramScores,
+      "bigram_scores_documents" -> graft.text.BigramLm.oracleBigramScores,
+      "blocklist_documents" -> graft.text.Blocklist.oracleBlocklistHits(blocklistPhrases),
+      "source_kl_documents" -> graft.text.SourceDivergence.oracleSourceKl,
       "packing_documents" -> graft.text.Packing.oraclePackDeterministic("documents", packBudget),
       // the pinned-MG ground truth IS the exact top-K (that's the claim)
       "mg_vocab_documents" -> graft.text.TextOps.oracleTopTokens(),

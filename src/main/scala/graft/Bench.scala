@@ -24,6 +24,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Pre-flight BEFORE any timing: a driver-side testdata regen must fail
+    // here with a named-schema message, not as 24 opaque query errors
+    // (VERDICT r8 #2).
+    val drift = Tables.preflight(spark, sfDir)
+    if (drift.nonEmpty) {
+      drift.foreach(m => System.err.println(s"[bench] PREFLIGHT: $m"))
+      spark.stop()
+      sys.exit(2)
+    }
+
     // JIT/codegen warm-up on the smallest SF so the first timed query doesn't
     // pay one-time JVM costs (VERDICT r1: summary_customer 18 s of warm-up) —
     // one touch per distinct code path (profile/regex, text/dedup, vector).

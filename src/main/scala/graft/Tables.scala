@@ -90,20 +90,75 @@ object Tables {
     "documents", "embeddings"
   )
 
-  /** Load a testdata table.
+  /** Normalize `events.ts` to session-zone TimestampType regardless of how
+    * the parquet writer encoded it. The driver has regenerated the testdata
+    * with different encodings across rounds, so the loader adapts to the
+    * SCANNED type instead of assuming one:
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    * represent (its TimestampType is microsecond). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the scan succeeds; the
-    * loader converts the nanos-long back to a microsecond timestamp
-    * (exact integer division — testdata values are µs-aligned) so downstream
-    * semantics (distinct counts, string rendering, windowing) agree with
-    * engines that read the column natively.
+    *   - LONG: the old TIMESTAMP(NANOS) files read under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (Spark cannot represent
+    *     nanos natively) — convert nanos → µs (exact integer division,
+    *     testdata values are µs-aligned) and re-stamp as a timestamp.
+    *   - TIMESTAMP_NTZ: the current `timestamp[us]` files
+    *     (isAdjustedToUTC=false) — cast to TimestampType. Every graft session
+    *     pins `spark.sql.session.timeZone=UTC`, so the naive wall-clock is
+    *     interpreted as UTC: renderings and `unix_micros` arithmetic agree
+    *     with DuckDB's native read of the same file.
+    *   - TIMESTAMP: already what downstream expects — pass through.
+    *
+    * Anything else is a loud failure (see [[preflight]]), never a silent
+    * wrong answer.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"testdata schema changed: events.ts arrived as $other — " +
+            "supported encodings are LONG (legacy nanos), TIMESTAMP_NTZ (timestamp[us]), TIMESTAMP"
+        )
+    }
+  }
+
+  /** Load a testdata table. `events.ts` is normalized to TimestampType
+    * whatever the on-disk encoding (see [[normalizeEventTs]]).
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    if (table == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (table == "events") normalizeEventTs(df) else df
+  }
+
+  /** Pre-flight schema guard for the gate mains (`Verify`, `Bench`): compare
+    * the static catalog against the live parquet footers BEFORE running any
+    * query, and fail with a loud per-column message on drift. The r8 round
+    * lost its whole gate to a driver-side testdata regen that only a spec
+    * caught — this makes the same check the first thing either main does.
+    *
+    * Returns the list of human-readable drift messages (empty = clean);
+    * callers decide whether to abort.
+    */
+  def preflight(spark: SparkSession, sfDir: String): Seq[String] = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    columns.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      try {
+        val live = spark.read.parquet(s"$sfDir/$t.parquet").schema
+        val nameDrift =
+          if (live.fieldNames.toSeq == cols) Nil
+          else Seq(s"testdata schema changed: $t columns ${cols.mkString(",")} -> ${live.fieldNames.mkString(",")}")
+        val tsDrift =
+          if (t != "events") Nil
+          else live("ts").dataType match {
+            case LongType | TimestampNTZType | TimestampType => Nil
+            case other => Seq(s"testdata schema changed: events.ts -> $other (no loader branch)")
+          }
+        nameDrift ++ tsDrift
+      } catch {
+        case e: Exception => Seq(s"testdata unreadable: $t: ${e.getMessage}")
+      }
+    }
   }
 }

@@ -15,6 +15,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-flight BEFORE any query: a driver-side testdata regen must fail
+    // here with a named-schema message, not 24 queries deep (VERDICT r8 #2).
+    val drift = Tables.preflight(spark, sfDir)
+    if (drift.nonEmpty) {
+      drift.foreach(m => System.err.println(s"[verify] PREFLIGHT: $m"))
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -90,13 +90,18 @@ object StreamJoin {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    // NTZ→TIMESTAMP decode is zone-sensitive: pin the clone to the caller's
+    // (UTC-pinned) session zone so the adaptive ts branch stays exact
+    sess.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
     sess.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
 
-    def source(): DataFrame = sess.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) // TIMESTAMP(NANOS) legacy long
+    def source(): DataFrame = graft.Tables.normalizeEventTs(
+      sess.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+    ) // type-adaptive ts decode
 
     // view-side watermark delay must cover the purchase-side delay PLUS the
     // join window, or correct matches could be evicted before their

@@ -144,12 +144,17 @@ object StreamingMonitor {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
       spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    // NTZ→TIMESTAMP decode is zone-sensitive: pin the clone to the caller's
+    // (UTC-pinned) session zone so the adaptive ts branch stays exact
+    sess.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
     sess.conf.set("spark.sql.shuffle.partitions", StreamJoin.StreamShufflePartitions.toString)
-    val stream = sess.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) // TIMESTAMP(NANOS) legacy long
+    val stream = graft.Tables.normalizeEventTs(
+      sess.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+    ) // type-adaptive ts decode
       .withWatermark("ts", "1 second")
     val name = s"graft_stream_anomalies_${runCounter.incrementAndGet()}"
     val q = streamingAnomalies(stream, windowDays, z, minBaseline)

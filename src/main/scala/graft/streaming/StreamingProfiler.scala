@@ -39,8 +39,7 @@ object StreamingProfiler {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val events = stream
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) // TIMESTAMP(NANOS) legacy long
+    val events = graft.Tables.normalizeEventTs(stream) // type-adaptive ts decode
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(

@@ -29,6 +29,22 @@ class R10eOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 6)                      // hottest key 1 → 3·2 pairs
   }
 
+  test("joinSizeProfileGated: all-keys estimate unchanged, gated identity holds, subset non-trivial") {
+    val li   = Tables.load(spark, dir, "lineitem")
+    val full = Partitioning.joinSizeProfile(li, li, "l_partkey", "l_partkey").collect().head
+    val g    = Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey").collect().head
+    // the histogram arm still covers ALL keys — same numbers as the full form
+    assert(g.getLong(0) == full.getLong(0) && g.getLong(1) == full.getLong(1))
+    assert(g.getLong(2) == full.getLong(2))                   // n_join_keys
+    assert(g.getLong(3) == full.getLong(3))                   // predicted_rows
+    assert(g.getLong(4) == full.getLong(5))                   // max_key_pairs
+    // the gated validation arm: the estimate is an exact identity on the subset
+    assert(g.getLong(6) == g.getLong(7), "gated predicted != gated actual")
+    // the declared 1/16 gate actually bites: a real subset, strictly smaller
+    assert(g.getLong(5) > 0 && g.getLong(5) < full.getLong(2))
+    assert(g.getLong(7) < full.getLong(3))
+  }
+
   // --- encodingAdvice -------------------------------------------------------
 
   test("encodingAdvice: repeat-heavy columns dictionary, near-unique plain") {

@@ -28,6 +28,48 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label")
   )
 
+  /** Expected Spark dtype (simpleString) per column — the full-schema
+    * contract [[preflight]] checks against live footers. A dtype regen-drift
+    * on ANY column (not just `events.ts`, the r8 incident) would silently
+    * shift oracle renderings or explode mid-gate; this catches it by name
+    * BEFORE any query runs. `events.ts` accepts the encodings
+    * [[normalizeEventTs]] can adapt (legacy nanos LONG, NTZ, TIMESTAMP).
+    */
+  val dtypes: Map[String, Seq[(String, String)]] = Map(
+    "region"   -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation"   -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+    "customer" -> Seq(
+      "c_custkey" -> "bigint", "c_name" -> "string", "c_nationkey" -> "int",
+      "c_acctbal" -> "double", "c_mktsegment" -> "string"
+    ),
+    "supplier" -> Seq(
+      "s_suppkey" -> "bigint", "s_name" -> "string", "s_nationkey" -> "int", "s_acctbal" -> "double"
+    ),
+    "part" -> Seq(
+      "p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+      "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"
+    ),
+    "orders" -> Seq(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+      "o_totalprice" -> "double", "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"
+    ),
+    "lineitem" -> Seq(
+      "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+      "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "timestamp_ntz"
+    ),
+    "events" -> Seq(
+      "event_id" -> "bigint", "ts" -> "(adaptive)", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string"
+    ),
+    "documents" -> Seq(
+      "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint"
+    ),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int")
+  )
+
   /** Round-robin a narrow input out to cluster width. A table that arrives
     * as fewer scan partitions than the cluster has cores (e.g. one parquet
     * row group — row-group granularity caps split-based parallelism no
@@ -149,13 +191,20 @@ object Tables {
         val nameDrift =
           if (live.fieldNames.toSeq == cols) Nil
           else Seq(s"testdata schema changed: $t columns ${cols.mkString(",")} -> ${live.fieldNames.mkString(",")}")
-        val tsDrift =
-          if (t != "events") Nil
-          else live("ts").dataType match {
-            case LongType | TimestampNTZType | TimestampType => Nil
-            case other => Seq(s"testdata schema changed: events.ts -> $other (no loader branch)")
+        val typeDrift =
+          if (nameDrift.nonEmpty) Nil // name mismatch already reported; per-column pairing is moot
+          else dtypes(t).flatMap { case (c, expected) =>
+            val actual = live(c).dataType.simpleString
+            if (t == "events" && c == "ts")
+              live(c).dataType match {
+                case LongType | TimestampNTZType | TimestampType => Nil
+                case other =>
+                  Seq(s"testdata schema changed: events.ts -> ${other.simpleString} (no loader branch)")
+              }
+            else if (actual == expected) Nil
+            else Seq(s"testdata schema changed: $t.$c $expected -> $actual")
           }
-        nameDrift ++ tsDrift
+        nameDrift ++ typeDrift
       } catch {
         case e: Exception => Seq(s"testdata unreadable: $t: ${e.getMessage}")
       }

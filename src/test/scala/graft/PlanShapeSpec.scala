@@ -199,4 +199,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("rangepartitioning")),
       s"expected exactly the range-sort exchange, got $exchanges:\n$p")
   }
+
+  test("gated join-size validation filters BOTH scans before any exchange — cost is the declared fraction") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p  = plan(graft.scale.Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey"))
+    // the validation join's md5 gates must sit under the shuffle: both
+    // key-projected scan branches filter first, so the exchange (and the
+    // join) carry ~1/16 of the keys' rows, never the full fact table
+    val gateFilters = p.linesIterator.count(l => l.contains("Filter") && l.contains("md5"))
+    assert(gateFilters >= 3, // 2 validation-join scans + ≥1 gated histogram arm
+      s"expected the md5 gates as scan-side Filters (found $gateFilters):\n$p")
+    assert(!p.contains("CartesianProduct"), s"gated profile plans a cartesian product:\n$p")
+    // the only nested-loop joins are the broadcast crossJoins of 1-row
+    // aggregate relations stitching the summary row together
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnljs <= 4, s"gated profile has $bnljs nested-loop joins:\n$p")
+  }
 }

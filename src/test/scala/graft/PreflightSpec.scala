@@ -75,6 +75,22 @@ class PreflightSpec extends AnyFunSuite {
     assert(drift.exists(m => m.contains("testdata schema changed") && m.contains("events.ts")), drift.mkString("; "))
   }
 
+  test("preflight: a dtype drift on a non-events column is caught by name") {
+    val dir = scratch("dtyped")
+    Tables.columns.foreach { case (t, cols) =>
+      val src = Tables.load(spark, "/root/testdata/sf0.001", t)
+      val out =
+        if (t == "customer") src.withColumn("c_acctbal", col("c_acctbal").cast("string"))
+        else src
+      out.limit(5).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val drift = Tables.preflight(spark, dir)
+    assert(
+      drift.exists(m => m.contains("customer.c_acctbal") && m.contains("double") && m.contains("string")),
+      drift.mkString("; ")
+    )
+  }
+
   test("preflight: a renamed column produces the per-table drift message") {
     val dir = scratch("renamed")
     Tables.columns.foreach { case (t, cols) =>

@@ -34,12 +34,35 @@ object Main {
     else graft.io.Sources.readParquet(spark, path)
   }
 
+  /** Provider chain for the CLI, mirroring the reference's env-keyed client
+    * registry (`hybrid_classifier.py:65-87`) in the library's offline-first
+    * order: an optional replay transcript (`GRAFT_AI_REPLAY=<path>`, always
+    * socket-free) first, then any live HTTP vendors the operator explicitly
+    * double-opted into (`GRAFT_AI_HTTP=1` + per-vendor key) in the
+    * reference's fixed claude→gemini→openai priority. Empty (the default
+    * environment) → pattern-only, the reference's no-keys mode.
+    */
+  private[graft] def aiProviders(env: Map[String, String] = sys.env): Seq[graft.ai.AiProvider] = {
+    val replay = env.get("GRAFT_AI_REPLAY").map(p => graft.ai.ReplayProvider.fromFile("replay", p))
+    val http   = graft.ai.HttpProvider.Vendors.flatMap(v => graft.ai.HttpProvider.fromEnv(v, env))
+    replay.toSeq ++ http
+  }
+
   /** The `profile` subcommand body, factored out of main so the spec can run
     * it against an existing session; returns the profile table it printed.
+    * Runs the hybrid engine when any AI provider is configured in the
+    * environment (replay or double-gated HTTP), else pure pattern.
     */
   private[graft] def runProfile(spark: SparkSession, path: String, summary: Boolean): DataFrame = {
-    val engine = new graft.engine.ProfilerEngine()
-    val result = engine.analyzeDataFrame(readAny(spark, path))
+    val providers = aiProviders()
+    val result =
+      if (providers.nonEmpty)
+        new graft.hybrid.HybridEngine(
+          graft.hybrid.HybridConfig(enableAi = true),
+          Some(new graft.ai.AiClassifier(providers))
+        ).analyzeDataFrame(readAny(spark, path))
+      else
+        new graft.engine.ProfilerEngine().analyzeDataFrame(readAny(spark, path))
     val table  = graft.engine.ProfilerEngine.profilesToDF(spark, result.columnProfiles)
     println(s"Profile of $path (${result.columnProfiles.size} columns, " +
       f"method=${result.classificationMethod}, overall confidence=${result.overallConfidence}%.2f):")

@@ -22,6 +22,25 @@ class CliSpec extends AnyFunSuite {
     assert(types.size > 1, s"degenerate single-type profile: $types")
   }
 
+  test("aiProviders: empty by default, replay transcript first, HTTP only behind the double gate") {
+    assert(Main.aiProviders(Map.empty).isEmpty) // the zero-egress default: pattern-only
+    // a replay transcript alone enables offline AI
+    val tpath = java.nio.file.Files.createTempFile("graft_replay", ".json")
+    java.nio.file.Files.writeString(tpath, """{"c_name": "{\"data_type\": \"text\"}"}""")
+    val rOnly = Main.aiProviders(Map("GRAFT_AI_REPLAY" -> tpath.toString))
+    assert(rOnly.map(_.name) == Seq("replay"))
+    // double-gated HTTP joins AFTER replay, in the reference's fixed priority
+    val both = Main.aiProviders(Map(
+      "GRAFT_AI_REPLAY"      -> tpath.toString,
+      "GRAFT_AI_HTTP"        -> "1",
+      "GRAFT_OPENAI_API_KEY" -> "k",
+      "GRAFT_CLAUDE_API_KEY" -> "k"
+    ))
+    assert(both.map(_.name) == Seq("replay", "claude", "openai"))
+    // key without the flag stays shut
+    assert(Main.aiProviders(Map("GRAFT_CLAUDE_API_KEY" -> "k")).isEmpty)
+  }
+
   test("readAny dispatches on extension: csv and jsonl round through the source layer") {
     val base = s"/tmp/graft_cli/${spark.sparkContext.applicationId}"
     import spark.implicits._

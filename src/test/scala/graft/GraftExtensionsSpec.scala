@@ -27,6 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .builder()
       .master("local[4]")
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     SparkSession.setDefaultSession(plain)

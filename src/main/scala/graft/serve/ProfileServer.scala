@@ -2,7 +2,7 @@ package graft.serve
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
@@ -170,7 +170,21 @@ object ProfileServer {
       maxUploadBytes: Long = DefaultMaxUploadBytes,
       uploadDir: String = sys.props("java.io.tmpdir") + "/graft_uploads"
   ): HttpServer = {
-    val engine = new graft.engine.ProfilerEngine()
+    // same env-configured engine choice as the CLI (`Main.aiProviders`):
+    // replay/double-gated-HTTP providers → hybrid, none (the default,
+    // and always the zero-egress gate) → pattern-only
+    val providers = graft.Main.aiProviders()
+    val engine: DataFrame => Seq[graft.model.ColumnProfile] =
+      if (providers.nonEmpty) {
+        val h = new graft.hybrid.HybridEngine(
+          graft.hybrid.HybridConfig(enableAi = true),
+          Some(new graft.ai.AiClassifier(providers))
+        )
+        df => h.analyzeDataFrame(df).columnProfiles
+      } else {
+        val e = new graft.engine.ProfilerEngine()
+        df => e.analyzeDataFrame(df).columnProfiles
+      }
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/health", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"status":"ok"}""")
@@ -183,7 +197,7 @@ object ProfileServer {
           case Some(p) =>
             try {
               val df = graft.Main.readAny(spark, p)
-              respond(ex, 200, profilesToJson(engine.analyzeDataFrame(df).columnProfiles))
+              respond(ex, 200, profilesToJson(engine(df)))
             } catch {
               case e: org.apache.spark.sql.AnalysisException =>
                 respond(ex, 404, err(s"cannot read dataset: ${e.getMessage.takeWhile(_ != '\n')}"))
@@ -216,7 +230,7 @@ object ProfileServer {
                   respond(ex, 400, err("no parseable rows in upload"))
                 case Some((df, quarantined, release)) =>
                   val profiles =
-                    try engine.analyzeDataFrame(df).columnProfiles
+                    try engine(df)
                     finally release()
                   val o = mapper.createObjectNode()
                   o.put("rows", profiles.headOption.map(_.totalRows).getOrElse(0L))

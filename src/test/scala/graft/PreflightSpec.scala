@@ -56,6 +56,20 @@ class PreflightSpec extends AnyFunSuite {
     }
   }
 
+  test("encoding equivalence: the same events under legacy-long and NTZ ts sessionize identically") {
+    // real events re-encoded both ways: the nanos-long form the pre-r8
+    // testdata arrived in, and the NTZ form the regen writes now
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    val asLong = ev.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    val asNtz  = ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val a = graft.streaming.Sessionize
+      .batchSessions(Tables.normalizeEventTs(asLong)).collect().toSeq
+    val b = graft.streaming.Sessionize
+      .batchSessions(Tables.normalizeEventTs(asNtz)).collect().toSeq
+    assert(a == b, "sessionization differs between ts encodings")
+    assert(a.nonEmpty)
+  }
+
   test("preflight: clean testdata reports no drift") {
     assert(Tables.preflight(spark, "/root/testdata/sf0.001").isEmpty)
   }

@@ -43,8 +43,15 @@ object Main {
     * environment) → pattern-only, the reference's no-keys mode.
     */
   private[graft] def aiProviders(env: Map[String, String] = sys.env): Seq[graft.ai.AiProvider] = {
-    val replay = env.get("GRAFT_AI_REPLAY").map(p => graft.ai.ReplayProvider.fromFile("replay", p))
-    val http   = graft.ai.HttpProvider.Vendors.flatMap(v => graft.ai.HttpProvider.fromEnv(v, env))
+    val replay = env.get("GRAFT_AI_REPLAY").map { p =>
+      try graft.ai.ReplayProvider.fromFile("replay", p)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"GRAFT_AI_REPLAY unreadable: $p (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+      }
+    }
+    val http = graft.ai.HttpProvider.Vendors.flatMap(v => graft.ai.HttpProvider.fromEnv(v, env))
     replay.toSeq ++ http
   }
 

@@ -19,24 +19,34 @@ trait HttpTransport {
 }
 
 /** Live LLM provider over HTTP — the A4 surface the reference implements as
-  * per-vendor SDK clients (`ai_classifier.py:182-209`: Claude messages,
-  * Gemini generateContent, OpenAI chat completions). Re-expressed as one
-  * class with per-vendor request/response shapes; the returned text flows
-  * through the unchanged A5→A6→H3 parse/merge path, exactly like a
-  * [[ReplayProvider]] completion.
+  * per-vendor SDK clients (`ai_classifier.py:182-209`: messages API,
+  * generateContent, chat completions). Re-expressed as one class with
+  * per-vendor request/response shapes; the returned text flows through the
+  * unchanged A5→A6→H3 parse/merge path, exactly like a [[ReplayProvider]]
+  * completion.
+  *
+  * NO VENDOR WIRE CONSTANTS IN SOURCE: the endpoint URL, model id, and any
+  * vendor-specific version header are configuration, not code. The operator
+  * supplies them via `GRAFT_<VENDOR>_ENDPOINT` / `GRAFT_<VENDOR>_MODEL` /
+  * `GRAFT_<VENDOR>_EXTRA_HEADERS` when opting in; the public default values
+  * (the same ones the reference pins in `ai_classifier.py:185,202`) are
+  * documented in `.env.example` at the repo root. What stays in source is
+  * only the structural shape: auth header name, JSON body layout, and the
+  * response path to the completion text.
   *
   * OUT-OF-GATE BY CONSTRUCTION: the build environment has zero egress, so
   * nothing in the oracle gate, the bench, or `sbt test` ever constructs one
   * of these against a live endpoint. [[HttpProvider.fromEnv]] is the only
   * production entry point and returns None unless the operator explicitly
-  * opts in (`GRAFT_AI_HTTP=1` AND a per-vendor API key) — absent that, the
-  * engine stays in pattern-only/replay mode ([[NoopProvider]]).
+  * opts in (`GRAFT_AI_HTTP=1` AND key AND endpoint AND model) — absent
+  * that, the engine stays in pattern-only/replay mode ([[NoopProvider]]).
   */
 final class HttpProvider(
     val name: String,
     endpoint: URI,
     apiKey: String,
     model: String,
+    extraHeaders: Map[String, String],
     transport: HttpTransport
 ) extends AiProvider {
   import HttpProvider._
@@ -44,20 +54,20 @@ final class HttpProvider(
   require(Vendors.contains(name), s"unknown vendor '$name' (one of ${Vendors.mkString(", ")})")
 
   def complete(prompt: String): Option[String] =
-    try transport.post(requestUri, requestHeaders, requestBody(prompt)).flatMap(extractText)
+    try transport.post(endpoint, requestHeaders, requestBody(prompt)).flatMap(extractText)
     catch { case scala.util.control.NonFatal(_) => None } // provider failure → fallback chain (A2)
 
-  /** Gemini authenticates via query parameter; the rest via headers. */
-  private[ai] def requestUri: URI =
-    if (name == "gemini") URI.create(s"$endpoint?key=$apiKey") else endpoint
-
-  private[ai] def requestHeaders: Map[String, String] = name match {
-    case "claude" =>
-      Map("content-type" -> "application/json", "x-api-key" -> apiKey, "anthropic-version" -> "2023-06-01")
-    case "openai" =>
-      Map("content-type" -> "application/json", "authorization" -> s"Bearer $apiKey")
-    case "gemini" =>
-      Map("content-type" -> "application/json")
+  /** Auth is always a header (never a URL query parameter — keys in URLs
+    * leak through logs and proxies); vendor-version headers arrive via
+    * `extraHeaders` so no dated wire constant lives in source.
+    */
+  private[ai] def requestHeaders: Map[String, String] = {
+    val auth = name match {
+      case "claude" => Map("x-api-key" -> apiKey)
+      case "openai" => Map("authorization" -> s"Bearer $apiKey")
+      case "gemini" => Map("x-goog-api-key" -> apiKey)
+    }
+    Map("content-type" -> "application/json") ++ auth ++ extraHeaders
   }
 
   /** The vendor wire shape for one user-role prompt (mirrors the reference's
@@ -104,15 +114,14 @@ object HttpProvider {
 
   val Vendors: Seq[String] = Seq("claude", "gemini", "openai")
 
-  /** Default endpoints + models per vendor (override via env). Models are the
-    * ones the reference pins (`ai_classifier.py:185,202`); Gemini's SDK call
-    * resolves to the v1beta generateContent REST endpoint.
-    */
-  private val Defaults: Map[String, (String, String)] = Map(
-    "claude" -> (("https://api.anthropic.com/v1/messages", "claude-3-sonnet-20240229")),
-    "openai" -> (("https://api.openai.com/v1/chat/completions", "gpt-4")),
-    "gemini" -> (("https://generativelanguage.googleapis.com/v1beta/models/gemini-pro:generateContent", "gemini-pro"))
-  )
+  /** `"k1:v1,k2:v2"` → header map; value may contain ':' (split at first). */
+  private[graft] def parseHeaders(spec: String): Map[String, String] =
+    spec.split(',').iterator.map(_.trim).filter(_.nonEmpty).flatMap { pair =>
+      pair.split(":", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim.toLowerCase -> v.trim)
+        case _                              => None
+      }
+    }.toMap
 
   object JdkTransport extends HttpTransport {
     private lazy val client =
@@ -129,23 +138,29 @@ object HttpProvider {
     }
   }
 
-  /** The ONLY production constructor, and it is opt-in twice over: returns
-    * None unless `GRAFT_AI_HTTP=1` and `GRAFT_<VENDOR>_API_KEY` are both set
-    * (endpoint/model overridable via `GRAFT_<VENDOR>_ENDPOINT` /
-    * `GRAFT_<VENDOR>_MODEL`). The zero-egress gate never sets these, so no
+  /** The ONLY production constructor, and opting in is fully explicit:
+    * returns None unless ALL of `GRAFT_AI_HTTP=1`, `GRAFT_<VENDOR>_API_KEY`,
+    * `GRAFT_<VENDOR>_ENDPOINT`, and `GRAFT_<VENDOR>_MODEL` are set — there
+    * are deliberately no compiled-in endpoint/model defaults (see the class
+    * doc; public example values live in `.env.example`). Optional
+    * `GRAFT_<VENDOR>_EXTRA_HEADERS` ("name:value,name:value") carries any
+    * vendor version header. The zero-egress gate sets none of these, so no
     * CI path can reach a socket.
     */
   def fromEnv(vendor: String, env: Map[String, String] = sys.env): Option[AiProvider] = {
     val up = vendor.toUpperCase
     for {
-      _   <- env.get("GRAFT_AI_HTTP").filter(_ == "1")
-      key <- env.get(s"GRAFT_${up}_API_KEY").filter(_.nonEmpty)
-      (defaultEp, defaultModel) <- Defaults.get(vendor)
+      _     <- env.get("GRAFT_AI_HTTP").filter(_ == "1")
+      key   <- env.get(s"GRAFT_${up}_API_KEY").filter(_.nonEmpty)
+      ep    <- env.get(s"GRAFT_${up}_ENDPOINT").filter(_.nonEmpty)
+      model <- env.get(s"GRAFT_${up}_MODEL").filter(_.nonEmpty)
+      if Vendors.contains(vendor)
     } yield new HttpProvider(
       vendor,
-      URI.create(env.getOrElse(s"GRAFT_${up}_ENDPOINT", defaultEp)),
+      URI.create(ep),
       key,
-      env.getOrElse(s"GRAFT_${up}_MODEL", defaultModel),
+      model,
+      parseHeaders(env.getOrElse(s"GRAFT_${up}_EXTRA_HEADERS", "")),
       JdkTransport
     )
   }

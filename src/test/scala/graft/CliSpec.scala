@@ -29,16 +29,28 @@ class CliSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(tpath, """{"c_name": "{\"data_type\": \"text\"}"}""")
     val rOnly = Main.aiProviders(Map("GRAFT_AI_REPLAY" -> tpath.toString))
     assert(rOnly.map(_.name) == Seq("replay"))
-    // double-gated HTTP joins AFTER replay, in the reference's fixed priority
+    // fully-configured HTTP (flag+key+endpoint+model — no compiled-in wire
+    // defaults) joins AFTER replay, in the reference's fixed priority
     val both = Main.aiProviders(Map(
-      "GRAFT_AI_REPLAY"      -> tpath.toString,
-      "GRAFT_AI_HTTP"        -> "1",
-      "GRAFT_OPENAI_API_KEY" -> "k",
-      "GRAFT_CLAUDE_API_KEY" -> "k"
+      "GRAFT_AI_REPLAY"       -> tpath.toString,
+      "GRAFT_AI_HTTP"         -> "1",
+      "GRAFT_OPENAI_API_KEY"  -> "k",
+      "GRAFT_OPENAI_ENDPOINT" -> "https://example.invalid/v1/chat",
+      "GRAFT_OPENAI_MODEL"    -> "m-1",
+      "GRAFT_CLAUDE_API_KEY"  -> "k",
+      "GRAFT_CLAUDE_ENDPOINT" -> "https://example.invalid/v1/msg",
+      "GRAFT_CLAUDE_MODEL"    -> "m-2"
     ))
     assert(both.map(_.name) == Seq("replay", "claude", "openai"))
-    // key without the flag stays shut
+    // key without the flag stays shut; flag+key without endpoint/model too
     assert(Main.aiProviders(Map("GRAFT_CLAUDE_API_KEY" -> "k")).isEmpty)
+    assert(Main.aiProviders(Map("GRAFT_AI_HTTP" -> "1", "GRAFT_CLAUDE_API_KEY" -> "k")).isEmpty)
+  }
+
+  test("a bad GRAFT_AI_REPLAY path fails with a named, actionable message (ADVICE r9)") {
+    val e = intercept[IllegalArgumentException](
+      Main.aiProviders(Map("GRAFT_AI_REPLAY" -> "/nonexistent/replay.jsonl")))
+    assert(e.getMessage.contains("GRAFT_AI_REPLAY unreadable: /nonexistent/replay.jsonl"))
   }
 
   test("readAny dispatches on extension: csv and jsonl round through the source layer") {

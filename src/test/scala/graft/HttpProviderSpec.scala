@@ -27,8 +27,11 @@ class HttpProviderSpec extends AnyFunSuite {
     }
   }
 
+  // Wire constants (endpoint/model/version header) are injected config, never
+  // source literals — the same way fromEnv supplies them from the environment.
   private def provider(vendor: String, t: HttpTransport) =
-    new HttpProvider(vendor, URI.create(s"https://example.invalid/$vendor"), "k-123", "m-1", t)
+    new HttpProvider(vendor, URI.create(s"https://example.invalid/$vendor"), "k-123", "m-1",
+      Map("x-vendor-version" -> "v-2099"), t)
 
   test("claude shape: messages body, x-api-key header, content[0].text extraction") {
     val resp = """{"content":[{"type":"text","text":"  {\"data_type\": \"email\"} "}]}"""
@@ -37,7 +40,7 @@ class HttpProviderSpec extends AnyFunSuite {
     assert(out.contains("""{"data_type": "email"}""")) // trimmed like the reference
     val (uri, headers, body) = t.calls.head
     assert(uri.toString == "https://example.invalid/claude")
-    assert(headers("x-api-key") == "k-123" && headers.contains("anthropic-version"))
+    assert(headers("x-api-key") == "k-123" && headers("x-vendor-version") == "v-2099")
     val b = mapper.readTree(body)
     assert(b.get("model").asText == "m-1" && b.get("max_tokens").asInt == 1000)
     assert(b.get("messages").get(0).get("role").asText == "user")
@@ -54,13 +57,14 @@ class HttpProviderSpec extends AnyFunSuite {
     assert(b.get("temperature").asDouble == 0.1 && b.get("max_tokens").asInt == 1000)
   }
 
-  test("gemini shape: key in query param, contents/parts body, candidates path extraction") {
+  test("gemini shape: key as x-goog-api-key header (never in the URL), candidates path extraction") {
     val resp =
       """{"candidates":[{"content":{"parts":[{"text":"verdict"}],"role":"model"}}]}"""
     val t = new FakeTransport((_, _, _) => Some(resp))
     assert(provider("gemini", t).complete("p").contains("verdict"))
     val (uri, headers, body) = t.calls.head
-    assert(uri.toString.endsWith("?key=k-123"))
+    assert(uri.getQuery == null, "API key must not ride the URL (log/proxy leak surface)")
+    assert(headers("x-goog-api-key") == "k-123")
     assert(!headers.contains("authorization") && !headers.contains("x-api-key"))
     assert(mapper.readTree(body).get("contents").get(0).get("parts").get(0).get("text").asText == "p")
   }
@@ -83,18 +87,35 @@ class HttpProviderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](provider("mistral", new FakeTransport((_, _, _) => None)))
   }
 
-  test("fromEnv is double-gated: no flag, no key, flag-without-key all yield None") {
+  test("fromEnv requires flag+key+endpoint+model; any subset yields None") {
+    val full = Map(
+      "GRAFT_AI_HTTP"         -> "1",
+      "GRAFT_CLAUDE_API_KEY"  -> "k",
+      "GRAFT_CLAUDE_ENDPOINT" -> "https://example.invalid/v1/x",
+      "GRAFT_CLAUDE_MODEL"    -> "m-1"
+    )
     assert(HttpProvider.fromEnv("claude", Map.empty).isEmpty)
-    assert(HttpProvider.fromEnv("claude", Map("GRAFT_CLAUDE_API_KEY" -> "k")).isEmpty)
-    assert(HttpProvider.fromEnv("claude", Map("GRAFT_AI_HTTP" -> "1")).isEmpty)
-    assert(HttpProvider.fromEnv("claude", Map("GRAFT_AI_HTTP" -> "0", "GRAFT_CLAUDE_API_KEY" -> "k")).isEmpty)
-    // and the real gate environment has neither var set
+    for (missing <- full.keys)
+      assert(HttpProvider.fromEnv("claude", full - missing).isEmpty, s"without $missing")
+    assert(HttpProvider.fromEnv("claude", full + ("GRAFT_AI_HTTP" -> "0")).isEmpty)
+    // and the real gate environment has the master flag unset
     assert(!sys.env.contains("GRAFT_AI_HTTP"))
   }
 
-  test("fromEnv with explicit opt-in constructs the vendor (still no socket here)") {
-    val p = HttpProvider.fromEnv("openai", Map("GRAFT_AI_HTTP" -> "1", "GRAFT_OPENAI_API_KEY" -> "k"))
+  test("fromEnv with full explicit opt-in constructs the vendor (still no socket here)") {
+    val p = HttpProvider.fromEnv("openai", Map(
+      "GRAFT_AI_HTTP"         -> "1",
+      "GRAFT_OPENAI_API_KEY"  -> "k",
+      "GRAFT_OPENAI_ENDPOINT" -> "https://example.invalid/v1/chat",
+      "GRAFT_OPENAI_MODEL"    -> "m-9"
+    ))
     assert(p.exists(_.name == "openai"))
+  }
+
+  test("extra-headers spec parses name:value pairs, value may contain ':'") {
+    assert(HttpProvider.parseHeaders("") == Map.empty)
+    assert(HttpProvider.parseHeaders("x-a:1, X-B:t:z ,bad,:v") ==
+      Map("x-a" -> "1", "x-b" -> "t:z"))
   }
 
   test("an HTTP completion flows the unchanged A5→A6 path into a profile") {

@@ -600,6 +600,10 @@ object SparkEntry {
       // integer ranks, 3 fixed iterations, bounded-|V| collect (r11h)
       "pagerank_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.PageRank.pageRank(s, Tables.load(s, d, "events"))),
+      // distributed PageRank over the per-user session graph — ranks stay a
+      // DataFrame (corpus-scale |V|: nodes are (user_id, event_type)) (r10)
+      "pagerank_users" -> ((s: SparkSession, d: String) =>
+        graft.analytics.PageRank.pageRankUsers(s, Tables.load(s, d, "events"))),
       // JSON payload profiling: get_json_object over the props column (r9)
       "props_stats_events" -> ((s: SparkSession, d: String) =>
         graft.analytics.EventOps.propsStats(Tables.load(s, d, "events"))),
@@ -1129,6 +1133,7 @@ object SparkEntry {
       "retention_events" -> graft.analytics.EventOps.oracleRetention,
       "transitions_events" -> graft.analytics.EventOps.oracleTransitions,
       "pagerank_events" -> graft.analytics.PageRank.oraclePageRank(),
+      "pagerank_users" -> graft.analytics.PageRank.oraclePageRankUsers(),
       "props_stats_events" -> graft.analytics.EventOps.oraclePropsStats,
       "corr_lineitem" -> graft.stats.NumericStats.oracleCorrEnvelope("lineitem", corrPairs),
       "winsorized_lineitem" -> graft.stats.NumericStats.oracleWinsorizedStats(

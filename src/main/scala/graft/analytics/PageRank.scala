@@ -1,14 +1,30 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Damped PageRank over the behavioral transition graph — nodes are event
-  * types, edges the (prev → next) session transitions with their observed
-  * multiplicity as weight (the same lag-window relation as
-  * [[EventOps.transitions]]). The classic "which state actually matters"
-  * centrality a funnel report can't answer: retention tells you where users
-  * go next, PageRank tells you where the steady-state attention mass sits.
+/** Damped PageRank over behavioral transition graphs — the classic "which
+  * state actually matters" centrality a funnel report can't answer:
+  * retention tells you where users go next, PageRank tells you where the
+  * steady-state attention mass sits.
+  *
+  * Two entry points, same arithmetic, different scale contracts:
+  *
+  *   - [[pageRank]] — the BOUNDED-|V| variant over the event-TYPE graph
+  *     (nodes are event types, |V| ≈ tens). The two distributed passes
+  *     (edge aggregation, node set) land in bounded collects, then the
+  *     iteration loop runs over driver-built local relations. A hard
+  *     `require(|V| ≤ MaxBoundedVertices)` — counted BEFORE anything is
+  *     collected — makes the scope self-enforcing instead of scaladoc-only.
+  *   - [[pageRankGraph]] — the DISTRIBUTED variant for graphs whose vertex
+  *     set is itself corpus-sized: ranks stay a DataFrame end to end, each
+  *     iteration joins the rank relation onto the (persisted, src-hashed)
+  *     edge relation, aggregates contributions map-side per dst, and
+  *     rebuilds the rank relation — no driver materialization anywhere, so
+  *     it survives |V| at 100 TB scale. [[pageRankUsers]] declares it on
+  *     the per-user session graph (nodes = (user_id, event_type) pairs,
+  *     |V| grows linearly with the user corpus).
   *
   * EXACT integer arithmetic end to end, so the hash gate holds cross-engine:
   * ranks live at scale 10¹² (`rank_e12`), the per-edge routed mass is
@@ -19,41 +35,35 @@ import org.apache.spark.sql.functions._
   * float appears anywhere — iteration order, partition order, and summation
   * order cannot move the result. The long bound is out_w·w < 9·10¹⁸
   * (out-weights here top out ~10⁵); past that the accumulators widen to
-  * DECIMAL(38,0) unchanged in value. Dangling mass (types never followed)
+  * DECIMAL(38,0) unchanged in value. Dangling mass (nodes never followed)
   * drains per the strict-damping variant — documented, matched by the twin.
-  *
-  * Scale shape: building the edge relation is the ONE corpus-sized pass (a
-  * per-user lag window, the [[EventOps.transitions]] plan); everything after
-  * runs on |V| rank rows and |V|² aggregated edge rows. Each iteration
-  * broadcasts the rank table onto the edge relation (at web scale edges are
-  * the big side and stay put — ranks move to them), aggregates map-side per
-  * dst, and rebuilds the |V|-row rank table. `iters` is fixed and small, so
-  * the lineage stays shallow — no checkpointing needed.
   */
 object PageRank {
 
   private val Scale = 1000000000000L // 10^12
 
-  /** (event_type, rank_e12) after `iters` damped iterations, heaviest first.
-    *
-    * The two distributed passes (edge aggregation, node set) land in bounded
-    * collects — ≤|V|² and |V| rows by construction — so the iteration loop
-    * runs over driver-built local relations: no corpus recompute per
-    * iteration, no cache residue. For graphs whose VERTEX SET is itself
-    * corpus-sized (user-graph PageRank, not type-graph), the loop instead
-    * keeps ranks distributed and broadcasts them onto the edges — the doc
-    * header's shape; this entry point is the bounded-|V| variant.
+  /** Ceiling for the driver-materialized variant; above it the caller gets a
+    * loud error pointing at the distributed loop instead of an OOM.
+    */
+  val MaxBoundedVertices = 4096L
+
+  /** (event_type, rank_e12) after `iters` damped iterations, heaviest first —
+    * the bounded-|V| variant (see object doc). |V| is counted distributively
+    * and gated by [[MaxBoundedVertices]] BEFORE any row reaches the driver.
     */
   def pageRank(spark: SparkSession, events: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, "pageRank wants 1..10 fixed iterations")
     import spark.implicits._
+    val nodeDf = graft.Tables.widen(events).select(col("event_type")).distinct()
+    val n = nodeDf.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    require(n <= MaxBoundedVertices,
+      s"bounded pageRank is for small vertex sets (|V|=$n > $MaxBoundedVertices); " +
+        "use pageRankGraph/pageRankUsers — the distributed loop keeps ranks as a DataFrame")
     val edgeRows = EventOps.transitions(events)
       .select(col("prev_type").as("src"), col("next_type").as("dst"), col("n").as("w"))
       .as[(String, String, Long)].collect().toSeq
-    val nodeRows = graft.Tables.widen(events)
-      .select(col("event_type")).distinct().as[String].collect().toSeq.sorted
-    val n = nodeRows.length.toLong
-    require(n > 0, "pageRank needs a non-empty graph")
+    val nodeRows = nodeDf.as[String].collect().toSeq.sorted
     val teleport = (15L * Scale) / (100L * n)
 
     val edges = edgeRows.toDF("src", "dst", "w")
@@ -79,21 +89,101 @@ object PageRank {
       .orderBy(col("rank_e12").desc, col("event_type"))
   }
 
-  /** DuckDB twin of [[pageRank]] — the same integer update unrolled as a CTE
-    * chain; `(r*w)//out_w` in BIGINT equals the Spark split form exactly (the
-    * identity above), and `//` floors like `div` on positive operands.
+  /** Distributed PageRank over an arbitrary weighted graph: `edges` is
+    * (src: string, dst: string, w: long), `nodes` is (node: string) — both
+    * stay DataFrames throughout; the only driver-side values are two scalar
+    * aggregates (|V| for the teleport constant, and nothing else).
+    *
+    * Scale shape: the edge relation is joined with its out-weight aggregate
+    * once, hash-partitioned by `src`, and persisted — so each of the `iters`
+    * rounds shuffles ONLY the |V|-row rank relation to the edges (sort-merge
+    * or AQE-chosen broadcast when ranks are small), aggregates contributions
+    * map-side per dst, and rebuilds ranks by a left join on the node set
+    * (hash-partitioned by its single column from the `distinct`, so that
+    * exchange is reused every round too). `iters` is fixed and small — the
+    * lineage chain stays shallow, no checkpointing needed.
     */
-  def oraclePageRank(iters: Int = 3): String = {
-    val base =
-      s"""WITH seq AS (
-         |  SELECT user_id, event_type,
-         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
-         |  FROM events),
-         |e AS (
-         |  SELECT prev_type AS src, event_type AS dst, count(*) AS w
-         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+  def pageRankGraph(spark: SparkSession, edgesIn: DataFrame, nodesIn: DataFrame,
+                    iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "pageRankGraph wants 1..10 fixed iterations")
+    val nodes = nodesIn.select(col("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRankGraph needs a non-empty graph")
+    val teleport = (15L * Scale) / (100L * n)
+
+    val edges = edgesIn.select(col("src"), col("dst"), col("w"))
+      .join(edgesIn.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(
+          col("dst").as("node"),
+          expr("(r div out_w) * w + ((r % out_w) * w) div out_w").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), expr(s"$teleport + (85 * coalesce(cin, 0)) div 100").as("r"))
+    }
+    ranks
+      .select(col("node"), col("r").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("node"))
+  }
+
+  /** Node key of the per-user session graph: `u<user_id>:<event_type>`. */
+  private def userNode(userId: Column, eventType: Column): Column =
+    concat(lit("u"), userId.cast("string"), lit(":"), eventType)
+
+  /** The per-user session graph: each user's consecutive event-type
+    * transitions as edges between that user's `(user_id, event_type)` nodes
+    * — a disjoint union of per-user Markov chains whose vertex set grows
+    * linearly with the user corpus (THIS is the graph where the bounded
+    * variant would OOM the driver, and the reason [[pageRankGraph]] exists).
+    */
+  private[graft] def userGraph(events: DataFrame): (DataFrame, DataFrame) = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val widened = graft.Tables.widen(events)
+    val edges = widened
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wnd))
+      .where(col("prev_type").isNotNull)
+      .select(
+        userNode(col("user_id"), col("prev_type")).as("src"),
+        userNode(col("user_id"), col("event_type")).as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = widened
+      .select(userNode(col("user_id"), col("event_type")).as("node"))
+      .distinct()
+    (edges, nodes)
+  }
+
+  /** (node, rank_e12) over the per-user session graph, heaviest first —
+    * the declared corpus-scale entry point for [[pageRankGraph]].
+    */
+  def pageRankUsers(spark: SparkSession, events: DataFrame, iters: Int = 3): DataFrame = {
+    val (edges, nodes) = userGraph(events)
+    pageRankGraph(spark, edges, nodes, iters)
+  }
+
+  /** The damped-update CTE chain shared by both oracles: unrolls `iters`
+    * exact-integer steps over relations `e(src,dst,w)` / `v(node)` already
+    * defined by `base`; `(r*w)//out_w` in BIGINT equals the Spark split form
+    * exactly (the identity in the object doc), and `//` floors like `div` on
+    * positive operands.
+    */
+  private def oracleSteps(base: String, iters: Int, finalSelect: String): String = {
+    val prologue =
+      s"""$base,
          |ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
-         |v AS (SELECT DISTINCT event_type AS node FROM events),
          |nn AS (SELECT count(*) AS n FROM v),
          |r0 AS (SELECT node, (SELECT $Scale // n FROM nn) AS r FROM v)""".stripMargin
     val steps = (1 to iters).map { i =>
@@ -107,9 +197,39 @@ object PageRank {
          |    (SELECT (15 * $Scale) // (100 * n) FROM nn) + (85 * coalesce(c$i.cin, 0)) // 100 AS r
          |  FROM v LEFT JOIN c$i ON v.node = c$i.node)""".stripMargin
     }
-    (Seq(base) ++ steps).mkString(",\n") +
-      s"""
-         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12
-         |FROM r$iters ORDER BY rank_e12 DESC, event_type""".stripMargin
+    (Seq(prologue) ++ steps).mkString(",\n") + s"\n$finalSelect r$iters"
   }
+
+  /** DuckDB twin of [[pageRank]] (the bounded event-type graph). */
+  def oraclePageRank(iters: Int = 3): String =
+    oracleSteps(
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+         |  FROM events),
+         |e AS (
+         |  SELECT prev_type AS src, event_type AS dst, count(*) AS w
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |v AS (SELECT DISTINCT event_type AS node FROM events)""".stripMargin,
+      iters,
+      """SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12
+        |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, event_type"
+
+  /** DuckDB twin of [[pageRankUsers]] (the per-user session graph). */
+  def oraclePageRankUsers(iters: Int = 3): String =
+    oracleSteps(
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+         |  FROM events),
+         |e AS (
+         |  SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || prev_type AS src,
+         |         'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst,
+         |         count(*) AS w
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |v AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS node
+         |      FROM events)""".stripMargin,
+      iters,
+      """SELECT node, CAST(r AS BIGINT) AS rank_e12
+        |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, node"
 }

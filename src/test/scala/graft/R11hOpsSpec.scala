@@ -83,6 +83,37 @@ class R11hOpsSpec extends AnyFunSuite {
     assert(rows("a") == teleport) // a has no in-edges
   }
 
+  test("pageRank bounded and distributed variants agree on the same graph (r10)") {
+    // the type graph through the bounded (driver-local loop) entry point…
+    val bounded = PageRank.pageRank(spark, ev, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // …and through the distributed loop fed the identical edge/node relations
+    val edges = graft.analytics.EventOps.transitions(ev)
+      .select(col("prev_type").as("src"), col("next_type").as("dst"), col("n").as("w"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    val dist = PageRank.pageRankGraph(spark, edges, nodes, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bounded == dist, "exact integer arithmetic must make the variants bit-identical")
+  }
+
+  test("pageRankUsers: per-user chains hold their own mass; bounded cap enforced (r10)") {
+    val rows = PageRank.pageRankUsers(spark, ev).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+    assert(rows.forall(_.getString(0).matches("u\\d+:.+")))
+    // per-user graphs are disjoint: a single user's subchain ranked alone
+    // equals its slice of... (teleport differs with N, so just sanity-order)
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted(Ordering[Long].reverse))
+    // the bounded entry point refuses a corpus-scale vertex set loudly
+    val big = ev.limit(1).select(
+      explode(sequence(lit(1L), lit(PageRank.MaxBoundedVertices + 1))).as("event_id"))
+      .select(col("event_id"), col("event_id").as("user_id"),
+        concat(lit("t"), col("event_id")).as("event_type"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+    val e = intercept[IllegalArgumentException](PageRank.pageRank(spark, big))
+    assert(e.getMessage.contains("pageRankGraph"))
+  }
+
   // --- rrfHybrid -------------------------------------------------------------
 
   test("rrfHybrid: fusion terms match the integer formula; ordering holds") {

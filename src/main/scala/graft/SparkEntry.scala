@@ -463,6 +463,10 @@ object SparkEntry {
         graft.streaming.StreamingMonitor.streamingAnomalyScores(s, d)),
       "media_features_documents" -> ((s: SparkSession, d: String) =>
         graft.multimodal.MediaOps.mediaFeatures(docs(s, d))),
+      // REAL javax.imageio decode of committed PNG/BMP payloads; the oracle
+      // reads ground-truth stats recorded at encode time (r10)
+      "media_decode" -> ((s: SparkSession, _: String) =>
+        graft.multimodal.MediaOps.mediaDecode(s)),
       // Pareto skyline (min price, max size): distributed sort-filter —
       // distinct pairs, partition-local running-max prune, tiny global
       // pass — vs the oracle's quadratic NOT EXISTS (r11)
@@ -1112,6 +1116,7 @@ object SparkEntry {
     val extra = Seq(
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
       "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
+      "media_decode" -> graft.multimodal.MediaOps.oracleMediaDecode(),
       "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions(),
       "stream_attribution_events" -> graft.streaming.StreamJoin.oracleAttribution(),
       "numstats_lineitem" -> graft.stats.NumericStats.oracleNumericStats("lineitem", lineitemNumericCols),

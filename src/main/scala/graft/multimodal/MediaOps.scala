@@ -1,7 +1,9 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
 
 /** Multimodal-column plumbing (north-star family, SURVEY.md §7.4): media
   * payloads ride as opaque `binary` columns with typed metadata; decode /
@@ -9,11 +11,14 @@ import org.apache.spark.sql.functions._
   * initialization over its whole partition (the Spark-side analogue of a
   * batched Pandas-UDF pipeline).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — behind [[MediaDecoder]]; [[DeterministicFakeDecoder]] derives
-  * stable pseudo-features from the bytes so the plumbing (schema, batch
-  * shape, partitioning, feature join-back) is real and tested. Swapping in a
-  * real decoder is implementing one trait method.
+  * The image path is a REAL codec: [[decodeImages]] decodes PNG/BMP payloads
+  * with `javax.imageio` (ships in the JDK — no external library) and emits
+  * exact integer dimension/channel statistics, verified by the hash gate
+  * against ground-truth columns recorded at encode time
+  * ([[MediaFixtureGen]]). The byte-hash [[DeterministicFakeDecoder]] remains
+  * only as a codec-free test double for NON-image payloads (audio/video
+  * codecs genuinely aren't in the JDK); swapping a real one in is
+  * implementing one trait method.
   */
 object MediaOps {
 
@@ -29,14 +34,50 @@ object MediaOps {
     def decode(bytes: Array[Byte]): Array[Float]
   }
 
-  /** Stand-in for a real image/audio codec (STUB — deliberately fake, see
-    * object scaladoc): md5-derived, deterministic, byte-content-sensitive.
+  /** Codec-free test double for payload kinds the JDK can't decode
+    * (audio/video): md5-derived, deterministic, byte-content-sensitive.
+    * For images use [[ImageIoDecoder]]/[[decodeImages]] — a real decode.
     */
   object DeterministicFakeDecoder extends MediaDecoder {
     val dim = 8
     def decode(bytes: Array[Byte]): Array[Float] = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       Array.tabulate(dim)(i => (d(i) & 0xff) / 255.0f)
+    }
+  }
+
+  /** Exact integer image statistics from a REAL decode: dimensions plus
+    * per-channel pixel-value sums (sums, not means, so the oracle compare is
+    * integer-exact; PNG and BMP are lossless so decode reproduces the encoded
+    * raster bit-for-bit).
+    */
+  final case class ImageStats(width: Int, height: Int, sumR: Long, sumG: Long, sumB: Long)
+
+  /** `javax.imageio`-backed image decode (PNG/BMP/GIF — whatever the JDK's
+    * registered readers handle). Returns None on undecodable bytes, so the
+    * pipeline can quarantine instead of failing the partition.
+    */
+  object ImageIoDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[ImageStats] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(im.getWidth, im.getHeight, sr, sg, sb)
+      }
     }
   }
 
@@ -63,10 +104,54 @@ object MediaOps {
       .toDF(idCol, "features")
   }
 
+  /** Real image decode over a binary column, in the same per-partition seam
+    * as [[featurize]]: (id, payload) → (id, width, height, sum_r, sum_g,
+    * sum_b). Undecodable payloads are dropped (quarantine semantics — count
+    * them upstream if needed). The decode is CPU-bound per row with no
+    * shuffle: at 100 TB this scales embarrassingly with input splits.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // javax.imageio's reader registry is JVM-global — nothing per-row to init
+        it.flatMap { case (id, bytes) =>
+          ImageIoDecoder.decode(bytes).map(s => (id, s.width, s.height, s.sumR, s.sumG, s.sumB))
+        }
+      }
+      .toDF(idCol, "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Committed fixture of real PNG/BMP payloads + ground-truth stats columns
+    * (written by [[MediaFixtureGen]]; the testdata tables carry no media).
+    */
+  val DefaultFixture: String =
+    sys.env.getOrElse("GRAFT_MEDIA_FIXTURE", "/root/repo/fixtures/media.parquet")
+
+  /** Declared image-decode query: decode every fixture payload with the real
+    * JDK codec and report exact dims + channel sums. The oracle reads the
+    * ground-truth columns recorded at ENCODE time — Spark must recover them
+    * from the bytes alone.
+    */
+  def mediaDecode(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
+    val fixture = spark.read.parquet(fixturePath)
+    decodeImages(fixture, "media_id", "payload")
+      .join(broadcast(fixture.select(col("media_id"), col("kind"))), Seq("media_id"))
+      .select("media_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  def oracleMediaDecode(fixturePath: String = DefaultFixture): String =
+    s"""SELECT media_id, kind, true_width AS width, true_height AS height,
+       |  true_sum_r AS sum_r, true_sum_g AS sum_g, true_sum_b AS sum_b
+       |FROM '$fixturePath/*.parquet' ORDER BY media_id""".stripMargin
+
   /** Declared media-features query: documents.text treated as the binary
     * payload (the testdata carries no real media); byte length, content md5,
     * and 8 md5-derived feature bytes as integer columns (engine-portable —
-    * the float features of [[featurize]] stay spec-tested behind the stub).
+    * the float features of [[featurize]] stay spec-tested behind the seam).
     */
   def mediaFeatures(docs: DataFrame): DataFrame = {
     val payload = col("text").cast("binary")

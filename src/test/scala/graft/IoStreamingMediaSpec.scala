@@ -119,6 +119,41 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     assert(m.values.flatten.forall(f => f >= 0.0f && f <= 1.0f))
   }
 
+  test("decodeImages: real javax.imageio decode recovers encoded raster exactly (r10)") {
+    // encode a fresh raster in-memory (not the committed fixture) and decode
+    val gen = graft.multimodal.MediaFixtureGen.rows(6)
+    val media = gen.map(r => (r.media_id, r.payload)).toDF("media_id", "payload")
+      .repartition(3)
+    val got = MediaOps.decodeImages(media, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size == 6)
+    gen.foreach { r =>
+      assert(got(r.media_id) ==
+        ((r.true_width, r.true_height, r.true_sum_r, r.true_sum_g, r.true_sum_b)),
+        s"media ${r.media_id} (${r.kind}) decode drifted from encode-time truth")
+    }
+    // undecodable bytes are quarantined (dropped), not a task failure
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(MediaOps.decodeImages(junk, "media_id", "payload").count() == 0)
+  }
+
+  test("mediaDecode: committed fixture decodes to its ground-truth columns (r10)") {
+    val fx = new java.io.File(MediaOps.DefaultFixture)
+    assume(fx.exists, s"committed fixture missing at $fx")
+    val out = MediaOps.mediaDecode(spark).collect()
+    assert(out.length == 60)
+    assert(out.map(_.getString(1)).toSet == Set("png", "bmp"))
+    val truth = spark.read.parquet(MediaOps.DefaultFixture)
+      .select("media_id", "true_width", "true_height", "true_sum_r", "true_sum_g", "true_sum_b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out.foreach { r =>
+      val t = truth(r.getLong(0))
+      assert((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((t.getInt(1), t.getInt(2), t.getLong(3), t.getLong(4), t.getLong(5))))
+    }
+  }
+
   test("ORC round-trip preserves schema and rows exactly") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"

@@ -391,6 +391,10 @@ object EventOps {
       .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new"))
     debuts
+      // bounded-global-window: the prefix sum needs one total order, and by
+      // this point the relation is |days| rows (calendar-bounded — years,
+      // not corpus) — WindowExec's single-partition WARN is expected and
+      // harmless here; the raw event scan above never sorts.
       .withColumn("n_cum", sum(col("n_new")).over(
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("day")

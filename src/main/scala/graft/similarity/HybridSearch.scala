@@ -40,6 +40,9 @@ object HybridSearch {
       c: Int = 60
   ): DataFrame = {
     val bm25 = graft.text.TextOps.bm25(docs, queryTokens, k)
+      // bounded-global-window: bm25() already cut to its top-k (TakeOrdered
+      // upstream), so this ranking window sees ≤ k rows — WindowExec's
+      // single-partition WARN is expected and harmless here.
       .withColumn("bm25_rank",
         row_number().over(Window.orderBy(col("score_r").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("bm25_rank"))

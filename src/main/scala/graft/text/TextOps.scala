@@ -86,7 +86,13 @@ object TextOps {
     */
   def mixture(docs: DataFrame): DataFrame = {
     val toks = size(regexp_extract_all(col("text"), lit(TokenRe), lit(0))).cast("long")
-    val all  = org.apache.spark.sql.expressions.Window.partitionBy()
+    // bounded-global-window: the share denominator is one corpus total over
+    // the ALREADY-AGGREGATED |strata| rows (lang × source — hundreds at
+    // most), so WindowExec's single-partition WARN is expected and harmless
+    // here; the alternative (1-row totals aggregate broadcast back on)
+    // re-plans the strata aggregate as a second scan unless exchange reuse
+    // fires, making the window strictly the better plan.
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     graft.Tables.widen(docs)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(toks).as("n_tokens"))

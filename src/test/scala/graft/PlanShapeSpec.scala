@@ -132,11 +132,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(bnljs <= 2, s"$name has $bnljs nested-loop joins:\n$p")
     }
     // mixture's share window runs AFTER aggregation: it must partition the
-    // plan's |strata| aggregated rows, never the raw token stream
+    // plan's |strata| aggregated rows, never the raw token stream — and the
+    // whole plan must stay ONE scan (a totals-broadcast alternative would
+    // re-plan the aggregate as a second scan; see bounded-global-window
+    // comment at the definition site)
     val m = plans("mixture")
     val windowLine = m.linesIterator.find(_.contains("windowspecdefinition"))
     assert(windowLine.isDefined && m.indexOf("Window") < m.indexOf("HashAggregate"),
       s"mixture window should sit above the aggregate:\n$m")
+    assert("FileScan".r.findAllMatchIn(m).size == 1, s"mixture must stay one scan:\n$m")
   }
 
   test("sampling filters sit on the scan — no shuffle at all") {

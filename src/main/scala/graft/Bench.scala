@@ -26,8 +26,11 @@ object Bench {
 
     // Pre-flight BEFORE any timing: a driver-side testdata regen must fail
     // here with a named-schema message, not as 24 opaque query errors
-    // (VERDICT r8 #2).
-    val drift = Tables.preflight(spark, sfDir)
+    // (VERDICT r8 #2). The warm-up dir is guarded too — regen drift there
+    // would otherwise still surface as an opaque mid-run failure (ADVICE r9).
+    val warmDir = "/root/testdata/sf0.001"
+    val drift = (Seq(sfDir, warmDir).distinct).flatMap(d =>
+      Tables.preflight(spark, d).map(m => s"$d: $m"))
     if (drift.nonEmpty) {
       drift.foreach(m => System.err.println(s"[bench] PREFLIGHT: $m"))
       spark.stop()
@@ -38,8 +41,8 @@ object Bench {
     // pay one-time JVM costs (VERDICT r1: summary_customer 18 s of warm-up) —
     // one touch per distinct code path (profile/regex, text/dedup, vector).
     SparkEntry.entry(spark).count()
-    graft.dedup.DedupOps.exactDuplicates(Tables.load(spark, "/root/testdata/sf0.001", "documents")).count()
-    graft.similarity.SimilarityOps.lshBuckets(Tables.load(spark, "/root/testdata/sf0.001", "embeddings")).count()
+    graft.dedup.DedupOps.exactDuplicates(Tables.load(spark, warmDir, "documents")).count()
+    graft.similarity.SimilarityOps.lshBuckets(Tables.load(spark, warmDir, "embeddings")).count()
 
     // training-producer queries run before their cache consumers (train →
     // assign, the order a real pipeline uses), so ivf_centroids carries the

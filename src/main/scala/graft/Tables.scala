@@ -34,6 +34,15 @@ object Tables {
     * shift oracle renderings or explode mid-gate; this catches it by name
     * BEFORE any query runs. `events.ts` accepts the encodings
     * [[normalizeEventTs]] can adapt (legacy nanos LONG, NTZ, TIMESTAMP).
+    *
+    * Scope note (ADVICE r9): `events.ts` is the ONLY column with a
+    * type-adaptive loader branch; the date columns (`o_orderdate`,
+    * `l_shipdate`) are pinned to the current `timestamp_ntz` encoding, so a
+    * full pre-r9 legacy tree fails preflight by design — legacy support is
+    * loader/spec-level for `events.ts` alone, and the gated mains require
+    * the current regen schema for everything else. If the driver ever
+    * re-encodes the date columns, extend the loader the way
+    * [[normalizeEventTs]] did, don't widen this catalog blindly.
     */
   val dtypes: Map[String, Seq[(String, String)]] = Map(
     "region"   -> Seq("r_regionkey" -> "int", "r_name" -> "string"),

@@ -118,6 +118,7 @@ object SparkEntry {
     postingsCache.clear()
     centroidCache.clear()
     pqCache.clear()
+    graft.analytics.PageRank.clearCache()
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -114,6 +114,28 @@ class R11hOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pageRankGraph"))
   }
 
+  test("pageRankGraph handles a vertex set the bounded variant refuses (r10)") {
+    // a 3x-over-cap chain graph: node i -> i+1, all weight 1
+    val n = (PageRank.MaxBoundedVertices * 3).toInt
+    val nodes = spark.range(n.toLong).select(concat(lit("v"), col("id")).as("node"))
+    val edges = spark.range((n - 1).toLong).select(
+      concat(lit("v"), col("id")).as("src"),
+      concat(lit("v"), col("id") + 1).as("dst"),
+      lit(1L).as("w"))
+    val ranks = PageRank.pageRankGraph(spark, edges, nodes, iters = 2)
+    assert(ranks.count() == n.toLong)
+    // chain head gets pure teleport; every rank positive; deterministic rerun
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * n)
+    val byNode = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byNode("v0") == teleport)
+    assert(byNode.values.forall(_ > 0))
+    PageRank.clearCache() // release the persisted graph; a fresh call rebuilds
+    val again = PageRank.pageRankGraph(spark, edges, nodes, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byNode)
+  }
+
   // --- rrfHybrid -------------------------------------------------------------
 
   test("rrfHybrid: fusion terms match the integer formula; ordering holds") {

@@ -175,4 +175,21 @@ class PropertySpec extends AnyFunSuite {
       assert(((m >> intIdx) & 1L) == 0L)
     }
   }
+
+  test("PageRank split identity: (r div ow)*w + ((r mod ow)*w) div ow == floor(r*w/ow) (fuzz)") {
+    // the long-safe routed-mass form both PageRank variants compute must
+    // equal the single-division form the DuckDB oracles compute — for every
+    // (rank, weight, out-weight) in the declared operating range
+    // (rank ≤ 10^12 total mass, out_w ≥ w ≥ 1, out-weights ≤ ~10^5)
+    val gen = for {
+      r  <- Gen.chooseNum(0L, 1000000000000L)
+      ow <- Gen.chooseNum(1L, 100000L)
+      w  <- Gen.chooseNum(1L, ow) // an edge's weight never exceeds its source's out-weight
+    } yield (r, ow, w)
+    forAll(gen, n = 2000) { case (r, ow, w) =>
+      val split  = (r / ow) * w + ((r % ow) * w) / ow
+      val direct = (BigInt(r) * BigInt(w) / BigInt(ow)).toLong // may exceed Long in the naive form
+      assert(split == direct, s"r=$r ow=$ow w=$w")
+    }
+  }
 }

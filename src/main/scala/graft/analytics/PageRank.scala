@@ -109,6 +109,7 @@ object PageRank {
     * `SparkEntry.clearCaches`) releases executor memory; without this a
     * long-lived session would leak one cached relation pair per call.
     */
+  private val GraphCacheMax = 64
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), (DataFrame, DataFrame)]
 
@@ -125,6 +126,7 @@ object PageRank {
     val key = (spark,
       edgesIn.queryExecution.analyzed.semanticHash(),
       nodesIn.queryExecution.analyzed.semanticHash())
+    if (graphCache.size > GraphCacheMax) clearCache() // bound memory + session pinning
     val (edges, nodes) = graphCache.getOrElseUpdate(key, {
       val nd = nodesIn.select(col("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -38,7 +38,7 @@ object Main {
     * registry (`hybrid_classifier.py:65-87`) in the library's offline-first
     * order: an optional replay transcript (`GRAFT_AI_REPLAY=<path>`, always
     * socket-free) first, then any live HTTP vendors the operator explicitly
-    * double-opted into (`GRAFT_AI_HTTP=1` + per-vendor key) in the
+    * opted into (`GRAFT_AI_HTTP=1` + per-vendor key/endpoint/model) in the
     * reference's fixed claude→gemini→openai priority. Empty (the default
     * environment) → pattern-only, the reference's no-keys mode.
     */
@@ -58,7 +58,7 @@ object Main {
   /** The `profile` subcommand body, factored out of main so the spec can run
     * it against an existing session; returns the profile table it printed.
     * Runs the hybrid engine when any AI provider is configured in the
-    * environment (replay or double-gated HTTP), else pure pattern.
+    * environment (replay or fully-configured gated HTTP), else pure pattern.
     */
   private[graft] def runProfile(spark: SparkSession, path: String, summary: Boolean): DataFrame = {
     val providers = aiProviders()

@@ -34,7 +34,11 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val drift = Tables.preflight(spark, dir)
+    // the warm-up dir is guarded alongside the tile dir, same as Bench —
+    // a testdata regen must fail as a named message, not an opaque mid-run error
+    val warmDir = "/root/testdata/sf0.001"
+    val drift = Seq(dir, warmDir).distinct.flatMap(d =>
+      Tables.preflight(spark, d).map(m => s"$d: $m"))
     if (drift.nonEmpty) {
       drift.foreach(m => System.err.println(s"[scalebench] PREFLIGHT: $m"))
       spark.stop()
@@ -42,7 +46,6 @@ object ScaleBench {
     }
 
     // JIT warm-up on the smallest SF (same code paths, negligible data)
-    val warmDir = "/root/testdata/sf0.001"
     requested.foreach(n => SparkEntry.queries(n)(spark, warmDir).count())
     SparkEntry.clearCaches()
 

@@ -59,7 +59,9 @@ final class HttpProvider(
 
   /** Auth is always a header (never a URL query parameter — keys in URLs
     * leak through logs and proxies); vendor-version headers arrive via
-    * `extraHeaders` so no dated wire constant lives in source.
+    * `extraHeaders` so no dated wire constant lives in source. The auth
+    * header is applied LAST: a stray extra-headers pair must not clobber the
+    * configured key (which would 401 and silently degrade to pattern-only).
     */
   private[ai] def requestHeaders: Map[String, String] = {
     val auth = name match {
@@ -67,7 +69,7 @@ final class HttpProvider(
       case "openai" => Map("authorization" -> s"Bearer $apiKey")
       case "gemini" => Map("x-goog-api-key" -> apiKey)
     }
-    Map("content-type" -> "application/json") ++ auth ++ extraHeaders
+    Map("content-type" -> "application/json") ++ extraHeaders ++ auth
   }
 
   /** The vendor wire shape for one user-role prompt (mirrors the reference's

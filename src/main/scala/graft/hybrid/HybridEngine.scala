@@ -42,8 +42,8 @@ final case class HybridStats(
   * ANTHROPIC_API_KEY / GOOGLE_AI_API_KEY / OPENAI_API_KEY env vars,
   * `hybrid_classifier.py:65-87` — [[HybridEngine.envKeysPresent]] exposes
   * that check; the bundled [[graft.ai.HttpProvider]] adds its own stricter
-  * double gate `GRAFT_AI_HTTP=1` + per-vendor key, so the zero-egress gate
-  * can never construct one).
+  * gate — `GRAFT_AI_HTTP=1` AND per-vendor key AND endpoint AND model, all
+  * required — so the zero-egress gate can never construct one).
   *
   * Merge semantics (`_merge_classifications`, `hybrid_classifier.py:148-199`)
   * are ported exactly, except PII merging uses ordinal severity max

@@ -54,8 +54,9 @@ object MediaFixtureGen {
     spark.sparkContext.setLogLevel("WARN")
     try {
       import spark.implicits._
-      rows().toDF().coalesce(1).write.mode("overwrite").parquet(outPath)
-      println(s"wrote ${rows().size} media rows to $outPath")
+      val rs = rows()
+      rs.toDF().coalesce(1).write.mode("overwrite").parquet(outPath)
+      println(s"wrote ${rs.size} media rows to $outPath")
     } finally spark.stop()
   }
 }

@@ -126,9 +126,14 @@ object MediaOps {
 
   /** Committed fixture of real PNG/BMP payloads + ground-truth stats columns
     * (written by [[MediaFixtureGen]]; the testdata tables carry no media).
+    * Resolution: `GRAFT_MEDIA_FIXTURE` env override, else the repo-relative
+    * path if the working directory is a checkout, else the driver-contract
+    * checkout at /root/repo — so any working copy runs without env setup.
     */
-  val DefaultFixture: String =
-    sys.env.getOrElse("GRAFT_MEDIA_FIXTURE", "/root/repo/fixtures/media.parquet")
+  val DefaultFixture: String = sys.env.get("GRAFT_MEDIA_FIXTURE").getOrElse {
+    val relative = new java.io.File("fixtures/media.parquet")
+    if (relative.exists) relative.getAbsolutePath else "/root/repo/fixtures/media.parquet"
+  }
 
   /** Declared image-decode query: decode every fixture payload with the real
     * JDK codec and report exact dims + channel sums. The oracle reads the

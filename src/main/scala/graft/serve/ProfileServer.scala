@@ -171,7 +171,7 @@ object ProfileServer {
       uploadDir: String = sys.props("java.io.tmpdir") + "/graft_uploads"
   ): HttpServer = {
     // same env-configured engine choice as the CLI (`Main.aiProviders`):
-    // replay/double-gated-HTTP providers → hybrid, none (the default,
+    // replay/env-gated-HTTP providers → hybrid, none (the default,
     // and always the zero-egress gate) → pattern-only
     val providers = graft.Main.aiProviders()
     val engine: DataFrame => Seq[graft.model.ColumnProfile] =

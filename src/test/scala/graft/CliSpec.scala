@@ -22,7 +22,7 @@ class CliSpec extends AnyFunSuite {
     assert(types.size > 1, s"degenerate single-type profile: $types")
   }
 
-  test("aiProviders: empty by default, replay transcript first, HTTP only behind the double gate") {
+  test("aiProviders: empty by default, replay transcript first, HTTP only behind the full flag+key+endpoint+model gate") {
     assert(Main.aiProviders(Map.empty).isEmpty) // the zero-egress default: pattern-only
     // a replay transcript alone enables offline AI
     val tpath = java.nio.file.Files.createTempFile("graft_replay", ".json")

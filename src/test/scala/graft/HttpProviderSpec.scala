@@ -118,6 +118,16 @@ class HttpProviderSpec extends AnyFunSuite {
       Map("x-a" -> "1", "x-b" -> "t:z"))
   }
 
+  test("a stray extra-headers pair cannot clobber the auth header") {
+    val t = new FakeTransport((_, _, _) => None)
+    val p = new HttpProvider("claude", URI.create("https://example.invalid/c"), "real-key", "m-1",
+      Map("x-api-key" -> "stale-key", "x-other" -> "kept"), t)
+    p.complete("hi")
+    val (_, headers, _) = t.calls.head
+    assert(headers("x-api-key") == "real-key") // auth applied last, wins
+    assert(headers("x-other") == "kept")
+  }
+
   test("an HTTP completion flows the unchanged A5→A6 path into a profile") {
     val fenced =
       """```json

@@ -48,7 +48,7 @@ object Bench {
     // assign, the order a real pipeline uses), so ivf_centroids carries the
     // one-time k-means cost and ivf_assign/ivf_topk time cache-fed
     // assignment/search only; alphabetical otherwise.
-    val producerFirst = Set("ivf_centroids_embeddings")
+    val producerFirst = SparkEntry.ProducerFirst
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (if (producerFirst(n)) 0 else 1, n) }
 
     // Per-query MEDIAN of 3 full passes (r4 verdict ask #5: the single-pass

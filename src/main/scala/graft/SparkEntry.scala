@@ -106,6 +106,13 @@ object SparkEntry {
       graft.similarity.Pq.trainCodebooks(Tables.load(spark, dir, "embeddings"))
     )
 
+  /** Training-producer queries that must run BEFORE their cache consumers
+    * when timing (train → assign, the order a real pipeline uses): the ONE
+    * shared ordering for [[Bench]] and [[ScaleBench]], so the two harnesses
+    * cannot drift on which consumer times training cost (ADVICE r10).
+    */
+  private[graft] val ProducerFirst: Set[String] = Set("ivf_centroids_embeddings")
+
   /** Drop every cross-query cache (profiles, cluster labels, centroids) —
     * Bench calls this between repetition passes so each pass re-executes the
     * shared stages instead of timing cache hits.
@@ -468,6 +475,10 @@ object SparkEntry {
       // reads ground-truth stats recorded at encode time (r10)
       "media_decode" -> ((s: SparkSession, _: String) =>
         graft.multimodal.MediaOps.mediaDecode(s)),
+      // per-kind decoded/quarantined counts vs encode-time decodable truth —
+      // the decode's drop path under the hash gate (r11)
+      "media_quarantine" -> ((s: SparkSession, _: String) =>
+        graft.multimodal.MediaOps.mediaQuarantine(s)),
       // Pareto skyline (min price, max size): distributed sort-filter —
       // distinct pairs, partition-local running-max prune, tiny global
       // pass — vs the oracle's quadratic NOT EXISTS (r11)
@@ -1118,6 +1129,7 @@ object SparkEntry {
       "stream_events_hourly"     -> graft.streaming.StreamingProfiler.oracleEventWindowCounts,
       "media_features_documents" -> graft.multimodal.MediaOps.oracleMediaFeatures,
       "media_decode" -> graft.multimodal.MediaOps.oracleMediaDecode(),
+      "media_quarantine" -> graft.multimodal.MediaOps.oracleMediaQuarantine(),
       "sessions_events"          -> graft.streaming.Sessionize.oracleBatchSessions(),
       "stream_attribution_events" -> graft.streaming.StreamJoin.oracleAttribution(),
       "numstats_lineitem" -> graft.stats.NumericStats.oracleNumericStats("lineitem", lineitemNumericCols),

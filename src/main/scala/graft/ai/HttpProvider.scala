@@ -62,6 +62,9 @@ final class HttpProvider(
     * `extraHeaders` so no dated wire constant lives in source. The auth
     * header is applied LAST: a stray extra-headers pair must not clobber the
     * configured key (which would 401 and silently degrade to pattern-only).
+    * Extra-header keys are lowercased HERE, not only in [[parseHeaders]], so
+    * the last-wins guarantee holds for direct-constructor callers too — a
+    * mixed-case 'X-Api-Key' must not ride the wire next to the real key.
     */
   private[ai] def requestHeaders: Map[String, String] = {
     val auth = name match {
@@ -69,7 +72,8 @@ final class HttpProvider(
       case "openai" => Map("authorization" -> s"Bearer $apiKey")
       case "gemini" => Map("x-goog-api-key" -> apiKey)
     }
-    Map("content-type" -> "application/json") ++ extraHeaders ++ auth
+    Map("content-type" -> "application/json") ++
+      extraHeaders.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v } ++ auth
   }
 
   /** The vendor wire shape for one user-role prompt (mirrors the reference's

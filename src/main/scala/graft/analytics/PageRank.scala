@@ -47,6 +47,14 @@ object PageRank {
     */
   val MaxBoundedVertices = 4096L
 
+  /** Edge ceiling for the same variant: a dense graph AT the vertex cap is
+    * |V|² ≈ 16.8M edges — driver-fatal even when the node collect passes —
+    * so the edge collect carries its own gate (ADVICE r10). 256k (String,
+    * String, Long) rows is ~tens of MB driver-side; behavioral type graphs
+    * run in the hundreds.
+    */
+  val MaxBoundedEdges = 262144L
+
   /** (event_type, rank_e12) after `iters` damped iterations, heaviest first —
     * the bounded-|V| variant (see object doc). |V| is counted distributively
     * and gated by [[MaxBoundedVertices]] BEFORE any row reaches the driver.
@@ -61,11 +69,17 @@ object PageRank {
     val n = nodeRows.length.toLong
     require(n > 0, "pageRank needs a non-empty graph")
     require(n <= MaxBoundedVertices,
-      s"bounded pageRank is for small vertex sets (|V| > $MaxBoundedVertices); " +
+      s"|V| ≥ $n exceeds MaxBoundedVertices=$MaxBoundedVertices; " +
         "use pageRankGraph/pageRankUsers — the distributed loop keeps ranks as a DataFrame")
+    // the edge collect gets the same limit-gating treatment: cap+1 rows bound
+    // the driver while proving |E| ≤ cap (a dense graph at the vertex cap
+    // would otherwise collect |V|² rows through a passed node gate)
     val edgeRows = EventOps.transitions(events)
       .select(col("prev_type").as("src"), col("next_type").as("dst"), col("n").as("w"))
-      .as[(String, String, Long)].collect().toSeq
+      .limit(MaxBoundedEdges.toInt + 1).as[(String, String, Long)].collect().toSeq
+    require(edgeRows.length <= MaxBoundedEdges,
+      s"|E| ≥ ${edgeRows.length} exceeds MaxBoundedEdges=$MaxBoundedEdges; " +
+        "use pageRankGraph/pageRankUsers — the distributed loop keeps edges as a DataFrame")
     val teleport = (15L * Scale) / (100L * n)
 
     val edges = edgeRows.toDF("src", "dst", "w")
@@ -117,8 +131,11 @@ object PageRank {
     * clearCaches; files rewritten in place mid-application need a clear.
     */
   private val GraphCacheMax = 64
+  // LinkedHashMap (always accessed under `synchronized`) so eviction can drop
+  // the single OLDEST entry: a full flush at the bound unpersisted entries
+  // concurrently in use — safe but a recompute cliff (ADVICE r10)
   private val graphCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), (DataFrame, DataFrame)]
+    scala.collection.mutable.LinkedHashMap.empty[(String, String, String), (DataFrame, DataFrame)]
 
   def clearCache(): Unit = graphCache.synchronized {
     graphCache.values.foreach { case (e, nd) =>
@@ -133,17 +150,22 @@ object PageRank {
     val key = (spark.sparkContext.applicationId,
       edgesIn.queryExecution.analyzed.canonicalized.toString,
       nodesIn.queryExecution.analyzed.canonicalized.toString)
-    // synchronized: TrieMap.getOrElseUpdate may run the thunk twice under
+    // synchronized: a lock-free getOrElseUpdate may run the thunk twice under
     // concurrency, and a discarded second persist would be unreleasable
     val (edges, nodes) = graphCache.synchronized {
-      if (graphCache.size > GraphCacheMax) clearCache() // bound memory
-      graphCache.getOrElseUpdate(key, {
+      graphCache.getOrElse(key, {
+        if (graphCache.size >= GraphCacheMax) { // bound memory: evict oldest
+          val (oldKey, (oldE, oldNd)) = graphCache.head
+          oldE.unpersist(blocking = false); oldNd.unpersist(blocking = false)
+          graphCache.remove(oldKey)
+        }
         val nd = nodesIn.select(col("node")).distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         val e = edgesIn.select(col("src"), col("dst"), col("w"))
           .join(edgesIn.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
           .repartition(col("src"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        graphCache.put(key, (e, nd))
         (e, nd)
       })
     }

@@ -106,9 +106,11 @@ object MediaOps {
 
   /** Real image decode over a binary column, in the same per-partition seam
     * as [[featurize]]: (id, payload) → (id, width, height, sum_r, sum_g,
-    * sum_b). Undecodable payloads are dropped (quarantine semantics — count
-    * them upstream if needed). The decode is CPU-bound per row with no
-    * shuffle: at 100 TB this scales embarrassingly with input splits.
+    * sum_b). Undecodable payloads are dropped — quarantine semantics whose
+    * counts [[mediaQuarantine]] declares under the hash gate (the JSONL
+    * `_corrupt_record` discipline: the drop path is observable, not silent).
+    * The decode is CPU-bound per row with no shuffle: at 100 TB this scales
+    * embarrassingly with input splits.
     */
   def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -151,7 +153,35 @@ object MediaOps {
   def oracleMediaDecode(fixturePath: String = DefaultFixture): String =
     s"""SELECT media_id, kind, true_width AS width, true_height AS height,
        |  true_sum_r AS sum_r, true_sum_g AS sum_g, true_sum_b AS sum_b
-       |FROM '$fixturePath/*.parquet' ORDER BY media_id""".stripMargin
+       |FROM '$fixturePath/*.parquet' WHERE decodable ORDER BY media_id""".stripMargin
+
+  /** Declared quarantine query: per intended `kind`, how many payloads the
+    * real decode accepted vs quarantined. The oracle reads the encode-time
+    * `decodable` ground truth — so a decoder that silently drops a good
+    * payload OR accepts a corrupt one hash-mismatches (VERDICT r10 ask #3:
+    * the drop path of [[decodeImages]] is under the gate, not silent).
+    * One decode pass + a broadcast join of the 1-col id relation; counts
+    * aggregate map-side — scales with input splits like the decode itself.
+    */
+  def mediaQuarantine(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
+    val fixture = spark.read.parquet(fixturePath)
+    val decodedIds = decodeImages(fixture, "media_id", "payload")
+      .select(col("media_id"), lit(1L).as("ok"))
+    fixture.select(col("media_id"), col("kind"))
+      .join(broadcast(decodedIds), Seq("media_id"), "left")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        sum(coalesce(col("ok"), lit(0L))).as("n_decoded"),
+        (count(lit(1)) - sum(coalesce(col("ok"), lit(0L)))).as("n_quarantined"))
+      .orderBy("kind")
+  }
+
+  def oracleMediaQuarantine(fixturePath: String = DefaultFixture): String =
+    s"""SELECT kind, count(*) AS n_payloads,
+       |  CAST(sum(CASE WHEN decodable THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+       |  CAST(sum(CASE WHEN decodable THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+       |FROM '$fixturePath/*.parquet' GROUP BY kind ORDER BY kind""".stripMargin
 
   /** Declared media-features query: documents.text treated as the binary
     * payload (the testdata carries no real media); byte length, content md5,

@@ -138,6 +138,24 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     assert(MediaOps.decodeImages(junk, "media_id", "payload").count() == 0)
   }
 
+  test("mediaQuarantine: corrupt payloads are counted, not silently dropped (r11)") {
+    // every generated corrupt payload really is undecodable (the gen
+    // self-checks too, but the committed-fixture contract lives here)
+    val corrupt = graft.multimodal.MediaFixtureGen.corruptRows()
+    assert(corrupt.length == 6 && corrupt.forall(!_.decodable))
+    corrupt.foreach { r =>
+      assert(MediaOps.ImageIoDecoder.decode(r.payload).isEmpty,
+        s"corrupt media ${r.media_id} (${r.kind}) unexpectedly decoded")
+    }
+    val fx = new java.io.File(MediaOps.DefaultFixture)
+    assume(fx.exists, s"committed fixture missing at $fx")
+    val got = MediaOps.mediaQuarantine(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 60 good rows alternate png/bmp (30/30); corrupt rows add 3 of each kind
+    assert(got("png") == ((33L, 30L, 3L)), s"png counts drifted: $got")
+    assert(got("bmp") == ((33L, 30L, 3L)), s"bmp counts drifted: $got")
+  }
+
   test("mediaDecode: committed fixture decodes to its ground-truth columns (r10)") {
     val fx = new java.io.File(MediaOps.DefaultFixture)
     assume(fx.exists, s"committed fixture missing at $fx")

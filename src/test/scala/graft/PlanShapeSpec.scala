@@ -204,6 +204,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly the range-sort exchange, got $exchanges:\n$p")
   }
 
+  test("distributed pagerank round reuses the persisted graph relations — ranks never become a driver-side relation") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val (edges, nodes) = graft.analytics.PageRank.userGraph(events)
+    try {
+      val p = plan(graft.analytics.PageRank.pageRankGraph(spark, edges, nodes, iters = 1))
+      // the property that distinguishes this loop from the bounded variant:
+      // the out-weighted edge relation AND the node set are PERSISTED cluster
+      // relations each round reads (InMemoryTableScan), and no rank/edge/node
+      // relation is ever a driver-built LocalTableScan
+      val imts = "InMemoryTableScan".r.findAllMatchIn(p).size
+      assert(imts >= 2, s"expected the persisted edge + node relations (found $imts scans):\n$p")
+      assert(!p.contains("LocalTableScan"),
+        s"driver-side relation in the distributed rank loop:\n$p")
+      // contribution aggregation must combine map-side before the dst shuffle
+      assert(p.contains("partial_sum"),
+        s"contribution aggregate is not partial (no map-side combine):\n$p")
+    } finally graft.analytics.PageRank.clearCache() // release the persisted pair
+  }
+
   test("gated join-size validation filters BOTH scans before any exchange — cost is the declared fraction") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p  = plan(graft.scale.Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey"))

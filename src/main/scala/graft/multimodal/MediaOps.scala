@@ -140,13 +140,25 @@ object MediaOps {
   /** Declared image-decode query: decode every fixture payload with the real
     * JDK codec and report exact dims + channel sums. The oracle reads the
     * ground-truth columns recorded at ENCODE time — Spark must recover them
-    * from the bytes alone.
+    * from the bytes alone. `kind` rides THROUGH the decode seam instead of
+    * joining back afterwards (r11): at a corpus-scale media table the
+    * join-back's small side is corpus-sized too, so the one-pass carry is
+    * the only shape that stays exchange-free (the sole exchange here is the
+    * declared output sort).
     */
   def mediaDecode(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
-    val fixture = spark.read.parquet(fixturePath)
-    decodeImages(fixture, "media_id", "payload")
-      .join(broadcast(fixture.select(col("media_id"), col("kind"))), Seq("media_id"))
-      .select("media_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b")
+    import spark.implicits._
+    spark.read.parquet(fixturePath)
+      .select(col("media_id").cast("long"), col("kind"), col("payload").cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // same seam as decodeImages; kind carried so no join is needed
+        it.flatMap { case (id, kind, bytes) =>
+          ImageIoDecoder.decode(bytes).map(s =>
+            (id, kind, s.width, s.height, s.sumR, s.sumG, s.sumB))
+        }
+      }
+      .toDF("media_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b")
       .orderBy("media_id")
   }
 
@@ -160,20 +172,28 @@ object MediaOps {
     * `decodable` ground truth — so a decoder that silently drops a good
     * payload OR accepts a corrupt one hash-mismatches (VERDICT r10 ask #3:
     * the drop path of [[decodeImages]] is under the gate, not silent).
-    * One decode pass + a broadcast join of the 1-col id relation; counts
-    * aggregate map-side — scales with input splits like the decode itself.
+    * ONE pass, NO join: the accept/reject decision ([[ImageIoDecoder]], the
+    * identical predicate [[decodeImages]] flatMaps on) is computed per row
+    * in the decode seam and count-aggregated map-side — |kinds| rows cross
+    * the exchange. The join-back alternative would broadcast a corpus-sized
+    * decoded-id relation at a 100 TB media table.
     */
   def mediaQuarantine(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
-    val fixture = spark.read.parquet(fixturePath)
-    val decodedIds = decodeImages(fixture, "media_id", "payload")
-      .select(col("media_id"), lit(1L).as("ok"))
-    fixture.select(col("media_id"), col("kind"))
-      .join(broadcast(decodedIds), Seq("media_id"), "left")
+    import spark.implicits._
+    spark.read.parquet(fixturePath)
+      .select(col("kind"), col("payload").cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (kind, bytes) =>
+          (kind, if (ImageIoDecoder.decode(bytes).isDefined) 1L else 0L)
+        }
+      }
+      .toDF("kind", "ok")
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_payloads"),
-        sum(coalesce(col("ok"), lit(0L))).as("n_decoded"),
-        (count(lit(1)) - sum(coalesce(col("ok"), lit(0L)))).as("n_quarantined"))
+        sum(col("ok")).as("n_decoded"),
+        (count(lit(1)) - sum(col("ok"))).as("n_quarantined"))
       .orderBy("kind")
   }
 

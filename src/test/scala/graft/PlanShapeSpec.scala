@@ -223,6 +223,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally graft.analytics.PageRank.clearCache() // release the persisted pair
   }
 
+  test("media decode/quarantine are one-pass, join-free plans — kind rides the decode seam") {
+    val fx = new java.io.File(graft.multimodal.MediaOps.DefaultFixture)
+    assume(fx.exists, s"committed fixture missing at $fx")
+    val pd = plan(graft.multimodal.MediaOps.mediaDecode(spark))
+    // a join-back for `kind` would broadcast a corpus-sized relation at a
+    // real media table; the carry-through shape has exactly one scan and
+    // its only exchange is the declared output sort
+    assert(!pd.contains("Join"), s"media decode joins:\n$pd")
+    assert("FileScan".r.findAllMatchIn(pd).size == 1, s"media decode must stay one scan:\n$pd")
+    val pq = plan(graft.multimodal.MediaOps.mediaQuarantine(spark))
+    assert(!pq.contains("Join"), s"media quarantine joins:\n$pq")
+    assert("FileScan".r.findAllMatchIn(pq).size == 1, s"media quarantine must stay one scan:\n$pq")
+    assert(pq.contains("partial_count") || pq.contains("partial_sum"),
+      s"quarantine counts must combine map-side:\n$pq")
+  }
+
   test("gated join-size validation filters BOTH scans before any exchange — cost is the declared fraction") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p  = plan(graft.scale.Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey"))

@@ -124,18 +124,31 @@ object PageRank {
     * re-persisting anonymously, and [[clearCache]] (wired into
     * `SparkEntry.clearCaches`) releases executor memory; without this a
     * long-lived session would leak one cached relation pair per call.
-    * Keys are the EXACT canonicalized plan strings (the [[graft.SparkEntry]]
-    * postingsCache discipline) — the cached value is result-bearing data, so
-    * a 32-bit plan hash's collision risk is not acceptable here. Staleness
-    * semantics match every other session cache: per-application, released by
-    * clearCaches; files rewritten in place mid-application need a clear.
+    * Keys are the canonicalized plans THEMSELVES (structural case-class
+    * equality), not their string renderings: a `LocalRelation`'s toString
+    * elides its data rows, so two DIFFERENT in-memory graphs with the same
+    * schema would collide on a string key and the second caller would get
+    * the first graph's cached relations — wrong results, found by the r11
+    * eviction spec. Plan equality includes the literal data, and is also
+    * stronger than the 32-bit hash a collision-tolerant cache could use
+    * (the cached value is result-bearing data). Staleness semantics match
+    * every other session cache: per-application, released by clearCaches;
+    * files rewritten in place mid-application need a clear.
     */
-  private val GraphCacheMax = 64
+  // var (package-private) ONLY so the eviction spec can exercise the bound
+  // without 64 persisted graphs; production never writes it
+  private[graft] var GraphCacheMax = 64
   // LinkedHashMap (always accessed under `synchronized`) so eviction can drop
   // the single OLDEST entry: a full flush at the bound unpersisted entries
   // concurrently in use — safe but a recompute cliff (ADVICE r10)
+  private type GraphKey =
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   private val graphCache =
-    scala.collection.mutable.LinkedHashMap.empty[(String, String, String), (DataFrame, DataFrame)]
+    scala.collection.mutable.LinkedHashMap.empty[GraphKey, (DataFrame, DataFrame)]
+
+  private[graft] def cacheKeys: Set[Any] =
+    graphCache.synchronized(graphCache.keySet.toSet)
 
   def clearCache(): Unit = graphCache.synchronized {
     graphCache.values.foreach { case (e, nd) =>
@@ -148,8 +161,8 @@ object PageRank {
                     iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, "pageRankGraph wants 1..10 fixed iterations")
     val key = (spark.sparkContext.applicationId,
-      edgesIn.queryExecution.analyzed.canonicalized.toString,
-      nodesIn.queryExecution.analyzed.canonicalized.toString)
+      edgesIn.queryExecution.analyzed.canonicalized,
+      nodesIn.queryExecution.analyzed.canonicalized)
     // synchronized: a lock-free getOrElseUpdate may run the thunk twice under
     // concurrency, and a discarded second persist would be unreleasable
     val (edges, nodes) = graphCache.synchronized {

@@ -114,6 +114,42 @@ class R11hOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pageRankGraph"))
   }
 
+  test("pageRankGraph cache evicts the single OLDEST entry at the bound — no full flush (r11)") {
+    PageRank.clearCache()
+    val oldBound = PageRank.GraphCacheMax
+    PageRank.GraphCacheMax = 3 // spec-only shrink; see the var's doc
+    try {
+      def graph(tag: Int) = (
+        Seq((s"a$tag", s"b$tag", 1L)).toDF("src", "dst", "w"),
+        Seq(s"a$tag", s"b$tag").toDF("node")
+      )
+      // mirrors pageRankGraph's key: canonicalized plan OBJECTS, whose
+      // structural equality sees LocalRelation data (the string doesn't)
+      def key(e: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame): Any =
+        (spark.sparkContext.applicationId,
+          e.queryExecution.analyzed.canonicalized,
+          n.queryExecution.analyzed.canonicalized)
+      val gs = (1 to 4).map(graph)
+      gs.take(3).foreach { case (e, n) => PageRank.pageRankGraph(spark, e, n, iters = 1).count() }
+      assert(PageRank.cacheKeys.size == 3)
+      val oldest = key(gs(0)._1, gs(0)._2)
+      assert(PageRank.cacheKeys.contains(oldest))
+      // 4th distinct graph crosses the bound: exactly one eviction, oldest out
+      PageRank.pageRankGraph(spark, gs(3)._1, gs(3)._2, iters = 1).count()
+      val keys = PageRank.cacheKeys
+      assert(keys.size == 3, s"bound must hold exactly (got ${keys.size})")
+      assert(!keys.contains(oldest), "the oldest entry must be the one evicted")
+      assert(keys.contains(key(gs(1)._1, gs(1)._2)) && keys.contains(key(gs(2)._1, gs(2)._2)),
+        "younger entries must survive — a full flush here is the r10 cliff")
+      // a cached graph re-requested is a hit, not a re-insert: size unchanged
+      PageRank.pageRankGraph(spark, gs(2)._1, gs(2)._2, iters = 1).count()
+      assert(PageRank.cacheKeys == keys)
+    } finally {
+      PageRank.GraphCacheMax = oldBound
+      PageRank.clearCache()
+    }
+  }
+
   test("pageRankGraph handles a vertex set the bounded variant refuses (r10)") {
     // a 3x-over-cap chain graph: node i -> i+1, all weight 1
     val n = (PageRank.MaxBoundedVertices * 3).toInt

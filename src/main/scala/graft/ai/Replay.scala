@@ -49,7 +49,7 @@ object ReplayProvider {
     val node = mapper.readTree(json)
     require(node != null && node.isObject, s"replay transcript must be a JSON object (provider $name)")
     val entries = scala.collection.mutable.Map.empty[String, String]
-    node.fields().forEachRemaining { e =>
+    node.properties().forEach { e =>
       require(e.getValue.isTextual, s"transcript value for '${e.getKey}' must be a string")
       entries(e.getKey) = e.getValue.asText()
     }

@@ -209,7 +209,7 @@ object Sources {
     graft.Tables.widthCacheClear()
     df.sparkSession.read.parquet(path)
       .where(col(partitionCol) === value)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .orderBy(orderCol)
   }
 }

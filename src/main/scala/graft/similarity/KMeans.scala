@@ -183,7 +183,7 @@ object KMeans {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val n2 = DotProduct(col("v"), col("v"))
     val sims = centroids.map { c =>
-      val lit_c = array(c.map(lit): _*)
+      val lit_c = array(c.toIndexedSeq.map(lit): _*)
       val cn    = math.sqrt(c.map(x => x * x).sum)
       when(n2 > 0, DotProduct(col("v"), lit_c) / (sqrt(n2) * lit(cn))).otherwise(lit(-2.0))
     }.toSeq

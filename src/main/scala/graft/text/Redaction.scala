@@ -35,7 +35,7 @@ object Redaction {
       case ((c, n), (_, re, repl)) =>
         (regexp_replace(c, re, repl), n + size(regexp_extract_all(c, lit(re), lit(0))))
     }
-    val others = docs.columns.filterNot(c => c == "text" || c == "doc_id").map(col)
+    val others = docs.columns.toIndexedSeq.filterNot(c => c == "text" || c == "doc_id").map(col)
     graft.Tables.widen(docs)
       .select(
         (col("doc_id") +: others) :+ red.as("redacted_text") :+

@@ -28,9 +28,12 @@ trait HttpTransport {
   * NO VENDOR WIRE CONSTANTS IN SOURCE: the endpoint URL, model id, and any
   * vendor-specific version header are configuration, not code. The operator
   * supplies them via `GRAFT_<VENDOR>_ENDPOINT` / `GRAFT_<VENDOR>_MODEL` /
-  * `GRAFT_<VENDOR>_EXTRA_HEADERS` when opting in; the public default values
-  * (the same ones the reference pins in `ai_classifier.py:185,202`) are
-  * documented in `.env.example` at the repo root. What stays in source is
+  * `GRAFT_<VENDOR>_EXTRA_HEADERS` when opting in; `.env.example` at the repo
+  * root documents the variable NAMES and points at each vendor's public API
+  * docs for the current values (the same ones the reference pins in
+  * `ai_classifier.py:185,202`) — a vendor that requires a dated version
+  * header (claude) returns 4xx without it, so EXTRA_HEADERS is effectively
+  * required there, as `.env.example` says. What stays in source is
   * only the structural shape: auth header name, JSON body layout, and the
   * response path to the completion text.
   *
@@ -124,7 +127,10 @@ object HttpProvider {
   private[graft] def parseHeaders(spec: String): Map[String, String] =
     spec.split(',').iterator.map(_.trim).filter(_.nonEmpty).flatMap { pair =>
       pair.split(":", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => Some(k.trim.toLowerCase -> v.trim)
+        // Locale.ROOT: the default-locale lowercase would corrupt an 'I' on a
+        // Turkish-locale JVM before requestHeaders' ROOT pass could normalize it
+        case Array(k, v) if k.trim.nonEmpty =>
+          Some(k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim)
         case _                              => None
       }
     }.toMap
@@ -148,13 +154,16 @@ object HttpProvider {
     * returns None unless ALL of `GRAFT_AI_HTTP=1`, `GRAFT_<VENDOR>_API_KEY`,
     * `GRAFT_<VENDOR>_ENDPOINT`, and `GRAFT_<VENDOR>_MODEL` are set — there
     * are deliberately no compiled-in endpoint/model defaults (see the class
-    * doc; public example values live in `.env.example`). Optional
+    * doc; `.env.example` names the variables and defers to the vendor's
+    * public docs for current values). Optional
     * `GRAFT_<VENDOR>_EXTRA_HEADERS` ("name:value,name:value") carries any
     * vendor version header. The zero-egress gate sets none of these, so no
     * CI path can reach a socket.
     */
   def fromEnv(vendor: String, env: Map[String, String] = sys.env): Option[AiProvider] = {
-    val up = vendor.toUpperCase
+    // Locale.ROOT: "gemini".toUpperCase on a Turkish-locale JVM yields a
+    // dotted İ, and the GRAFT_GEMİNİ_* env lookups would silently miss
+    val up = vendor.toUpperCase(java.util.Locale.ROOT)
     for {
       _     <- env.get("GRAFT_AI_HTTP").filter(_ == "1")
       key   <- env.get(s"GRAFT_${up}_API_KEY").filter(_.nonEmpty)

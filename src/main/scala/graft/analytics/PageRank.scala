@@ -139,8 +139,11 @@ object PageRank {
   // without 64 persisted graphs; production never writes it
   private[graft] var GraphCacheMax = 64
   // LinkedHashMap (always accessed under `synchronized`) so eviction can drop
-  // the single OLDEST entry: a full flush at the bound unpersisted entries
-  // concurrently in use — safe but a recompute cliff (ADVICE r10)
+  // the single LEAST-RECENTLY-USED entry: a full flush at the bound
+  // unpersisted entries concurrently in use — safe but a recompute cliff
+  // (ADVICE r10) — and insertion-order (FIFO) eviction would still evict a
+  // hot graph once it became insertion-oldest under churn, so a hit
+  // refreshes the entry to youngest (remove+put) before returning it
   private type GraphKey =
     (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -166,21 +169,25 @@ object PageRank {
     // synchronized: a lock-free getOrElseUpdate may run the thunk twice under
     // concurrency, and a discarded second persist would be unreleasable
     val (edges, nodes) = graphCache.synchronized {
-      graphCache.getOrElse(key, {
-        if (graphCache.size >= GraphCacheMax) { // bound memory: evict oldest
-          val (oldKey, (oldE, oldNd)) = graphCache.head
-          oldE.unpersist(blocking = false); oldNd.unpersist(blocking = false)
-          graphCache.remove(oldKey)
-        }
-        val nd = nodesIn.select(col("node")).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val e = edgesIn.select(col("src"), col("dst"), col("w"))
-          .join(edgesIn.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
-          .repartition(col("src"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        graphCache.put(key, (e, nd))
-        (e, nd)
-      })
+      graphCache.remove(key) match {
+        case Some(hit) =>
+          graphCache.put(key, hit) // refresh to youngest: LRU, not FIFO
+          hit
+        case None =>
+          if (graphCache.size >= GraphCacheMax) { // bound memory: evict LRU
+            val (oldKey, (oldE, oldNd)) = graphCache.head
+            oldE.unpersist(blocking = false); oldNd.unpersist(blocking = false)
+            graphCache.remove(oldKey)
+          }
+          val nd = nodesIn.select(col("node")).distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val e = edgesIn.select(col("src"), col("dst"), col("w"))
+            .join(edgesIn.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
+            .repartition(col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          graphCache.put(key, (e, nd))
+          (e, nd)
+      }
     }
     val n = nodes.count()
     require(n > 0, "pageRankGraph needs a non-empty graph")

@@ -58,11 +58,23 @@ object MediaOps {
     * pipeline can quarantine instead of failing the partition.
     */
   object ImageIoDecoder extends Serializable {
-    def decode(bytes: Array[Byte]): Option[ImageStats] = {
-      val img =
-        try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
-        catch { case scala.util.control.NonFatal(_) => None }
-      img.map { im =>
+    /** The single accept/reject predicate both [[canDecode]] and [[decode]]
+      * sit on: a payload is decodable iff the JDK reader returns a non-null
+      * image without throwing.
+      */
+    private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Decodability alone — the identical predicate [[decode]] maps over,
+      * WITHOUT the per-pixel channel-sum pass, for consumers (quarantine
+      * counts) that only need the accept/reject bit. At a real media corpus
+      * that saves a full raster pass per image.
+      */
+    def canDecode(bytes: Array[Byte]): Boolean = readImage(bytes).isDefined
+
+    def decode(bytes: Array[Byte]): Option[ImageStats] =
+      readImage(bytes).map { im =>
         var (sr, sg, sb) = (0L, 0L, 0L)
         var y = 0
         while (y < im.getHeight) {
@@ -78,7 +90,6 @@ object MediaOps {
         }
         ImageStats(im.getWidth, im.getHeight, sr, sg, sb)
       }
-    }
   }
 
   /** Per-partition featurization: (id, payload) → (id, feature vector).
@@ -105,25 +116,42 @@ object MediaOps {
   }
 
   /** Real image decode over a binary column, in the same per-partition seam
-    * as [[featurize]]: (id, payload) → (id, width, height, sum_r, sum_g,
-    * sum_b). Undecodable payloads are dropped — quarantine semantics whose
-    * counts [[mediaQuarantine]] declares under the hash gate (the JSONL
-    * `_corrupt_record` discipline: the drop path is observable, not silent).
-    * The decode is CPU-bound per row with no shuffle: at 100 TB this scales
-    * embarrassingly with input splits.
+    * as [[featurize]]: (id, carry..., payload) → (id, carry..., width,
+    * height, sum_r, sum_g, sum_b). `carryCols` ride THROUGH the seam so no
+    * caller needs a join-back (at a corpus-scale media table the join-back's
+    * "small" side is corpus-sized too) — this is THE decode seam;
+    * [[mediaDecode]] is it with `kind` carried. Undecodable payloads are
+    * dropped — quarantine semantics whose counts [[mediaQuarantine]]
+    * declares under the hash gate (the JSONL `_corrupt_record` discipline:
+    * the drop path is observable, not silent). The decode is CPU-bound per
+    * row with no shuffle: at 100 TB this scales embarrassingly with input
+    * splits.
     */
-  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // javax.imageio's reader registry is JVM-global — nothing per-row to init
-        it.flatMap { case (id, bytes) =>
-          ImageIoDecoder.decode(bytes).map(s => (id, s.width, s.height, s.sumR, s.sumG, s.sumB))
-        }
+  def decodeImages(df: DataFrame, idCol: String, binCol: String,
+                   carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val input = df.select(
+      (col(idCol).cast("long").as(idCol) +: carryCols.map(col)) :+
+        col(binCol).cast("binary").as(binCol): _*)
+    val outSchema = StructType(
+      input.schema.fields.dropRight(1) ++ Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("sum_r", LongType, nullable = false),
+        StructField("sum_g", LongType, nullable = false),
+        StructField("sum_b", LongType, nullable = false)))
+    input.mapPartitions { it =>
+      // javax.imageio's reader registry is JVM-global — nothing per-row to init
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](row.length - 1)
+        ImageIoDecoder.decode(bytes).map(s =>
+          // Seq[Any]: a bare Seq would numerically WIDEN the Int dims to Long
+          // next to the Long sums, and the row encoder rejects Long-for-INT
+          Row.fromSeq(row.toSeq.dropRight(1) ++
+            Seq[Any](s.width, s.height, s.sumR, s.sumG, s.sumB)))
       }
-      .toDF(idCol, "width", "height", "sum_r", "sum_g", "sum_b")
+    }(Encoders.row(outSchema))
   }
 
   /** Committed fixture of real PNG/BMP payloads + ground-truth stats columns
@@ -146,21 +174,10 @@ object MediaOps {
     * the only shape that stays exchange-free (the sole exchange here is the
     * declared output sort).
     */
-  def mediaDecode(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
-    import spark.implicits._
-    spark.read.parquet(fixturePath)
-      .select(col("media_id").cast("long"), col("kind"), col("payload").cast("binary"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        // same seam as decodeImages; kind carried so no join is needed
-        it.flatMap { case (id, kind, bytes) =>
-          ImageIoDecoder.decode(bytes).map(s =>
-            (id, kind, s.width, s.height, s.sumR, s.sumG, s.sumB))
-        }
-      }
-      .toDF("media_id", "kind", "width", "height", "sum_r", "sum_g", "sum_b")
+  def mediaDecode(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame =
+    decodeImages(spark.read.parquet(fixturePath), "media_id", "payload",
+      carryCols = Seq("kind"))
       .orderBy("media_id")
-  }
 
   def oracleMediaDecode(fixturePath: String = DefaultFixture): String =
     s"""SELECT media_id, kind, true_width AS width, true_height AS height,
@@ -172,11 +189,13 @@ object MediaOps {
     * `decodable` ground truth — so a decoder that silently drops a good
     * payload OR accepts a corrupt one hash-mismatches (VERDICT r10 ask #3:
     * the drop path of [[decodeImages]] is under the gate, not silent).
-    * ONE pass, NO join: the accept/reject decision ([[ImageIoDecoder]], the
-    * identical predicate [[decodeImages]] flatMaps on) is computed per row
-    * in the decode seam and count-aggregated map-side — |kinds| rows cross
-    * the exchange. The join-back alternative would broadcast a corpus-sized
-    * decoded-id relation at a 100 TB media table.
+    * ONE pass, NO join: the accept/reject decision
+    * ([[ImageIoDecoder.canDecode]] — the identical readImage predicate
+    * [[decodeImages]] maps over, minus the per-pixel sum pass this query
+    * never consumes) is computed per row in the decode seam and
+    * count-aggregated map-side — |kinds| rows cross the exchange. The
+    * join-back alternative would broadcast a corpus-sized decoded-id
+    * relation at a 100 TB media table.
     */
   def mediaQuarantine(spark: SparkSession, fixturePath: String = DefaultFixture): DataFrame = {
     import spark.implicits._
@@ -185,7 +204,7 @@ object MediaOps {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (kind, bytes) =>
-          (kind, if (ImageIoDecoder.decode(bytes).isDefined) 1L else 0L)
+          (kind, if (ImageIoDecoder.canDecode(bytes)) 1L else 0L)
         }
       }
       .toDF("kind", "ok")

@@ -146,6 +146,16 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     corrupt.foreach { r =>
       assert(MediaOps.ImageIoDecoder.decode(r.payload).isEmpty,
         s"corrupt media ${r.media_id} (${r.kind}) unexpectedly decoded")
+      assert(!MediaOps.ImageIoDecoder.canDecode(r.payload),
+        s"canDecode must agree with decode on corrupt media ${r.media_id}")
+    }
+    // canDecode (the sum-free predicate quarantine counts ride on) must agree
+    // with decode on GOOD payloads too — same readImage, by construction
+    graft.multimodal.MediaFixtureGen.rows(4).foreach { r =>
+      assert(MediaOps.ImageIoDecoder.canDecode(r.payload) ==
+        MediaOps.ImageIoDecoder.decode(r.payload).isDefined)
+      assert(MediaOps.ImageIoDecoder.canDecode(r.payload),
+        s"good media ${r.media_id} (${r.kind}) must be decodable")
     }
     val fx = new java.io.File(MediaOps.DefaultFixture)
     assume(fx.exists, s"committed fixture missing at $fx")

@@ -150,6 +150,37 @@ class R11hOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankGraph cache is LRU, not FIFO: a hit refreshes, so churn evicts the least-recently-USED (r11)") {
+    PageRank.clearCache()
+    val oldBound = PageRank.GraphCacheMax
+    PageRank.GraphCacheMax = 3
+    try {
+      def graph(tag: Int) = (
+        Seq((s"a$tag", s"b$tag", 1L)).toDF("src", "dst", "w"),
+        Seq(s"a$tag", s"b$tag").toDF("node")
+      )
+      def key(e: org.apache.spark.sql.DataFrame, n: org.apache.spark.sql.DataFrame): Any =
+        (spark.sparkContext.applicationId,
+          e.queryExecution.analyzed.canonicalized,
+          n.queryExecution.analyzed.canonicalized)
+      val gs = (1 to 4).map(graph)
+      gs.take(3).foreach { case (e, n) => PageRank.pageRankGraph(spark, e, n, iters = 1).count() }
+      // re-hit the insertion-OLDEST graph: under FIFO it would still be evicted
+      // next; under LRU the hit refreshes it and graph 2 becomes the victim
+      PageRank.pageRankGraph(spark, gs(0)._1, gs(0)._2, iters = 1).count()
+      PageRank.pageRankGraph(spark, gs(3)._1, gs(3)._2, iters = 1).count()
+      val keys = PageRank.cacheKeys
+      assert(keys.size == 3)
+      assert(keys.contains(key(gs(0)._1, gs(0)._2)),
+        "the hot (re-hit) graph must survive churn — FIFO would evict it and re-persist the corpus-sized relation")
+      assert(!keys.contains(key(gs(1)._1, gs(1)._2)), "the true LRU entry is the victim")
+      assert(keys.contains(key(gs(2)._1, gs(2)._2)) && keys.contains(key(gs(3)._1, gs(3)._2)))
+    } finally {
+      PageRank.GraphCacheMax = oldBound
+      PageRank.clearCache()
+    }
+  }
+
   test("pageRankGraph handles a vertex set the bounded variant refuses (r10)") {
     // a 3x-over-cap chain graph: node i -> i+1, all weight 1
     val n = (PageRank.MaxBoundedVertices * 3).toInt

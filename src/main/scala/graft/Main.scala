@@ -28,7 +28,7 @@ object Main {
 
   /** Extension-dispatched reader over the library's source layer. */
   private[graft] def readAny(spark: SparkSession, path: String): DataFrame = {
-    val lower = path.toLowerCase
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".csv")) graft.io.Sources.readCsv(spark, path)
     else if (lower.endsWith(".jsonl") || lower.endsWith(".json")) graft.io.Sources.readJsonl(spark, path)
     else graft.io.Sources.readParquet(spark, path)
@@ -55,21 +55,32 @@ object Main {
     replay.toSeq ++ http
   }
 
+  /** The env-driven engine choice shared by the CLI and [[graft.serve.ProfileServer]]:
+    * any configured provider (replay or fully-gated HTTP) → hybrid, none (the
+    * default, and always the zero-egress gate) → pattern-only. One factory so
+    * the two surfaces cannot drift.
+    */
+  private[graft] def engineFor(
+      providers: Seq[graft.ai.AiProvider]
+  ): DataFrame => graft.model.ClassificationResult =
+    if (providers.nonEmpty) {
+      val h = new graft.hybrid.HybridEngine(
+        graft.hybrid.HybridConfig(enableAi = true),
+        Some(new graft.ai.AiClassifier(providers))
+      )
+      h.analyzeDataFrame
+    } else {
+      val e = new graft.engine.ProfilerEngine()
+      e.analyzeDataFrame
+    }
+
   /** The `profile` subcommand body, factored out of main so the spec can run
     * it against an existing session; returns the profile table it printed.
     * Runs the hybrid engine when any AI provider is configured in the
     * environment (replay or fully-configured gated HTTP), else pure pattern.
     */
   private[graft] def runProfile(spark: SparkSession, path: String, summary: Boolean): DataFrame = {
-    val providers = aiProviders()
-    val result =
-      if (providers.nonEmpty)
-        new graft.hybrid.HybridEngine(
-          graft.hybrid.HybridConfig(enableAi = true),
-          Some(new graft.ai.AiClassifier(providers))
-        ).analyzeDataFrame(readAny(spark, path))
-      else
-        new graft.engine.ProfilerEngine().analyzeDataFrame(readAny(spark, path))
+    val result = engineFor(aiProviders())(readAny(spark, path))
     val table  = graft.engine.ProfilerEngine.profilesToDF(spark, result.columnProfiles)
     println(s"Profile of $path (${result.columnProfiles.size} columns, " +
       f"method=${result.classificationMethod}, overall confidence=${result.overallConfidence}%.2f):")

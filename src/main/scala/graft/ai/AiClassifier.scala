@@ -25,8 +25,12 @@ final class AiClassifier(
     statsConfig: StatsPass.Config = StatsPass.Config(withSamples = true, sampleK = 10)
 ) {
 
-  @volatile private var providerSuccesses: Map[String, Long] =
-    providers.map(_.name -> 0L).toMap
+  // AtomicLong per provider (not read-copy-update of an immutable map): the
+  // per-column path may be mapped over columns in parallel (same reasoning as
+  // HybridEngine's counters, ADVICE r1) and a lost increment would misreport
+  // mostSuccessfulProvider
+  private val providerSuccesses: Map[String, java.util.concurrent.atomic.AtomicLong] =
+    providers.map(_.name -> new java.util.concurrent.atomic.AtomicLong).toMap
 
   def hasProviders: Boolean = providers.exists(_ != NoopProvider)
 
@@ -35,7 +39,7 @@ final class AiClassifier(
     val prompt = AiPrompt.create(stats.name, stats.sampleValues, stats)
     providers.iterator.flatMap { p =>
       p.complete(prompt).flatMap(AiResponseParser.parse).map { v =>
-        providerSuccesses = providerSuccesses.updatedWith(p.name)(c => Some(c.getOrElse(0L) + 1))
+        providerSuccesses(p.name).incrementAndGet()
         (p.name, v)
       }
     }.nextOption()
@@ -79,10 +83,14 @@ final class AiClassifier(
       case None         => basicProfile(stats)
     }
 
-  /** `_get_most_successful_provider` (spec from `ai_classifier.py:103,108`). */
+  /** `_get_most_successful_provider` (spec from `ai_classifier.py:103,108`).
+    * Ties break by the configured provider priority order (deterministic —
+    * a Map's iteration order is not).
+    */
   def mostSuccessfulProvider: Option[String] = {
-    val nonZero = providerSuccesses.filter(_._2 > 0)
-    if (nonZero.isEmpty) None else Some(nonZero.maxBy(_._2)._1)
+    val counts = providers.map(p => p.name -> providerSuccesses(p.name).get())
+    val best = counts.maxByOption(_._2).map(_._2).getOrElse(0L)
+    if (best <= 0L) None else counts.collectFirst { case (n, c) if c == best => n }
   }
 
   /** `analyze_dataframe` (AI path, `ai_classifier.py:78-114`). */

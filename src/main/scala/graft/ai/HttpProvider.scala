@@ -68,6 +68,10 @@ final class HttpProvider(
     * Extra-header keys are lowercased HERE, not only in [[parseHeaders]], so
     * the last-wins guarantee holds for direct-constructor callers too — a
     * mixed-case 'X-Api-Key' must not ride the wire next to the real key.
+    * content-type gets the same applied-last protection as auth: every
+    * vendor body here IS application/json, and a stray content-type pair in
+    * EXTRA_HEADERS (a pasted curl block) would otherwise 4xx into the same
+    * silent pattern-only degrade.
     */
   private[ai] def requestHeaders: Map[String, String] = {
     val auth = name match {
@@ -75,8 +79,8 @@ final class HttpProvider(
       case "openai" => Map("authorization" -> s"Bearer $apiKey")
       case "gemini" => Map("x-goog-api-key" -> apiKey)
     }
-    Map("content-type" -> "application/json") ++
-      extraHeaders.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v } ++ auth
+    extraHeaders.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v } ++
+      Map("content-type" -> "application/json") ++ auth
   }
 
   /** The vendor wire shape for one user-role prompt (mirrors the reference's

@@ -62,7 +62,7 @@ object OracleGen {
     * with name-derived booleans pre-evaluated for this column.
     */
   private def dataTypeCase(colName: String): String = {
-    val lower = colName.toLowerCase
+    val lower = colName.toLowerCase(java.util.Locale.ROOT)
     val hasIdName = PatternRules.identifierNameKeywords.exists(lower.contains)
     val hasId     = lower.contains("id")
     val Seq(email, date, phone, numeric, boolean) = typeBanks
@@ -88,7 +88,7 @@ object OracleGen {
     * stats. Mirror of `PatternRules.profileColumn`.
     */
   private def profileSelect(table: String, colName: String, isMap: Boolean): String = {
-    val lower = colName.toLowerCase
+    val lower = colName.toLowerCase(java.util.Locale.ROOT)
     val hasPkName  = PatternRules.primaryKeyNameKeywords.exists(lower.contains)
     val hasBizName = PatternRules.businessKeyNameKeywords.exists(lower.contains)
     val staticPii =

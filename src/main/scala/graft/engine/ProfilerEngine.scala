@@ -43,17 +43,21 @@ final case class ProfileRow(
   */
 class ProfilerEngine(val statsConfig: StatsPass.Config = StatsPass.Config()) {
 
-  @volatile private var totalColumnsAnalyzed: Long = 0L
-  @volatile private var successfulClassifications: Long = 0L
-  @volatile private var failedClassifications: Long = 0L
+  // AtomicLong (not @volatile read-modify-write): ProfileServer serves
+  // concurrent requests against one engine, and += on a @volatile loses
+  // increments under contention
+  import java.util.concurrent.atomic.AtomicLong
+  private val totalColumnsAnalyzed      = new AtomicLong
+  private val successfulClassifications = new AtomicLong
+  private val failedClassifications     = new AtomicLong
 
   /** Mutable counters mirroring `BaseClassifier.classification_stats`
     * (`base.py:115-119`).
     */
   def classificationStats: Map[String, Long] = Map(
-    "total_columns_analyzed"     -> totalColumnsAnalyzed,
-    "successful_classifications" -> successfulClassifications,
-    "failed_classifications"     -> failedClassifications
+    "total_columns_analyzed"     -> totalColumnsAnalyzed.get,
+    "successful_classifications" -> successfulClassifications.get,
+    "failed_classifications"     -> failedClassifications.get
   )
 
   /** Measure all columns in one pass. */
@@ -68,16 +72,24 @@ class ProfilerEngine(val statsConfig: StatsPass.Config = StatsPass.Config()) {
 
   /** `PatternClassifier.analyze_dataframe` (`pattern_classifier.py:110-137`):
     * profile every column, isolate failures, constant 0.8 confidence,
-    * method = "pattern_based".
+    * method = "pattern_based". Failure isolation is per COLUMN at the
+    * cascade step (the reference's per-column try/except,
+    * `pattern_classifier.py:119-125`): one column's cascade throwing drops
+    * that column and counts failed_classifications instead of failing the
+    * whole profile. (The one measurement pass is all-or-nothing by
+    * construction — a Spark job failure has no per-column half to salvage.)
     */
   def analyzeDataFrame(df: DataFrame): ClassificationResult = {
     val start = System.nanoTime()
     val stats = computeStats(df)
-    val profiles = stats.map(PatternRules.profileColumn)
+    val profiles = stats.flatMap { s =>
+      try Some(PatternRules.profileColumn(s))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
     val elapsed = (System.nanoTime() - start) / 1e9
-    totalColumnsAnalyzed += df.columns.length
-    successfulClassifications += profiles.size
-    failedClassifications += (df.columns.length - profiles.size)
+    totalColumnsAnalyzed.addAndGet(df.columns.length.toLong)
+    successfulClassifications.addAndGet(profiles.size.toLong)
+    failedClassifications.addAndGet((stats.size - profiles.size).toLong)
     ClassificationResult(
       columnProfiles = profiles,
       processingTime = elapsed,

@@ -163,10 +163,18 @@ final class HybridEngine(
     */
   def analyzeColumn(df: DataFrame, columnName: String): ColumnProfile = {
     val one = df.select(df(s"`${columnName.replace("`", "``")}`"))
-    val s = StatsPass.compute(one, statsConfig).head
+    profileOne(StatsPass.compute(one, statsConfig).head)
+  }
+
+  /** The per-column hybrid step shared by both entry points: pattern cascade,
+    * optional AI consult, merge — one body, so the consultation rule cannot
+    * drift between [[analyzeColumn]] and [[analyzeDataFrame]].
+    */
+  private def profileOne(s: graft.model.ColumnStats): ColumnProfile = {
     val patternProfile = PatternRules.profileColumn(s)
     val aiProfile =
-      if (aiEnabledFlag) ai.flatMap(_.verdictFor(s).map { case (_, v) => ai.get.profileFromVerdict(s, v) })
+      if (aiEnabledFlag)
+        ai.flatMap(a => a.verdictFor(s).map { case (_, v) => a.profileFromVerdict(s, v) })
       else None
     merge(patternProfile, aiProfile)
   }
@@ -177,19 +185,18 @@ final class HybridEngine(
   def analyzeDataFrame(df: DataFrame): ClassificationResult = {
     val start = System.nanoTime()
     val allStats = StatsPass.compute(df, statsConfig)
-    val profiles = allStats.map { s =>
-      val patternProfile = PatternRules.profileColumn(s)
-      val aiProfile =
-        if (aiEnabledFlag) ai.flatMap(_.verdictFor(s).map { case (_, v) =>
-          ai.get.profileFromVerdict(s, v)
-        })
-        else None
-      merge(patternProfile, aiProfile)
-    }
+    val profiles = allStats.map(profileOne)
     val elapsed = (System.nanoTime() - start) / 1e9
     ClassificationResult(
       columnProfiles = profiles,
       processingTime = elapsed,
+      // faithful to the reference (`hybrid_classifier.py:133,138`): the
+      // hybrid result reports the MODE ("hybrid"/"hybrid_ai" whenever AI is
+      // enabled), not the contribution — even a run where every AI call
+      // failed and all columns merged pattern-only says "hybrid_ai".
+      // Per-column contribution lives in hybridStats (patternOnly == total
+      // in that case) and AiClassifier.mostSuccessfulProvider reports the
+      // provider that actually answered.
       aiProviderUsed = if (aiEnabledFlag) Some("hybrid") else None,
       classificationMethod = if (aiEnabledFlag) "hybrid_ai" else "hybrid_pattern_only",
       overallConfidence =

@@ -138,7 +138,7 @@ object PatternRules {
   val lowPiiNameKeywords: Seq[String]    = Seq("first", "last", "city", "state", "zip")
 
   private def nameContainsAny(name: String, keywords: Seq[String]): Boolean = {
-    val lower = name.toLowerCase
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
     keywords.exists(lower.contains)
   }
 
@@ -172,7 +172,7 @@ object PatternRules {
       if (isLikelyIdentifier(stats)) SemanticType.Identifier
       else
         Seq(numericBank, booleanBank).find(bankHits).map(_.semanticType).getOrElse {
-          if (stats.uniqueRatio > 0.95 && stats.name.toLowerCase.contains("id"))
+          if (stats.uniqueRatio > 0.95 && stats.name.toLowerCase(java.util.Locale.ROOT).contains("id"))
             SemanticType.Identifier
           else if (stats.uniqueRatio < 0.1 && stats.nonNullCount > 10)
             SemanticType.BusinessKey
@@ -211,14 +211,14 @@ object PatternRules {
   def suggestedName(columnName: String): String = {
     val collapsed = columnName.replaceAll("[^0-9a-zA-Z]+", "_")
     val snaked    = collapsed.replaceAll("([a-z])([A-Z])", "$1_$2")
-    val lowered   = snaked.toLowerCase
+    val lowered   = snaked.toLowerCase(java.util.Locale.ROOT)
     // Python str.strip('_') semantics: remove leading+trailing underscores.
     lowered.dropWhile(_ == '_').reverse.dropWhile(_ == '_').reverse
   }
 
   /** `_generate_business_meaning` (`pattern_classifier.py:243-258`). */
   def businessMeaning(columnName: String, dataType: SemanticType): String = {
-    val words = columnName.replaceAll("[_\\-]", " ").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = columnName.replaceAll("[_\\-]", " ").toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val joined = words.mkString(" ")
     dataType match {
       case SemanticType.Identifier  => s"Unique identifier for $joined"

@@ -36,7 +36,7 @@ object Bucketing {
   def ensureBucketedTables(spark: SparkSession, dir: String, nBuckets: Int = DefaultBuckets)
       : (String, String) = {
     val suffix =
-      (spark.sparkContext.applicationId + "_" + dir).replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+      (spark.sparkContext.applicationId + "_" + dir).replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase(java.util.Locale.ROOT)
     val liTable  = s"graft_bkt_lineitem_$suffix"
     val ordTable = s"graft_bkt_orders_$suffix"
     val base     = s"/tmp/graft_bucketed/$suffix"

@@ -24,7 +24,8 @@ import graft.model.ColumnProfile
   *     content — the `.env.example` `UPLOAD_DIR`/`MAX_FILE_SIZE` ingestion
   *     path (`.env.example:24-25`). The body is size-capped (`maxUploadBytes`,
   *     read incrementally so an oversize body is rejected with 400 without
-  *     buffering it); content lands under `uploadDir` and is read back
+  *     buffering it); content lands under `uploadDir` (a unique temp file,
+  *     deleted once profiling completes) and is read back
   *     through the [[graft.io.Sources]] readers. Malformed JSONL lines are
   *     QUARANTINED, not crashed on (PERMISSIVE `_corrupt_record`), and the
   *     response reports `{"rows", "quarantined", "profiles"}`; content with
@@ -74,21 +75,29 @@ object ProfileServer {
   private def err(msg: String): String =
     mapper.createObjectNode().put("error", msg).toString
 
+  /** A /profile body only ever carries `{"path": "..."}` — cap its read so a
+    * multi-gigabyte POST body cannot OOM the driver heap the way /upload's
+    * readCapped already prevents there.
+    */
+  private[graft] val MaxProfileBodyBytes: Long = 64L * 1024
+
   private[serve] def pathOf(ex: HttpExchange): Option[String] = {
     val fromQuery = Option(ex.getRequestURI.getRawQuery)
       .flatMap(_.split('&').collectFirst {
         case kv if kv.startsWith("path=") =>
           java.net.URLDecoder.decode(kv.drop(5), "UTF-8")
       })
-    val fromBody =
-      if (ex.getRequestMethod == "POST") {
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        try {
-          val node = mapper.readTree(body)
-          Option(node).filter(_.isObject).map(_.path("path")).filter(_.isTextual).map(_.asText())
-        } catch { case _: Exception => None }
-      } else None
-    fromQuery.orElse(fromBody).filter(_.nonEmpty)
+    def fromBody =
+      if (ex.getRequestMethod == "POST")
+        readCapped(ex.getRequestBody, MaxProfileBodyBytes).flatMap { bytes =>
+          try {
+            val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+            Option(node).filter(_.isObject).map(_.path("path")).filter(_.isTextual).map(_.asText())
+          } catch { case _: Exception => None }
+        }
+      else None
+    // query wins; the body is only read (capped) when the query has no path
+    fromQuery.filter(_.nonEmpty).orElse(fromBody.filter(_.nonEmpty))
   }
 
   /** Default upload size cap — the `.env.example` MAX_FILE_SIZE role. Uploads
@@ -97,8 +106,6 @@ object ProfileServer {
     * socket.
     */
   val DefaultMaxUploadBytes: Long = 16L * 1024 * 1024
-
-  private val uploadCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Read the stream up to `cap` bytes; None once the cap is exceeded (the
     * remainder is not buffered).
@@ -170,21 +177,11 @@ object ProfileServer {
       maxUploadBytes: Long = DefaultMaxUploadBytes,
       uploadDir: String = sys.props("java.io.tmpdir") + "/graft_uploads"
   ): HttpServer = {
-    // same env-configured engine choice as the CLI (`Main.aiProviders`):
-    // replay/env-gated-HTTP providers → hybrid, none (the default,
-    // and always the zero-egress gate) → pattern-only
-    val providers = graft.Main.aiProviders()
+    // the same env-configured engine choice as the CLI, via the ONE shared
+    // factory (`Main.engineFor`) so the two surfaces cannot drift
+    val run = graft.Main.engineFor(graft.Main.aiProviders())
     val engine: DataFrame => Seq[graft.model.ColumnProfile] =
-      if (providers.nonEmpty) {
-        val h = new graft.hybrid.HybridEngine(
-          graft.hybrid.HybridConfig(enableAi = true),
-          Some(new graft.ai.AiClassifier(providers))
-        )
-        df => h.analyzeDataFrame(df).columnProfiles
-      } else {
-        val e = new graft.engine.ProfilerEngine()
-        df => e.analyzeDataFrame(df).columnProfiles
-      }
+      df => run(df).columnProfiles
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     server.createContext("/health", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"status":"ok"}""")
@@ -222,23 +219,32 @@ object ProfileServer {
             try {
               val dir = new java.io.File(uploadDir)
               dir.mkdirs()
+              // createTempFile: unique per request AND across JVM restarts —
+              // a plain counter restarts at 1 after a bounce and silently
+              // overwrites (or races a second server sharing the dir)
               val file =
-                new java.io.File(dir, s"upload_${uploadCounter.incrementAndGet()}.$format")
-              java.nio.file.Files.write(file.toPath, bytes)
-              parseUpload(spark, file.getAbsolutePath, format) match {
-                case None =>
-                  respond(ex, 400, err("no parseable rows in upload"))
-                case Some((df, quarantined, release)) =>
-                  val profiles =
-                    try engine(df)
-                    finally release()
-                  val o = mapper.createObjectNode()
-                  o.put("rows", profiles.headOption.map(_.totalRows).getOrElse(0L))
-                  o.put("quarantined", quarantined)
-                  o.set[com.fasterxml.jackson.databind.JsonNode](
-                    "profiles", mapper.readTree(profilesToJson(profiles)))
-                  respond(ex, 200, mapper.writeValueAsString(o))
-              }
+                java.nio.file.Files.createTempFile(dir.toPath, "upload_", s".$format").toFile
+              try {
+                java.nio.file.Files.write(file.toPath, bytes)
+                parseUpload(spark, file.getAbsolutePath, format) match {
+                  case None =>
+                    respond(ex, 400, err("no parseable rows in upload"))
+                  case Some((df, quarantined, release)) =>
+                    val profiles =
+                      try engine(df)
+                      finally release()
+                    val o = mapper.createObjectNode()
+                    o.put("rows", profiles.headOption.map(_.totalRows).getOrElse(0L))
+                    o.put("quarantined", quarantined)
+                    o.set[com.fasterxml.jackson.databind.JsonNode](
+                      "profiles", mapper.readTree(profilesToJson(profiles)))
+                    respond(ex, 200, mapper.writeValueAsString(o))
+                }
+              } finally
+                // profiling is complete (engine() is eager) — without this a
+                // long-running service accumulates 16MB files until the tmp
+                // filesystem fills
+                file.delete()
             } catch {
               case e: Exception =>
                 respond(ex, 500, err(s"${e.getClass.getSimpleName}: " +

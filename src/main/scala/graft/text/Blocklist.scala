@@ -31,7 +31,7 @@ object Blocklist {
       "phrases must be non-empty and quote-free")
     val docs = graft.Tables.widen(docs0)
     val hitTerms = phrases.map { p =>
-      val lit = p.toLowerCase
+      val lit = p.toLowerCase(java.util.Locale.ROOT)
       s"(length(lower(text)) - length(replace(lower(text), '$lit', ''))) div ${lit.length}"
     }
     docs
@@ -45,7 +45,7 @@ object Blocklist {
   /** DuckDB twin of [[blocklistHits]] — the same replace-length identity. */
   def oracleBlocklistHits(phrases: Seq[String]): String = {
     val terms = phrases.map { p =>
-      val lit = p.toLowerCase
+      val lit = p.toLowerCase(java.util.Locale.ROOT)
       s"(length(lower(text)) - length(replace(lower(text), '$lit', ''))) // ${lit.length}"
     }
     s"""SELECT doc_id,

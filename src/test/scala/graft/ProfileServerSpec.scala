@@ -120,4 +120,33 @@ class ProfileServerSpec extends AnyFunSuite {
     assert(call("/upload?format=csv", "POST", Some(""))._1 == 400)
     assert(call("/upload?format=csv")._1 == 405)
   }
+
+  test("uploaded files are deleted after profiling — the service doesn't fill the disk (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upload_spec").toFile
+    val s = graft.serve.ProfileServer.start(spark, port = 0, uploadDir = dir.getAbsolutePath)
+    try {
+      val b = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val conn = URI.create(s"$b/upload?format=csv").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write("a,b\n1,x\n2,y\n".getBytes(StandardCharsets.UTF_8))
+      finally os.close()
+      assert(conn.getResponseCode == 200)
+      val leftovers = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      assert(leftovers.isEmpty, s"upload left files behind: ${leftovers.mkString(", ")}")
+    } finally s.stop(0)
+  }
+
+  test("POST /profile body is size-capped; a query path wins without reading the body (r11)") {
+    // over-cap body with no query path: rejected 400, never buffered whole
+    val big = "x" * (graft.serve.ProfileServer.MaxProfileBodyBytes.toInt + 1024)
+    assert(call("/profile", "POST", Some(big))._1 == 400)
+    // path in the query: the (garbage) body is never consulted
+    val (status, body) =
+      call("/profile?path=/root/testdata/sf0.001/region.parquet", "POST", Some("NOT JSON {{{"))
+    assert(status == 200, body)
+    assert(mapper.readTree(body).size() == 2)
+  }
 }

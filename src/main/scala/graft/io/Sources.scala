@@ -21,24 +21,42 @@ object Sources {
   /** CSV reader. `schema=None` infers (extra scan — small inputs only);
     * header defaults on, matching the pandas `to_csv/read_csv` round-trip
     * semantics of the reference fixture.
+    *
+    * `multiLine=false` (the default) keeps the read SPLITTABLE — at 100 TB
+    * each file splits into line-boundary partitions. A value containing an
+    * embedded newline is only parseable with `multiLine=true`, which forces
+    * one task per file: that is the CSV format's trade-off, not this
+    * reader's — [[csvRoundTrip]] passes it so the identity contract holds
+    * on any text, and pipelines with newline-bearing text should interchange
+    * via JSONL/parquet instead.
     */
   def readCsv(
       spark: SparkSession,
       path: String,
       schema: Option[StructType] = None,
-      header: Boolean = true
+      header: Boolean = true,
+      multiLine: Boolean = false
   ): DataFrame = {
     val base = spark.read
       .option("header", header.toString)
       .option("nullValue", "")
+      .option("multiLine", multiLine.toString)
     schema match {
       case Some(s) => base.schema(s).csv(path)
       case None    => base.option("inferSchema", "true").csv(path)
     }
   }
 
+  /** CSV writer. The writer's whitespace-trim options default ON in Spark —
+    * they would silently rewrite " hello " as "hello" and break the
+    * round-trip identity — so they are pinned off: what goes in comes out.
+    */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   def writeParquet(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -154,7 +172,10 @@ object Sources {
     */
   def csvRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
     writeCsv(df, path)
-    readCsv(df.sparkSession, path, Some(df.schema)).orderBy(orderCol)
+    // multiLine: embedded newlines are quoted on write and must be parsed as
+    // one record on read — without it the reader splits them into malformed
+    // extra rows (identity broken the first time the corpus contains one)
+    readCsv(df.sparkSession, path, Some(df.schema), multiLine = true).orderBy(orderCol)
   }
 
   /** Schema-evolution round-trip: batch 1 is written WITHOUT `dropCol`

@@ -43,21 +43,16 @@ object StreamCdc {
   def streamingCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.load(spark, dir, "orders").schema
 
-    val sess = spark.newSession()
-    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
-    sess.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    val sess = StreamSession.cloned(spark, StreamShufflePartitions)
 
-    val changes = sess.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
-      .select(
-        col("o_custkey"),
-        col("o_orderkey").as("seq"),
-        when(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
-        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")
-      )
+    // the changelog projection is the batch twin's OWN, not an inline copy:
+    // both declared queries share one oracle, so the key/seq mapping and the
+    // tombstone predicate must be one body (r11 review)
+    val changes = graft.cdc.ChangeCapture.ordersChangelog(
+      sess.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir))
 
     val snapshot = changes
       .groupBy(col("o_custkey"))

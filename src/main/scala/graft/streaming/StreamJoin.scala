@@ -83,18 +83,8 @@ object StreamJoin {
 
     // a stream-stream join instantiates one state store PER SHUFFLE PARTITION
     // per side per microbatch — the partition count is a throughput knob, not
-    // a session constant. Run the stream in a cloned session (shared
-    // SparkContext, isolated SQLConf): sizing the stateful shuffle to the
-    // stream then can't re-plan a query planned concurrently on the caller's
-    // session. Only the parquet-nanos legacy flag is carried over.
-    val sess = spark.newSession()
-    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
-    // NTZ→TIMESTAMP decode is zone-sensitive: pin the clone to the caller's
-    // (UTC-pinned) session zone so the adaptive ts branch stays exact
-    sess.conf.set("spark.sql.session.timeZone",
-      spark.conf.get("spark.sql.session.timeZone", "UTC"))
-    sess.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
+    // a session constant; see StreamSession for the shared clone recipe
+    val sess = StreamSession.cloned(spark, StreamShufflePartitions)
 
     def source(): DataFrame = graft.Tables.normalizeEventTs(
       sess.readStream

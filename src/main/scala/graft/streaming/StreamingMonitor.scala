@@ -19,8 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * |event types| keys × O(windowDays) longs is the whole state store.
   *
   * Agreement with the batch twin is spec-asserted (same fixture, sealed
-  * days only): the batch form is the DuckDB-oracled declaration
-  * (`anomalies_events`), this is the deployment shape for an unbounded feed.
+  * days only) and holds under arrival disorder bounded by the watermark
+  * delay — a later-than-that event is engine-dropped (fMGWS pre-filters
+  * late input; spec-pinned) even when its day is still open, so size the
+  * delay to the feed's real disorder. The batch form is the DuckDB-oracled
+  * declaration (`anomalies_events`); this is the deployment shape for an
+  * unbounded feed.
   */
 object StreamingMonitor {
 
@@ -99,8 +103,16 @@ object StreamingMonitor {
       park(next)
       return out.iterator
     }
-    // fMGWS does not pre-drop watermark-late rows; admitting one would
-    // mutate a day the batch twin considers closed
+    // Watermark-late rows never reach this function: fMGWS under
+    // EventTimeTimeout drops input below the watermark BEFORE the state fn
+    // runs (spec-pinned — StreamingMonitorSpec feeds one and observes the
+    // drop). The filter here mirrors that engine contract so the sealing
+    // invariant (a day emits exactly once) never rests on an upstream
+    // behavior this file doesn't control. Consequence, and the monitor's
+    // documented contract: batch-twin agreement assumes arrival disorder
+    // bounded by the watermark delay — an event later than that is dropped
+    // even when its day has not yet sealed, the standard watermark trade-off
+    // (size the delay to the feed's real disorder in production).
     val st0 = state.getOption.getOrElse(MonitorState(Map.empty, Seq.empty))
     val pending = events
       .filter(_.tMicros >= wmMicros)
@@ -141,14 +153,7 @@ object StreamingMonitor {
     import org.apache.spark.sql.streaming.Trigger
     val path   = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val sess = spark.newSession()
-    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong",
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
-    // NTZ→TIMESTAMP decode is zone-sensitive: pin the clone to the caller's
-    // (UTC-pinned) session zone so the adaptive ts branch stays exact
-    sess.conf.set("spark.sql.session.timeZone",
-      spark.conf.get("spark.sql.session.timeZone", "UTC"))
-    sess.conf.set("spark.sql.shuffle.partitions", StreamJoin.StreamShufflePartitions.toString)
+    val sess = StreamSession.cloned(spark, StreamJoin.StreamShufflePartitions)
     val stream = graft.Tables.normalizeEventTs(
       sess.readStream
         .schema(schema)

@@ -12,10 +12,15 @@ import org.apache.spark.sql.types.DecimalType
   * path re-expressed as watermarked windowed aggregation).
   *
   * The declared query runs the stream to completion with
-  * `Trigger.AvailableNow` — identical semantics to the batch equivalent, so
-  * it is DuckDB-oracle-checkable (`time_bucket`) — while the SAME unbounded
-  * plan deployed with a processing-time trigger is the production shape:
-  * watermark bounds state, windows emit incrementally.
+  * `Trigger.AvailableNow` in Complete output mode — identical semantics to
+  * the batch equivalent, so it is DuckDB-oracle-checkable (`time_bucket`).
+  * The production shape for an unbounded feed changes the trigger AND the
+  * output mode: under Complete the watermark evicts nothing (every window
+  * ever seen stays in state and the whole result replays into the sink each
+  * micro-batch — fine for a finite AvailableNow run, unbounded growth on a
+  * real feed), whereas Append emits each window once when the watermark
+  * seals it and evicts its state ([[StreamingMonitor]] is that discipline,
+  * declared and oracle-gated).
   *
   * Cross-engine numerics: event values sum as DECIMAL(18,6) (the data is
   * exactly 6-decimal, so decimal summation is exact and order-free — double

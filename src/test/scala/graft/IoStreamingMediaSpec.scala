@@ -60,6 +60,22 @@ class IoStreamingMediaSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("CSV round-trip preserves surrounding whitespace and embedded newlines (r11)") {
+    // writer trim options default ON in Spark and the reader needs multiLine
+    // to reassemble quoted newlines — both now pinned by Sources; this is
+    // the text that used to corrupt silently
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val d = Seq(
+      (1L, " leading and trailing "),
+      (2L, "embedded\nnewline"),
+      (3L, "quote\" and ,comma"),
+      (4L, "\ttabs\t")
+    ).toDF("id", "text")
+    val got  = graft.io.Sources.csvRoundTrip(d, tmp, "id").collect().toSeq
+    val want = d.orderBy("id").collect().toSeq
+    assert(got == want, s"round-trip drifted: $got")
+  }
+
   test("JSONL round-trip preserves rows; malformed lines quarantine, not crash") {
     val df = Seq(
       (1L, "hello world", "en"),

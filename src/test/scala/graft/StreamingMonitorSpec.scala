@@ -51,7 +51,16 @@ class StreamingMonitorSpec extends AnyFunSuite {
       assert(spark.table(name).count() == 20)
       assert(spark.table(name).where("day = 11").count() == 0) // spike day still open
 
-      // batch 2: a far-future sentinel pushes the watermark past day 10's
+      // batch 2: a WATERMARK-LATE event for x's still-open spike day (its ts
+      // is below the batch-1 watermark, though day 10 has not sealed). The
+      // engine drops it BEFORE the state fn runs (fMGWS under
+      // EventTimeTimeout pre-filters late input) — this batch pins that
+      // contract: the sealed count below stays 30, and batch-twin agreement
+      // therefore assumes disorder bounded by the watermark delay
+      input.addData((ts(10, 0), "x"))
+      q.processAllAvailable()
+
+      // batch 3: a far-future sentinel pushes the watermark past day 10's
       // end; x and y get NO new data — day 10 seals purely by timeout, and
       // the spike must flag
       input.addData((ts(40, 0), "zz"))
@@ -62,9 +71,13 @@ class StreamingMonitorSpec extends AnyFunSuite {
         .map(r => (r.event_type, r.day) -> ((r.n_events, r.baseline_n, r.is_anomaly)))
         .toMap
       assert(streamed.size == 22)
+      assert(streamed(("x", 11L))._1 == 30L,
+        "a watermark-late event is dropped by the engine even though its day was still open (the documented contract)")
       assert(streamed(("x", 11L))._3, "the sealed spike day must flag")
 
-      // full-row agreement with the oracled batch twin on the same fixture
+      // full-row agreement with the oracled batch twin on the WATERMARK-
+      // BOUNDED fixture (the dropped late row excluded — agreement is
+      // contracted only under disorder within the watermark delay)
       val batchDf = fixture.toDF("ts", "event_type")
         .withColumn("user_id", org.apache.spark.sql.functions.lit(1L))
       val batch = EventOps.dailyAnomalies(batchDf, windowDays = 28, z = 3, minBaseline = 7)

@@ -34,13 +34,21 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
 object BottomKSketch {
 
   /** The deterministic per-row sample gate: md5 over the concatenated key
-    * columns plus a salt.
+    * columns plus a salt. Callers pass a UNIQUE row key: duplicate keys
+    * share one hash, making the inclusion of ties at the k boundary
+    * engine-arbitrary (Spark's and DuckDB's LIMIT would each pick their
+    * own), which breaks the cross-engine reproducibility contract.
     */
   private def hashCol(keyCols: Seq[String], salt: String) =
     md5(concat(concat_ws("_", keyCols.map(c => col(c).cast("string")): _*), lit(":" + salt))
       .cast("binary"))
 
-  /** The k sample rows (value columns only), chosen by smallest hash. */
+  /** The k sample rows (value columns only), chosen by smallest hash. Rows
+    * with ANY null key column are excluded on BOTH engines: Spark's
+    * concat_ws would skip the null where DuckDB's `||` propagates it (NULL
+    * hash, NULLS-LAST out of the LIMIT), so without the shared exclusion
+    * the two engines would draw different samples (r11 review).
+    */
   def bottomKSample(
       df: DataFrame,
       keyCols: Seq[String],
@@ -49,6 +57,7 @@ object BottomKSketch {
       salt: String
   ): DataFrame =
     graft.Tables.widen(df)
+      .where(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
       .select((cols.map(col) :+ hashCol(keyCols, salt).as("__h")): _*)
       .orderBy(col("__h"))
       .limit(k)
@@ -66,6 +75,8 @@ object BottomKSketch {
       salt: String = "qsk"
   ): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "sketchQuantiles needs columns and probabilities")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probabilities must lie in [0, 1] (got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")})")
     val spark  = df.sparkSession
     val sample = bottomKSample(df, keyCols, cols, k, salt).collect()
     val rows = for {
@@ -118,8 +129,10 @@ object BottomKSketch {
         }
       }
       .mkString("\nUNION ALL\n")
+    val keyNotNull = keyCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
     s"""WITH s AS (
        |  SELECT ${cols.mkString(", ")} FROM $table
+       |  WHERE $keyNotNull
        |  ORDER BY md5($keyExpr || ':$salt') LIMIT $k)
        |$arms
        |ORDER BY column_name, q_r""".stripMargin

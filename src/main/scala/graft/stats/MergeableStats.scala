@@ -2,7 +2,6 @@ package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
 
 import graft.model.ColumnStats
 import graft.pattern.PatternRules
@@ -28,30 +27,21 @@ import graft.pattern.PatternRules
   */
 object MergeableStats {
 
-  private def rawCol(f: StructField): Column = col(s"`${f.name.replace("`", "``")}`")
-
   /** Per-slice partial profile: one row per `sliceCol` value carrying every
     * column's mergeable state. Persist this (tiny — one row per slice) next
     * to the data; re-profiling a slice replaces its row.
+    *
+    * The nn + pattern-match aggregates are [[StatsPass.patternAggsFor]] —
+    * StatsPass's OWN construction, not a copy — so the merged profile and
+    * the full-scan profile can never disagree on pattern-bank semantics
+    * (r11 review); only the HLL sketch column is added here.
     */
   def partials(df: DataFrame, sliceCol: String): DataFrame = {
     val fields = df.schema.fields.toSeq.filter(_.name != sliceCol)
     val aggs: Seq[Column] = count(lit(1)).as("__total") +: fields.zipWithIndex.flatMap {
       case (f, i) =>
-        val raw = rawCol(f)
-        val s   = raw.cast("string")
-        val mask = org.apache.spark.sql.GraftColumnBridge.column(
-          MultiPatternMask(
-            org.apache.spark.sql.GraftColumnBridge.expression(s),
-            PatternRules.measuredPatterns.map(_.regex)
-          )
-        )
-        Seq(
-          count(raw).as(s"c${i}__nn"),
+        StatsPass.patternAggsFor(f, i, StatsPass.Config()) :+
           expr(s"hll_sketch_agg(CAST(${quoted(f.name)} AS STRING))").as(s"c${i}__hll")
-        ) ++ PatternRules.measuredPatterns.zipWithIndex.map { case (p, k) =>
-          sum(shiftright(mask, k).bitwiseAND(lit(1L))).as(s"c${i}__${p.key}")
-        }
     }
     df.groupBy(col(sliceCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object NumericStats {
 
+  /** Backtick-quote an identifier for interpolation into selectExpr/stack
+    * strings — the same escaping StatsPass.rawCol applies through the Column
+    * API; a name containing a backtick must not break the parsed expression.
+    */
+  private def bq(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Single-quote a string literal for the same interpolation sites. */
+  private def sq(s: String): String = s"'${s.replace("'", "''")}'"
+
   /** Per-column numeric envelope over a single scan:
     * (column_name, n_nonnull, min_v, max_v, sum_str), ordered by column.
     */
@@ -47,7 +56,7 @@ object NumericStats {
     }
     val agged = graft.Tables.widen(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols
-      .map(c => s"'$c', `${c}__n`, `${c}__min`, `${c}__max`, `${c}__sum`")
+      .map(c => s"${sq(c)}, ${bq(c + "__n")}, ${bq(c + "__min")}, ${bq(c + "__max")}, ${bq(c + "__sum")}")
       .mkString(", ")
     agged
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_nonnull, min_v, max_v, sum_str)")
@@ -90,7 +99,7 @@ object NumericStats {
     */
   private[graft] def sortedLong(df: DataFrame, cols: Seq[String]): DataFrame = {
     val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }
+      .map { case (c, i) => s"$i, CAST(${bq(c)} AS DOUBLE)" }
       .mkString(", ")
     df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
       .where("v IS NOT NULL")
@@ -123,6 +132,8 @@ object NumericStats {
     */
   def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "quantiles needs columns and probabilities")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probabilities must lie in [0, 1] (got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")})")
     val spark = df.sparkSession
     import spark.implicits._
     val nCols = cols.size
@@ -209,9 +220,9 @@ object NumericStats {
     */
   private[graft] def groupSorted(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
     val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }
+      .map { case (c, i) => s"$i, CAST(${bq(c)} AS DOUBLE)" }
       .mkString(", ")
-    df.selectExpr(s"CAST(`$groupCol` AS STRING) AS grp", s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
+    df.selectExpr(s"CAST(${bq(groupCol)} AS STRING) AS grp", s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
       .where("grp IS NOT NULL AND v IS NOT NULL")
       .repartitionByRange(col("grp"), col("col_idx"), col("v"))
       .sortWithinPartitions("grp", "col_idx", "v")
@@ -219,6 +230,8 @@ object NumericStats {
 
   def groupQuantiles(df: DataFrame, groupCol: String, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "groupQuantiles needs columns and probabilities")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probabilities must lie in [0, 1] (got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")})")
     val spark = df.sparkSession
     import spark.implicits._
     // every group present in the data reports a row per (col, q) — including
@@ -419,7 +432,8 @@ object NumericStats {
     val rows = keep
       .map { c =>
         val (lo, hi) = bounds(c)
-        s"'$c', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE), `${c}__n`, `${c}__below`, `${c}__above`, `${c}__wsum`"
+        s"${sq(c)}, CAST($lo AS DOUBLE), CAST($hi AS DOUBLE), " +
+          s"${bq(c + "__n")}, ${bq(c + "__below")}, ${bq(c + "__above")}, ${bq(c + "__wsum")}"
       }
       .mkString(", ")
     agged
@@ -445,7 +459,8 @@ object NumericStats {
            |FROM $table, (SELECT round(quantile_cont(CAST($c AS DOUBLE), $pLo), 6) AS lo,
            |                     round(quantile_cont(CAST($c AS DOUBLE), $pHi), 6) AS hi
            |              FROM $table) b
-           |GROUP BY b.lo, b.hi""".stripMargin
+           |GROUP BY b.lo, b.hi
+           |HAVING count($c) > 0""".stripMargin
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
@@ -479,8 +494,17 @@ object NumericStats {
   def percentileBuckets(df: DataFrame, c: String, k: Int = 10): DataFrame = {
     require(k >= 2, s"need at least 2 buckets (got $k)")
     val qs = (1 until k).map(_.toDouble / k)
-    val bounds = quantiles(df, Seq(c), qs)
-      .orderBy("q_r").select("value_r").collect().map(_.getDouble(0))
+    val boundRows = quantiles(df, Seq(c), qs).orderBy("q_r").select("value_r").collect()
+    if (boundRows.exists(_.isNullAt(0))) {
+      // an all-null column (or empty table) has no quantile bounds — report
+      // no buckets instead of NPE-ing on the null value_r (the
+      // winsorizedStats convention)
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Double, Double, String)]
+        .toDF("bucket", "n_v", "min_v", "max_v", "sum_str")
+    }
+    val bounds = boundRows.map(_.getDouble(0))
     val v = col(c).cast("double")
     val bucket = bounds.zipWithIndex.foldRight(lit(k)) { case ((b, i), acc) =>
       when(v <= b, lit(i + 1)).otherwise(acc)
@@ -530,7 +554,11 @@ object NumericStats {
         .toMap
     val med  = roundedMedians(df, cols)
     val live = cols.filter(med.contains)
-    require(live.nonEmpty, "madStats: every requested column is entirely null")
+    if (live.isEmpty)
+      // every requested column entirely null (or the table empty): no median
+      // exists anywhere — empty result, matching the oracle's HAVING filter
+      return Seq.empty[(String, Double, Double, Long)]
+        .toDF("column_name", "median_r", "mad_r", "n_outliers")
     val devs = df.select(live.map(c => abs(col(c).cast("double") - med(c)).as(c)): _*)
     val mad  = roundedMedians(devs, live)
     val counts: Map[String, Long] = {
@@ -563,7 +591,8 @@ object NumericStats {
          |    abs(CAST(t.$c AS DOUBLE) - m.med) > ($k * 1.4826) * d.mad) AS BIGINT)
          |    AS n_outliers
          |FROM $table t CROSS JOIN m CROSS JOIN d
-         |GROUP BY m.med, d.mad)""".stripMargin
+         |GROUP BY m.med, d.mad
+         |HAVING m.med IS NOT NULL)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   // --- exact global ranks (the scale-safe ROW_NUMBER-over-everything) --------
@@ -580,21 +609,30 @@ object NumericStats {
     *
     * The percentile share is EXACT integer arithmetic (1000·rank div n),
     * never a float cume_dist.
+    *
+    * Columns keep their NATIVE types end to end — the sort ranks the actual
+    * values (an early cast-to-long would silently collapse 1.2 and 1.9 into
+    * the same rank position on a fractional column; r11 review). Rows with
+    * a null value OR null key are excluded (the key is the tiebreak — a
+    * null there has no defined position).
     */
   def globalRanks(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    import spark.implicits._
     val slim = df
-      .select(col(keyCol).cast("long"), col(valCol).cast("long"))
-      .where(col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol))
+      .where(col(valCol).isNotNull && col(keyCol).isNotNull)
     val total = slim.count() // narrow pre-shuffle scan; bounded driver state
-    slim
-      .orderBy(valCol, keyCol)
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val outSchema = StructType(slim.schema.fields ++ Seq(
+      StructField("pos_rank", LongType, nullable = false),
+      StructField("pct_millis", LongType, nullable = false)))
+    val ranked = slim
+      .orderBy(col(valCol), col(keyCol))
+      .rdd
       .zipWithIndex()
-      .map { case ((k, v), i) => (k, v, i + 1L, 1000L * (i + 1L) / total) }
-      .toDF(keyCol, valCol, "pos_rank", "pct_millis")
-      .orderBy(keyCol)
+      .map { case (r, i) => Row.fromSeq(r.toSeq ++ Seq(i + 1L, 1000L * (i + 1L) / total)) }
+    spark.createDataFrame(ranked, outSchema).orderBy(keyCol)
   }
 
   // --- Benford first-digit audit ---------------------------------------------

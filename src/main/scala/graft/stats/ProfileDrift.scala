@@ -22,6 +22,63 @@ object ProfileDrift {
       newValue: String
   )
 
+  /** One detected difference, carrying BOTH renderings of each side: the
+    * driver-facing `toString` form ([[drift]]) and the engine-portable
+    * `.value`-vocabulary form ([[driftPortableDF]]); ratio drifts carry the
+    * raw doubles. ONE diff core feeds both consumers, so the removed/added/
+    * changed logic and the tolerance rule cannot diverge between the
+    * driver-side diff and the declared portable output (r11 review).
+    */
+  private final case class RawDrift(
+      col: String,
+      change: String,
+      oldStr: String,
+      newStr: String,
+      oldPortable: String,
+      newPortable: String,
+      oldNum: Double,
+      newNum: Double,
+      isRatio: Boolean
+  )
+
+  private def diffCore(
+      before: Seq[ColumnProfile],
+      after: Seq[ColumnProfile],
+      ratioTolerance: Double
+  ): Seq[RawDrift] = {
+    val b = before.map(p => p.originalName -> p).toMap
+    val a = after.map(p => p.originalName -> p).toMap
+    def cat(col: String, change: String, o: (String, String), n: (String, String)) =
+      RawDrift(col, change, o._1, n._1, o._2, n._2, 0.0, 0.0, isRatio = false)
+    val removed = before.filterNot(p => a.contains(p.originalName)).map { p =>
+      cat(p.originalName, "removed", (p.dataType.toString, p.dataType.value), ("", ""))
+    }
+    val added = after.filterNot(p => b.contains(p.originalName)).map { p =>
+      cat(p.originalName, "added", ("", ""), (p.dataType.toString, p.dataType.value))
+    }
+    val changed = after.flatMap { pa =>
+      b.get(pa.originalName).toSeq.flatMap { pb =>
+        val fields = Seq(
+          ("data_type", (pb.dataType.toString, pb.dataType.value), (pa.dataType.toString, pa.dataType.value)),
+          ("pii_level", (pb.piiLevel.toString, pb.piiLevel.value), (pa.piiLevel.toString, pa.piiLevel.value)),
+          ("is_primary_key", (pb.isPrimaryKey.toString, pb.isPrimaryKey.toString),
+            (pa.isPrimaryKey.toString, pa.isPrimaryKey.toString)),
+          ("is_business_key", (pb.isBusinessKey.toString, pb.isBusinessKey.toString),
+            (pa.isBusinessKey.toString, pa.isBusinessKey.toString))
+        ).collect { case (f, o, n) if o._1 != n._1 => cat(pa.originalName, f, o, n) }
+        val ratios = Seq(
+          ("null_ratio", pb.nullRatio, pa.nullRatio),
+          ("unique_ratio", pb.uniqueRatio, pa.uniqueRatio)
+        ).collect {
+          case (f, o, n) if math.abs(o - n) > ratioTolerance =>
+            RawDrift(pa.originalName, f, o.toString, n.toString, "", "", o, n, isRatio = true)
+        }
+        fields ++ ratios
+      }
+    }
+    (removed ++ added ++ changed).sortBy(d => (d.col, d.change))
+  }
+
   /** Field-level differences between `before` and `after`. Ratio shifts
     * below `ratioTolerance` are noise, not drift.
     */
@@ -29,35 +86,8 @@ object ProfileDrift {
       before: Seq[ColumnProfile],
       after: Seq[ColumnProfile],
       ratioTolerance: Double = 0.05
-  ): Seq[Drift] = {
-    val b = before.map(p => p.originalName -> p).toMap
-    val a = after.map(p => p.originalName -> p).toMap
-    val removed = before.filterNot(p => a.contains(p.originalName)).map { p =>
-      Drift(p.originalName, "removed", p.dataType.toString, "")
-    }
-    val added = after.filterNot(p => b.contains(p.originalName)).map { p =>
-      Drift(p.originalName, "added", "", p.dataType.toString)
-    }
-    val changed = after.flatMap { pa =>
-      b.get(pa.originalName).toSeq.flatMap { pb =>
-        val fields = Seq(
-          ("data_type", pb.dataType.toString, pa.dataType.toString),
-          ("pii_level", pb.piiLevel.toString, pa.piiLevel.toString),
-          ("is_primary_key", pb.isPrimaryKey.toString, pa.isPrimaryKey.toString),
-          ("is_business_key", pb.isBusinessKey.toString, pa.isBusinessKey.toString)
-        ).collect { case (f, o, n) if o != n => Drift(pa.originalName, f, o, n) }
-        val ratios = Seq(
-          ("null_ratio", pb.nullRatio, pa.nullRatio),
-          ("unique_ratio", pb.uniqueRatio, pa.uniqueRatio)
-        ).collect {
-          case (f, o, n) if math.abs(o - n) > ratioTolerance =>
-            Drift(pa.originalName, f, o.toString, n.toString)
-        }
-        fields ++ ratios
-      }
-    }
-    (removed ++ added ++ changed).sortBy(d => (d.columnName, d.change))
-  }
+  ): Seq[Drift] =
+    diffCore(before, after, ratioTolerance).map(d => Drift(d.col, d.change, d.oldStr, d.newStr))
 
   def driftDF(
       spark: SparkSession,
@@ -87,33 +117,11 @@ object ProfileDrift {
       ratioTolerance: Double = 0.05
   ): DataFrame = {
     import spark.implicits._
-    val b = before.map(p => p.originalName -> p).toMap
-    val a = after.map(p => p.originalName -> p).toMap
-    val removed = before.filterNot(p => a.contains(p.originalName)).map { p =>
-      (p.originalName, "removed", p.dataType.value, "", 0.0, 0.0)
-    }
-    val added = after.filterNot(p => b.contains(p.originalName)).map { p =>
-      (p.originalName, "added", "", p.dataType.value, 0.0, 0.0)
-    }
-    val changed = after.flatMap { pa =>
-      b.get(pa.originalName).toSeq.flatMap { pb =>
-        val fields = Seq(
-          ("data_type", pb.dataType.value, pa.dataType.value),
-          ("pii_level", pb.piiLevel.value, pa.piiLevel.value),
-          ("is_primary_key", pb.isPrimaryKey.toString, pa.isPrimaryKey.toString),
-          ("is_business_key", pb.isBusinessKey.toString, pa.isBusinessKey.toString)
-        ).collect { case (f, o, n) if o != n => (pa.originalName, f, o, n, 0.0, 0.0) }
-        val ratios = Seq(
-          ("null_ratio", pb.nullRatio, pa.nullRatio),
-          ("unique_ratio", pb.uniqueRatio, pa.uniqueRatio)
-        ).collect {
-          case (f, o, n) if math.abs(o - n) > ratioTolerance =>
-            (pa.originalName, f, "", "", o, n)
-        }
-        fields ++ ratios
+    diffCore(before, after, ratioTolerance)
+      .map { d =>
+        if (d.isRatio) (d.col, d.change, "", "", d.oldNum, d.newNum)
+        else (d.col, d.change, d.oldPortable, d.newPortable, 0.0, 0.0)
       }
-    }
-    (removed ++ added ++ changed)
       .toDF("column_name", "change", "old_str", "new_str", "old_raw", "new_raw")
       .selectExpr(
         "column_name", "change", "old_str", "new_str",

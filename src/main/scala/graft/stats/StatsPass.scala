@@ -361,7 +361,9 @@ object StatsPass {
     * then a shift-and-test sum over the shared mask (null mask rows — null
     * values — are skipped by sum, matching rlike's null semantics).
     */
-  private def patternAggsFor(f: StructField, i: Int, config: Config): Seq[Column] = {
+  // private[stats]: MergeableStats builds its per-slice partials on this exact
+  // construction so merged and full-scan profiles share one pattern-bank body
+  private[stats] def patternAggsFor(f: StructField, i: Int, config: Config): Seq[Column] = {
     val raw = rawCol(f)
     val s   = raw.cast("string")
     val nn  = count(raw).as(s"c${i}__nn")

@@ -33,6 +33,37 @@ class R11fOpsSpec extends AnyFunSuite {
     assert(got == List((1L, 2L, 1000L), (3L, 1L, 500L)))
   }
 
+  test("globalRanks: fractional values rank by TRUE value order, not a long cast (r11)") {
+    // 1.2 < 1.9 but both cast to long 1 — the old cast collapsed them onto
+    // the key tiebreak and ranked 1.9 (key 1) before 1.2 (key 2)
+    val d = Seq((1L, 1.9), (2L, 1.2), (3L, 0.5)).toDF("k", "v")
+    val got = NumericStats.globalRanks(d, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(got == List((1L, 1.9, 3L), (2L, 1.2, 2L), (3L, 0.5, 1L)))
+  }
+
+  test("globalRanks: null keys are excluded (no tiebreak position), shares renormalize (r11)") {
+    val d = Seq((Some(1L), 7L), (None, 9L), (Some(3L), 2L)).toDF("k", "v")
+    val got = NumericStats.globalRanks(d, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toList
+    assert(got == List((1L, 2L, 1000L), (3L, 1L, 500L)))
+  }
+
+  test("quantile edge gates: q outside [0,1] rejected up front; all-null columns degrade, not NPE (r11)") {
+    val allNull = Seq((1L, None: Option[Double]), (2L, None)).toDF("k", "v")
+    intercept[IllegalArgumentException](NumericStats.quantiles(allNull, Seq("v"), Seq(1.5)))
+    intercept[IllegalArgumentException](NumericStats.groupQuantiles(allNull, "k", Seq("v"), Seq(-0.1)))
+    // all-null column: percentileBuckets reports no buckets, madStats no rows
+    assert(NumericStats.percentileBuckets(allNull, "v", k = 4).count() == 0L)
+    assert(NumericStats.madStats(allNull, Seq("v")).count() == 0L)
+  }
+
+  test("bottomKSample: rows with a null key column are excluded, matching the oracle's null-propagating concat (r11)") {
+    val d = Seq((Some(1L), 10.0), (None, 20.0), (Some(3L), 30.0)).toDF("k", "v")
+    val sample = graft.stats.BottomKSketch.bottomKSample(d, Seq("k"), Seq("v"), k = 10, salt = "s")
+    assert(sample.collect().map(_.getDouble(0)).toSet == Set(10.0, 30.0))
+  }
+
   test("lengthRanks: rank order agrees with a driver-side sort of the corpus") {
     val rows = TextOps.lengthRanks(docs).collect()
     assert(rows.length == docs.count())

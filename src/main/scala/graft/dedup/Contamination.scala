@@ -98,8 +98,17 @@ object Contamination {
     val benchSh = DedupOps.shingleDF(docs.join(bench0, Seq("doc_id")))
       .distinct()
       .localCheckpoint()
-    val expected = math.max(benchSh.count(), 1L)
-    val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
+    val nBenchSh = benchSh.count()
+    if (nBenchSh == 0L) {
+      // no benchmark shingles (empty bench slice or all-short docs): nothing
+      // can be contaminated — and bloomFilter() on an empty frame yields a
+      // null-buffer sketch that NPEs on first probe, so return the empty
+      // result directly instead of building one
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "bench_doc_id", "shared")
+    }
+    val bloom = benchSh.stat.bloomFilter("shingle", nBenchSh, fpp)
     val bcast = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
     // corpus side: bench docs excluded BEFORE shingling (cheaper than the

@@ -643,8 +643,12 @@ object DedupOps {
         col("n_truth"),
         col("n_cand"),
         col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall_r"),
-        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision_r")
+        // empty truth/candidate sets (degenerate corpus) → NULL ratio on
+        // both engines, not an ANSI divide-by-zero / NaN divergence
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 6)).as("recall_r"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6)).as("precision_r")
       )
   }
 
@@ -672,8 +676,10 @@ object DedupOps {
        |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
        |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_cand,
        |  CAST(n_hit AS BIGINT) AS n_hit,
-       |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth), 6) AS recall_r,
-       |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM pairs), 6) AS precision_r
+       |  CASE WHEN (SELECT count(*) FROM truth) > 0
+       |       THEN round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM truth), 6) END AS recall_r,
+       |  CASE WHEN (SELECT count(*) FROM pairs) > 0
+       |       THEN round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM pairs), 6) END AS precision_r
        |FROM hit""".stripMargin
 
   def oracleJaccardPairs(threshold: Double = 0.5): String =

@@ -228,7 +228,10 @@ object Sources {
   ): DataFrame = {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
     graft.Tables.widthCacheClear()
-    df.sparkSession.read.parquet(path)
+    // schema pinned from the input: an empty write leaves no partition dirs
+    // and schema inference would fail (UNABLE_TO_INFER_SCHEMA) — the
+    // round-trip of an empty slice is an empty frame, not a crash
+    df.sparkSession.read.schema(df.schema).parquet(path)
       .where(col(partitionCol) === value)
       .select(df.columns.toIndexedSeq.map(col): _*)
       .orderBy(orderCol)

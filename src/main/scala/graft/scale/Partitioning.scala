@@ -298,8 +298,12 @@ object Partitioning {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_distinct)", "__n AS n_rows")
       .select(
         col("column_name"), col("n_rows"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_rows"), 6).as("ndv_ratio"),
-        when(col("n_distinct").cast("double") / col("n_rows") < DictNdvRatio, "dictionary")
+        // n_rows = 0 (empty table) → NULL ratio, 'plain' advice — the
+        // same CASE the oracle carries; an unguarded 0/0 throws under ANSI
+        when(col("n_rows") > 0,
+          round(col("n_distinct").cast("double") / col("n_rows"), 6)).as("ndv_ratio"),
+        when(col("n_rows") > 0 &&
+          col("n_distinct").cast("double") / col("n_rows") < DictNdvRatio, "dictionary")
           .otherwise("plain").as("advice")
       )
       .orderBy("column_name")
@@ -311,8 +315,10 @@ object Partitioning {
       .map { c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
            |  count(DISTINCT $c) AS n_distinct,
-           |  round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 6) AS ndv_ratio,
-           |  CASE WHEN CAST(count(DISTINCT $c) AS DOUBLE) / count(*) < $DictNdvRatio
+           |  CASE WHEN count(*) > 0
+           |       THEN round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 6) END AS ndv_ratio,
+           |  CASE WHEN count(*) > 0
+           |        AND CAST(count(DISTINCT $c) AS DOUBLE) / count(*) < $DictNdvRatio
            |       THEN 'dictionary' ELSE 'plain' END AS advice
            |FROM $table""".stripMargin
       }

@@ -50,7 +50,9 @@ object Pq {
 
   /** Subvector width (dim / M); derived from the data once per call site. */
   private def subDim(emb: DataFrame, m: Int): Int = {
-    val dim = graft.Tables.widen(emb).select(size(col("embedding"))).head().getInt(0)
+    val first = graft.Tables.widen(emb).select(size(col("embedding"))).head(1)
+    require(first.nonEmpty, "PQ training: empty embedding table — nothing to train codebooks on")
+    val dim = first(0).getInt(0)
     require(dim % m == 0, s"PQ: dim $dim not divisible by M=$m")
     dim / m
   }

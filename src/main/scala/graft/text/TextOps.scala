@@ -415,7 +415,10 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .persist()
     try {
-      val total = counts.agg(sum(col("n"))).first().getLong(0)
+      // coalesce: sum over an empty aggregate is NULL, and the share below
+      // guards total = 0 (an empty corpus reports NULL shares on both
+      // engines, not a crash)
+      val total = counts.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
       val top = counts
         .orderBy(col("n").desc, col("token"))
         .limit(ks.max)
@@ -425,7 +428,9 @@ object TextOps {
       val cum = top.scanLeft(0L)(_ + _) // cum(i) = occurrences covered by top-i
       val rows = ks.sorted.map(k => (k, cum(math.min(k, top.length)), total))
       rows.toDF("k", "covered", "total")
-        .selectExpr("k", "covered", "total", "round(CAST(covered AS DOUBLE) / total, 6) AS share_r")
+        .selectExpr(
+          "k", "covered", "nullif(total, 0) AS total",
+          "CASE WHEN total > 0 THEN round(CAST(covered AS DOUBLE) / total, 6) END AS share_r")
         .orderBy("k")
     } finally counts.unpersist(false)
   }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Totality sweep over the WHOLE declared surface on an EMPTY corpus — all
+  * 10 catalog tables present with the live schemas, zero rows. The contract:
+  * an empty slice (a day with no data, a filtered-out stratum, a fresh
+  * environment) must never crash an operator with an undocumented
+  * NPE/SparkException; every declared query either
+  *
+  *   - returns a frame (usually empty — the pipeline no-op), or
+  *   - refuses with a NAMED precondition (`require` →
+  *     IllegalArgument/IllegalStateException with a message) — only the
+  *     training/graph operators whose output semantics genuinely need data
+  *     (k-means centroids, PQ codebooks, PageRank's non-empty graph) may.
+  *
+  * The r11 sweep that introduced this spec found 8 undocumented crashes
+  * (bloomFilter's null-buffer sketch, ANSI divide-by-zero in three ratio
+  * queries, schema inference on a zero-file partitioned write, head() on
+  * empty PQ training input); each fix is pinned here by the allowlist NOT
+  * containing those queries.
+  */
+class EmptyCorpusSpec extends AnyFunSuite {
+
+  /** Queries allowed to refuse on an empty corpus, with the reason they may:
+    * their declared output embeds data-derived constants (trained centroids /
+    * codebooks) or a non-empty structural precondition (PageRank's graph).
+    */
+  private val mayRefuse: Set[String] = Set(
+    // k-means training: no vectors → no centroids to declare
+    "ivf_centroids_embeddings", "ivf_assign_embeddings", "ivf_topk_embeddings",
+    "ivf_recall_embeddings", "ivfpq_topk_embeddings", "outliers_embeddings",
+    "semantic_dups_embeddings", "semantic_clusters_embeddings", "semantic_survivors_embeddings",
+    // PQ codebook training: same contract as k-means
+    "pq_codebooks_embeddings", "pq_codes_embeddings", "pq_topk_embeddings",
+    // PageRank: ranks over an empty node set are undefined by construction
+    "pagerank_events", "pagerank_users"
+  )
+
+  private def rootChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("every declared query is total on an empty corpus (or refuses by name)") {
+    val spark = SparkTestBase.spark
+    val dir   = java.nio.file.Files.createTempDirectory("graft-empty-corpus").toString
+    for (t <- Tables.columns.keys)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      try {
+        q(spark, dir).collect()
+        None
+      } catch {
+        case e: Throwable =>
+          val chain = rootChain(e)
+          val named = chain.collectFirst {
+            case x: IllegalArgumentException => x
+            case x: IllegalStateException    => x
+          }
+          named match {
+            case Some(x) if mayRefuse(name) && x.getMessage != null && x.getMessage.nonEmpty =>
+              None // documented refusal
+            case Some(x) =>
+              Some(s"$name refused but is not allowlisted: ${x.getMessage}")
+            case None =>
+              val root = chain.last
+              Some(s"$name crashed: ${root.getClass.getName}: ${String.valueOf(root.getMessage).take(160)}")
+          }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -50,8 +50,9 @@ object Pq {
 
   /** Subvector width (dim / M); derived from the data once per call site. */
   private def subDim(emb: DataFrame, m: Int): Int = {
-    val first = graft.Tables.widen(emb).select(size(col("embedding"))).head(1)
-    require(first.nonEmpty, "PQ training: empty embedding table — nothing to train codebooks on")
+    val first = graft.Tables.widen(emb)
+      .where(col("embedding").isNotNull).select(size(col("embedding"))).head(1)
+    require(first.nonEmpty, "PQ training: no non-null embeddings — nothing to train codebooks on")
     val dim = first(0).getInt(0)
     require(dim % m == 0, s"PQ: dim $dim not divisible by M=$m")
     dim / m
@@ -107,6 +108,10 @@ object Pq {
     val sd = subDim(emb, m)
     val v  = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     val subs = graft.Tables.widen(emb)
+      // training ignores null vectors (subDim already requires at least one
+      // non-null): a null embedding would ride NULL subvectors through the
+      // seed sample and Lloyd sums
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(i => slice(v, lit(i * sd + 1), lit(sd))): _*)).as(Seq("mi", "sv")))
       .localCheckpoint()

@@ -36,7 +36,12 @@ object Packing {
   private def counted(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast("long"),
-      size(regexp_extract_all(col("text"), lit(TextOps.TokenRe), lit(0))).cast("long").as("n_tokens")
+      // null text packs as a zero-token member (the empty-doc rule): an
+      // unguarded size() yields NULL, which the (Long, Long) tuple encoder
+      // rejects with NOT_NULL_ASSERT_VIOLATION mid-job
+      coalesce(
+        size(regexp_extract_all(col("text"), lit(TextOps.TokenRe), lit(0))).cast("long"),
+        lit(0L)).as("n_tokens")
     )
 
   /** The sequential greedy next-fit core, applied per partition: new pack
@@ -113,7 +118,7 @@ object Packing {
   def oraclePackDeterministic(table: String, maxTokens: Long = 512L): String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(text, '${TextOps.TokenRe}')) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(len(regexp_extract_all(text, '${TextOps.TokenRe}')), 0) AS BIGINT) AS n_tokens,
        |    row_number() OVER (ORDER BY doc_id) AS rn
        |  FROM $table
        |), packed AS (

@@ -40,14 +40,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
   private def rootChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
-  test("every declared query is total on an empty corpus (or refuses by name)") {
+  private def sweep(dir: String): Seq[String] = {
     val spark = SparkTestBase.spark
-    val dir   = java.nio.file.Files.createTempDirectory("graft-empty-corpus").toString
-    for (t <- Tables.columns.keys)
-      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
-
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       try {
         q(spark, dir).collect()
         None
@@ -69,6 +64,45 @@ class EmptyCorpusSpec extends AnyFunSuite {
           }
       }
     }
+  }
+
+  test("every declared query is total on an empty corpus (or refuses by name)") {
+    val spark = SparkTestBase.spark
+    val dir   = java.nio.file.Files.createTempDirectory("graft-empty-corpus").toString
+    for (t <- Tables.columns.keys)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val failures = sweep(dir)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every declared query is total on a one-row corpus (or refuses by name)") {
+    // one row per table: zero-variance / single-point inputs — the corr /
+    // quantile / trend denominators' other degenerate pole
+    val spark = SparkTestBase.spark
+    val dir   = java.nio.file.Files.createTempDirectory("graft-onerow-corpus").toString
+    for (t <- Tables.columns.keys)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val failures = sweep(dir)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every declared query is total on a null-filled corpus (or refuses by name)") {
+    // keys present, every non-key column NULL: the hostile-ingest shape a
+    // 100 TB feed WILL eventually produce. Operators may emit NULL-bearing
+    // or empty results here — they may not throw undocumented errors.
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkTestBase.spark
+    val dir   = java.nio.file.Files.createTempDirectory("graft-null-corpus").toString
+    for ((t, cols) <- Tables.columns) {
+      val src = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(2)
+      val key = cols.head
+      src.select(src.schema.fields.toIndexedSeq.map { f =>
+        if (f.name == key) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      }: _*).coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val failures = sweep(dir)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

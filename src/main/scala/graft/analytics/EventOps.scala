@@ -211,7 +211,10 @@ object EventOps {
     * crashed on.
     */
   def propsStats(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    // try_cast, not cast: a feed that ships "k": "not-a-number" must count
+    // as a missing k (NULL), not throw ANSI CAST_INVALID_INPUT mid-scan —
+    // TRY_CAST on the oracle side is the same contract
+    val k = expr("try_cast(get_json_object(props, '$.k') AS long)")
     graft.Tables.widen(events)
       .groupBy(col("event_type"))
       .agg(
@@ -223,13 +226,22 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** The json_valid guard mirrors Spark's lenient `get_json_object` (NULL on
+    * malformed JSON, where DuckDB's json_extract_string raises); TRY_CAST
+    * mirrors the Spark side's try_cast for non-numeric k values.
+    */
   def oraclePropsStats: String =
-    s"""SELECT event_type, count(*) AS n_events,
-       |  count(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS n_with_k,
-       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       |  min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
-       |  max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
-       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    TRY_CAST(CASE WHEN json_valid(props)
+       |                  THEN json_extract_string(props, '$$.k') END AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(k) AS n_with_k,
+       |  CAST(sum(k) AS BIGINT) AS sum_k,
+       |  min(k) AS min_k,
+       |  max(k) AS max_k
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Markov transition counts over each user's event sequence — the
     * path-mining pass next to funnels: how often event type A is immediately

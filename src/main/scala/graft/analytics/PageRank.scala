@@ -63,8 +63,11 @@ object PageRank {
     require(iters >= 1 && iters <= 10, "pageRank wants 1..10 fixed iterations")
     import spark.implicits._
     // one job gates AND fetches: collecting cap+1 rows bounds the driver at
-    // 4097 strings while proving |V| ≤ cap, with no separate counting scan
-    val nodeRows = graft.Tables.widen(events).select(col("event_type")).distinct()
+    // 4097 strings while proving |V| ≤ cap, with no separate counting scan.
+    // A NULL event_type is not a node (it would NPE the driver-side string
+    // sort, and the oracle's v CTE excludes it identically)
+    val nodeRows = graft.Tables.widen(events).select(col("event_type"))
+      .where(col("event_type").isNotNull).distinct()
       .limit(MaxBoundedVertices.toInt + 1).as[String].collect().toSeq.sorted
     val n = nodeRows.length.toLong
     require(n > 0, "pageRank needs a non-empty graph")
@@ -75,6 +78,10 @@ object PageRank {
     // the driver while proving |E| ≤ cap (a dense graph at the vertex cap
     // would otherwise collect |V|² rows through a passed node gate)
     val edgeRows = EventOps.transitions(events)
+      // a NULL next_type is not a node (see nodeRows): dropping the edge
+      // HERE keeps out-weights consistent with the oracle's e CTE, which
+      // never counts mass routed to an excluded endpoint
+      .where(col("next_type").isNotNull)
       .select(col("prev_type").as("src"), col("next_type").as("dst"), col("n").as("w"))
       .limit(MaxBoundedEdges.toInt + 1).as[(String, String, Long)].collect().toSeq
     require(edgeRows.length <= MaxBoundedEdges,
@@ -179,9 +186,15 @@ object PageRank {
             oldE.unpersist(blocking = false); oldNd.unpersist(blocking = false)
             graphCache.remove(oldKey)
           }
-          val nd = nodesIn.select(col("node")).distinct()
+          // NULL node labels are not graph elements: a NULL-keyed rank row
+          // can never receive or route mass (joins on NULL match nothing),
+          // so excluding them here keeps both variants and the oracles on
+          // one definition instead of carrying an inert NULL row whose sort
+          // position differs across engines
+          val nd = nodesIn.select(col("node")).where(col("node").isNotNull).distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
           val e = edgesIn.select(col("src"), col("dst"), col("w"))
+            .where(col("src").isNotNull && col("dst").isNotNull)
             .join(edgesIn.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
             .repartition(col("src"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -285,8 +298,9 @@ object PageRank {
          |  FROM events),
          |e AS (
          |  SELECT prev_type AS src, event_type AS dst, count(*) AS w
-         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-         |v AS (SELECT DISTINCT event_type AS node FROM events)""".stripMargin,
+         |  FROM seq WHERE prev_type IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |v AS (SELECT DISTINCT event_type AS node FROM events
+         |      WHERE event_type IS NOT NULL)""".stripMargin,
       iters,
       """SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12
         |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, event_type"
@@ -302,9 +316,11 @@ object PageRank {
          |  SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || prev_type AS src,
          |         'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst,
          |         count(*) AS w
-         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |  FROM seq
+         |  WHERE prev_type IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1, 2),
          |v AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS node
-         |      FROM events)""".stripMargin,
+         |      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)""".stripMargin,
       iters,
       """SELECT node, CAST(r AS BIGINT) AS rank_e12
         |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, node"

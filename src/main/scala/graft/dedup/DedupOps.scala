@@ -91,7 +91,7 @@ object DedupOps {
     */
   def shingleDF(docs0: DataFrame): DataFrame = {
     val docs = graft.Tables.widen(docs0)
-    val toks = split(lower(col("text")), " ")
+    val toks = split(graft.text.TextOps.lowerSimple(col("text")), " ")
     docs.select(col("doc_id"), explode(shinglesCol(toks)).as("shingle"))
   }
 
@@ -109,7 +109,7 @@ object DedupOps {
     */
   def exactDuplicates(docs0: DataFrame): DataFrame = {
     val docs = graft.Tables.widen(docs0)
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val norm = graft.text.TextOps.lowerSimple(regexp_replace(col("text"), "\\s+", " "))
     docs
       .select(col("doc_id"), md5(norm.cast("binary")).as("fp_md5"))
       .groupBy(col("fp_md5"))
@@ -132,7 +132,7 @@ object DedupOps {
     * occurrences need no pre-distinct: min is duplicate-insensitive.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
+    val toks = split(graft.text.TextOps.lowerSimple(col("text")), " ")
     val sigCols = (0 until NumHashes).map(i => element_at(col("__sig"), i + 1).as(s"s$i"))
     graft.Tables.widen(docs)
       .select(col("doc_id"), toks.as("__toks"))
@@ -397,7 +397,7 @@ object DedupOps {
     */
   def simhash(docs: DataFrame): DataFrame =
     graft.Tables.widen(docs)
-      .select(col("doc_id"), expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .select(col("doc_id"), expr(s"filter(split(${graft.text.TextOps.LowerTextSql}, ' '), t -> t != '')").as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), simhashCol(col("toks")).as("simhash"))
       .orderBy("doc_id")

@@ -35,11 +35,12 @@ object Sources {
       path: String,
       schema: Option[StructType] = None,
       header: Boolean = true,
-      multiLine: Boolean = false
+      multiLine: Boolean = false,
+      nullValue: String = ""
   ): DataFrame = {
     val base = spark.read
       .option("header", header.toString)
-      .option("nullValue", "")
+      .option("nullValue", nullValue)
       .option("multiLine", multiLine.toString)
     schema match {
       case Some(s) => base.schema(s).csv(path)
@@ -51,9 +52,11 @@ object Sources {
     * they would silently rewrite " hello " as "hello" and break the
     * round-trip identity — so they are pinned off: what goes in comes out.
     */
-  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               nullValue: String = ""): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString)
+      .option("nullValue", nullValue)
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
@@ -170,12 +173,23 @@ object Sources {
     * schema travels out-of-band; inference is for exploration, not
     * pipelines). Puts the quoting round-trip itself under the hash check.
     */
+  /** The null marker the round-trip reserves: with the default empty-string
+    * marker, NULL and '' both render as an empty field and the reader
+    * collapses both to NULL — the r11 adversarial sweep caught '' coming
+    * back as NULL. The `\N` sentinel (the classic COPY convention) keeps
+    * them distinct; the trade-off is that a field whose VALUE is the
+    * two-char string `\N` reads back as NULL — corpora carrying that
+    * literal should interchange via JSONL/parquet.
+    */
+  val CsvNullMarker = "\\N"
+
   def csvRoundTrip(df: DataFrame, path: String, orderCol: String): DataFrame = {
-    writeCsv(df, path)
+    writeCsv(df, path, nullValue = CsvNullMarker)
     // multiLine: embedded newlines are quoted on write and must be parsed as
     // one record on read — without it the reader splits them into malformed
     // extra rows (identity broken the first time the corpus contains one)
-    readCsv(df.sparkSession, path, Some(df.schema), multiLine = true).orderBy(orderCol)
+    readCsv(df.sparkSession, path, Some(df.schema), multiLine = true,
+      nullValue = CsvNullMarker).orderBy(orderCol)
   }
 
   /** Schema-evolution round-trip: batch 1 is written WITHOUT `dropCol`

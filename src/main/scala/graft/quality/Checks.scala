@@ -133,7 +133,11 @@ object Checks {
       count(lit(1)).as("n_orders"),
       sum(when(col("li_total").isNull, 1L).otherwise(0L)).as("n_no_items"),
       sum(when(diff < lit(new java.math.BigDecimal("0.01")), 1L).otherwise(0L)).as("n_exact_match"),
-      sum(when(diff.cast("double") / col("header_total").cast("double") < 0.05, 1L).otherwise(0L))
+      // the zero-header guard keeps ANSI from raising DIVIDE_BY_ZERO on a
+      // 0.00-total order (a zero-header order is never "within 5%"); DuckDB
+      // yields NaN there, which the CASE also rejects — same rows counted
+      sum(when(col("header_total") =!= 0 &&
+          diff.cast("double") / col("header_total").cast("double") < 0.05, 1L).otherwise(0L))
         .as("n_within_5pct"),
       sum(diff).cast("decimal(38,6)").cast("string").as("sum_abs_diff_str")
     )
@@ -153,7 +157,8 @@ object Checks {
        |SELECT count(*) AS n_orders,
        |  CAST(sum(CASE WHEN li_total IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
        |  CAST(sum(CASE WHEN abs(header_total - li_total) < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match,
-       |  CAST(sum(CASE WHEN CAST(abs(header_total - li_total) AS DOUBLE) / CAST(header_total AS DOUBLE) < 0.05
+       |  CAST(sum(CASE WHEN header_total <> 0
+       |            AND CAST(abs(header_total - li_total) AS DOUBLE) / CAST(header_total AS DOUBLE) < 0.05
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5pct,
        |  CAST(CAST(sum(abs(header_total - li_total)) AS DECIMAL(38,6)) AS VARCHAR) AS sum_abs_diff_str
        |FROM j""".stripMargin

@@ -41,6 +41,11 @@ object Reshape {
         variableColumnName = "measure",
         valueColumnName = "val"
       )
+      // SQL-standard UNPIVOT semantics (EXCLUDE NULLS): Spark's unpivot
+      // keeps NULL measure values where DuckDB's drops them, so a row whose
+      // measures are all NULL would manufacture spurious empty groups on
+      // the Spark side only (r11 adversarial sweep)
+      .where(col("val").isNotNull)
       .groupBy(col("measure"), col(groupCol))
       .agg(
         count(col("val")).as("n_v"),

@@ -337,9 +337,9 @@ object Pq {
       rerank: Int = 32
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = graft.Tables.widen(emb)
-      .select(col("vec_id"), SimilarityOps.dv.as("v"))
-      .withColumn("n2", SimilarityOps.norm2(col("v")))
+    // the shared zero/NULL-norm exclusion — both the cell argmax and the
+    // exact rerank divide by √n2
+    val base = SimilarityOps.baseVectors(emb)
     val cents = SimilarityOps.centroidDF(emb, centroids)
     val csim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
     val scored = base
@@ -412,7 +412,8 @@ object Pq {
   ): String = {
     val sd  = codebooks.head.head.length
     val ids = queryIds.mkString(", ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE ${SimilarityOps.zeroNormOracleFilter}),
        |${SimilarityOps.centroidSqlCte(centroids)},
        |assigned AS (
        |  SELECT b.vec_id, b.v, c.centroid_id,

@@ -49,6 +49,25 @@ object SimilarityOps {
   private[similarity] val dv    = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
   private[similarity] def norm2(v: Column): Column = DotProduct(v, v)
 
+  /** (vec_id, v, n2) over vectors that HAVE a direction: NULL embeddings and
+    * all-zero vectors are excluded — cosine against them is 0/0, which ANSI
+    * Spark raises as DIVIDE_BY_ZERO mid-job (r11 adversarial sweep). Every
+    * cosine-dividing operator and its oracle share this exclusion
+    * ([[zeroNormOracleFilter]]), so the two engines drop the same rows
+    * instead of one crashing and the other emitting NaN.
+    */
+  private[similarity] def baseVectors(emb: DataFrame): DataFrame =
+    graft.Tables.widen(emb)
+      .select(col("vec_id"), dv.as("v"))
+      .withColumn("n2", norm2(col("v")))
+      .where(col("n2") > 0)
+
+  /** The oracle-side twin of [[baseVectors]]'s exclusion (NULL list_sum
+    * filters NULL embeddings; 0 filters zero vectors).
+    */
+  private[similarity] val zeroNormOracleFilter: String =
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0"
+
   // --- exact brute-force top-k ---------------------------------------------
 
   /** Exact cosine top-k for a literal query-id set: one broadcast join, one
@@ -57,7 +76,7 @@ object SimilarityOps {
     * 1 ulp; adjacent top-k gaps are ≥1e-4 on this corpus), vec_id tie-break.
     */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val q = base
       .where(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -75,13 +94,13 @@ object SimilarityOps {
 
   def oracleCosineTopK(queryIds: Seq[Long] = Seq(0L, 1L, 2L), k: Int = 10): String = {
     val ids = queryIds.mkString(", ")
-    s"""WITH q AS (
-       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id IN ($ids)),
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id IN ($ids)),
        |s AS (
-       |  SELECT q.qid, e.vec_id,
-       |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
-       |  FROM q, embeddings e),
+       |  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM q, base e),
        |r AS (
        |  SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -94,9 +113,19 @@ object SimilarityOps {
 
   /** Quantized embedding: per-component round(x·1000) as BIGINT — makes every
     * downstream dot an exact integer sum (order-free in both engines).
+    * Components clamp to ±9·10¹⁵ BEFORE the cast: a pathological 1e30-scale
+    * component would overflow the BIGINT cast (ANSI CAST_OVERFLOW on Spark,
+    * Conversion Error on DuckDB — r11 adversarial sweep), and the clamp
+    * bound keeps the worst-case plane dot (64 components × 9·10¹⁵) inside
+    * long range while preserving every sane embedding bit-exactly
+    * (9·10¹⁵ < 2⁵³, exactly representable).
     */
   private val qvec =
-    expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Quant, 0) AS BIGINT))")
+    expr(s"transform(embedding, x -> CAST(round(greatest(least(CAST(x AS DOUBLE) * $Quant, 9.0e15D), -9.0e15D), 0) AS BIGINT))")
+
+  /** DuckDB rendering of [[qvec]] — identical clamp, round, cast. */
+  private val oracleQvec =
+    s"list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(greatest(least(x * $Quant, 9e15), -9e15)) AS BIGINT))"
 
   private def bucketExpr(vcol: String): Column = {
     val planeDots = hyperplanes.zipWithIndex.map { case (h, j) =>
@@ -126,8 +155,7 @@ object SimilarityOps {
     }
     val bucket = planeDots.mkString(" + ")
     s"""SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS qv
+       |  SELECT vec_id, $oracleQvec AS qv
        |  FROM embeddings
        |) ORDER BY vec_id""".stripMargin
   }
@@ -147,7 +175,7 @@ object SimilarityOps {
     * its closest cells.
     */
   def ivfAssign(emb: DataFrame): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val cents = base
       .where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
@@ -163,7 +191,8 @@ object SimilarityOps {
   }
 
   def oracleIvfAssign: String =
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < $IvfCentroids),
        |sims AS (
        |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
@@ -252,7 +281,7 @@ object SimilarityOps {
     * (VERDICT r4 "what's wrong" #1; same shape as [[KMeans]] assignment).
     */
   def ivfAssignTrained(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val cents = centroidDF(emb, centroids)
     val sim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
     base
@@ -265,7 +294,8 @@ object SimilarityOps {
   }
 
   def oracleIvfAssignTrained(centroids: Array[Array[Double]]): String =
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |${centroidSqlCte(centroids)},
        |sims AS (
        |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
@@ -289,7 +319,8 @@ object SimilarityOps {
       .limit(k)
 
   def oracleEmbeddingOutliers(centroids: Array[Array[Double]], k: Int = 20): String =
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |${centroidSqlCte(centroids)},
        |sims AS (
        |  SELECT b.vec_id, c.centroid_id, list_cosine_similarity(b.v, c.cv) AS sim,
@@ -315,7 +346,7 @@ object SimilarityOps {
       k: Int = 10,
       nprobe: Int = 4
   ): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val cents = centroidDF(emb, centroids)
     val csim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
     val scored = base
@@ -357,7 +388,8 @@ object SimilarityOps {
       nprobe: Int = 4
   ): String = {
     val ids = queryIds.mkString(", ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |${centroidSqlCte(centroids)},
        |assigned AS (
        |  SELECT b.vec_id, b.v, c.centroid_id,
@@ -438,7 +470,7 @@ object SimilarityOps {
       k: Int = 10,
       nprobe: Int = 4
   ): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val cents = base
       .where(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("n2").as("cn2"))
@@ -475,7 +507,8 @@ object SimilarityOps {
       nprobe: Int = 4
   ): String = {
     val ids = queryIds.mkString(", ")
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base WHERE vec_id < $IvfCentroids),
        |assigned AS (
        |  SELECT b.vec_id, b.v, c.centroid_id,
@@ -509,7 +542,7 @@ object SimilarityOps {
     * pairs).
     */
   def cosineDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val base = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base = baseVectors(emb)
     val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
     val dot = DotProduct(col("v"), col("vb"))
     base
@@ -522,11 +555,14 @@ object SimilarityOps {
   }
 
   def oracleCosineDupPairs(threshold: Double = 0.9): String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim_r
-       |FROM embeddings a, embeddings b
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.v, b.v), 6) AS sim_r
+       |FROM base a, base b
        |WHERE a.vec_id < b.vec_id
-       |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $threshold
+       |  AND list_cosine_similarity(a.v, b.v) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // --- bucketed ANN ---------------------------------------------------------
@@ -560,6 +596,7 @@ object SimilarityOps {
       .select(col("vec_id"), dv.as("v"), qvec.as("qv"))
       .withColumn("bucket", bucketExpr("qv"))
       .withColumn("n2", norm2(col("v")))
+      .where(col("n2") > 0) // the baseVectors exclusion — rerank divides by √n2
       .drop("qv")
     val probeOffsets: Seq[Long] = annProbeOffsets(maxHamming)
     val q = base
@@ -601,9 +638,9 @@ object SimilarityOps {
     }
     val bucket = planeDots.mkString(" + ")
     s"""WITH base AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $oracleQvec AS qv
+       |  FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
        |q AS (
        |  SELECT vec_id AS qid, v AS qvd, xor(bucket, probe) AS pbucket
@@ -648,6 +685,7 @@ object SimilarityOps {
       .select(col("vec_id"), dv.as("v"), qvec.as("qv"))
       .withColumn("bucket", bucketExpr("qv"))
       .withColumn("n2", norm2(col("v")))
+      .where(col("n2") > 0) // the baseVectors exclusion — rerank divides by √n2
       .drop("qv")
     val bandArgs = (0 until DupBands)
       .map(kb => s"$kb, (bucket >> ${kb * bandBits}) & $mask")
@@ -681,9 +719,9 @@ object SimilarityOps {
       .map(kb => s"SELECT vec_id, v, $kb AS band, (bucket >> ${kb * bandBits}) & $mask AS bval FROM bk")
       .mkString("\nUNION ALL\n")
     s"""WITH base AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS qv
-       |  FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $oracleQvec AS qv
+       |  FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |bk AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM base),
        |bands AS ($bands)
        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -712,7 +750,7 @@ object SimilarityOps {
       centroids: Array[Array[Double]],
       threshold: Double = 0.45
   ): DataFrame = {
-    val base  = graft.Tables.widen(emb).select(col("vec_id"), dv.as("v")).withColumn("n2", norm2(col("v")))
+    val base  = baseVectors(emb)
     val cents = centroidDF(emb, centroids)
     val csim  = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
     // (vec_id, cell, v, n2): the ×k expansion collapses in the partial aggregate
@@ -740,7 +778,8 @@ object SimilarityOps {
       centroids: Array[Array[Double]],
       threshold: Double
   ): String =
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $zeroNormOracleFilter),
        |${centroidSqlCte(centroids)},
        |sims AS (
        |  SELECT b.vec_id, c.centroid_id,

@@ -47,7 +47,7 @@ object StreamingDedup {
     import spark.implicits._
     docs
       .select(
-        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"),
+        md5(graft.text.TextOps.lowerSimple(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"),
         col("doc_id").cast("long").as("docId")
       )
       .as[FpDoc]

@@ -69,7 +69,7 @@ object ApproxVocab {
     // materialize (bounded memory is its whole point); the projection is
     // trivially recomputable from the scan
     val toks = graft.Tables.widen(docs)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .select(explode(split(TextOps.lowerSimple(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
     val cms = toks.stat.countMinSketch("token", eps, confidence, 42)
     val candidates = toks
@@ -101,7 +101,7 @@ object ApproxVocab {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .select(explode(split(TextOps.lowerSimple(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
       .as[String]
       .repartition(1)

@@ -32,7 +32,7 @@ object BigramLm {
   /** (doc_id, n_bigrams, sum_logprob_str) per document, doc_id order. */
   def bigramScores(docs0: DataFrame): DataFrame = {
     val docs = graft.Tables.widen(docs0)
-    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val toks = docs.select(col("doc_id"), split(TextOps.lowerSimple(col("text")), " ").as("ts"))
     val bigrams = toks
       .where(size(col("ts")) >= 2)
       .select(

@@ -37,7 +37,7 @@ object SourceDivergence {
     val docs = graft.Tables.widen(docs0)
     val toks = docs.select(
       col("source"),
-      explode(expr(s"regexp_extract_all(lower(text), '${TextOps.TokenRe}', 0)")).as("token"))
+      explode(expr(s"regexp_extract_all(${TextOps.LowerTextSql}, '${TextOps.TokenRe}', 0)")).as("token"))
     val bySrcTok = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_s"))
     val byTok    = bySrcTok.groupBy(col("token")).agg(sum(col("c_s")).as("c_tot"))
     val bySrc    = bySrcTok.groupBy(col("source")).agg(

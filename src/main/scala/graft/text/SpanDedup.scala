@@ -45,7 +45,7 @@ object SpanDedup {
   def spanDedup(docs0: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, "span dedup needs k >= 2")
     val docs = graft.Tables.widen(docs0)
-    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val toks = docs.select(col("doc_id"), split(TextOps.lowerSimple(col("text")), " ").as("ts"))
 
     val tok = toks.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "token")))
 

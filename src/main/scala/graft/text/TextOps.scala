@@ -47,7 +47,21 @@ object TextOps {
   )
   val langPriority: Seq[String] = langMarkers.map(_._1)
 
-  private def tokens(c: Column): Column = split(lower(c), " ")
+  /** Lowercase via the Unicode SIMPLE case mapping on both engines. Java's
+    * `toLowerCase` applies SpecialCasing — dotted capital İ (U+0130) becomes
+    * `i` + combining dot (U+0069 U+0307) — where DuckDB's utf8proc applies
+    * the simple mapping (İ → plain `i`), silently desynchronizing every
+    * token, fingerprint and signature downstream (r11 adversarial sweep:
+    * one İ flipped 11 declared queries). U+0130 is the ONLY unconditional
+    * lowercase entry in SpecialCasing.txt, so pre-folding it to `i` makes
+    * Spark's lower() the simple mapping everywhere.
+    */
+  private[graft] def lowerSimple(c: Column): Column = lower(translate(c, "İ", "i"))
+
+  /** [[lowerSimple]] for Spark-side SQL-string expressions over `text`. */
+  private[graft] val LowerTextSql: String = "lower(translate(text, 'İ', 'i'))"
+
+  private def tokens(c: Column): Column = split(lowerSimple(c), " ")
 
   private def markerHits(c: Column, markers: Seq[String]): Column =
     size(filter(tokens(c), t => t.isInCollection(markers)))
@@ -222,13 +236,13 @@ object TextOps {
     val withDl = base.select(
       col("doc_id"),
       col("text"),
-      size(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).cast("long").as("dl")
+      size(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).cast("long").as("dl")
     )
     val stats = withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qt = withDl.select(
       col("doc_id"),
       col("dl"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+      explode(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).as("token")
     ).where(col("token").isInCollection(queryTokens))
     // dl is functionally determined by doc_id; first() carries it through
     val tf = qt.groupBy(col("doc_id"), col("token"))
@@ -309,7 +323,7 @@ object TextOps {
     val toks = base.select(
       col("doc_id"),
       col("lang"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+      explode(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).as("token")
     )
     val counts = toks
       .groupBy(col("token"))
@@ -410,7 +424,7 @@ object TextOps {
     // two actions (grand total + top-k) over one aggregate: persist so the
     // explode+groupBy corpus scan runs once, not twice
     val counts = graft.Tables.widen(docs)
-      .select(explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token"))
+      .select(explode(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .persist()
@@ -741,7 +755,7 @@ object TextOps {
     val base = graft.Tables.widen(docs)
     val toks = base.select(
       col("doc_id"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+      explode(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).as("token")
     )
     val tf     = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -871,7 +885,7 @@ object TextOps {
     */
   def topTokens(docs: DataFrame, k: Int = 50): DataFrame =
     graft.Tables.widen(docs)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .select(explode(split(lowerSimple(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
@@ -896,7 +910,7 @@ object TextOps {
     * explode → map-side-combinable count → TakeOrdered.
     */
   def topBigrams(docs: DataFrame, k: Int = 50): DataFrame = {
-    val toks = expr("filter(split(lower(text), ' '), t -> t != '')")
+    val toks = expr(s"filter(split($LowerTextSql, ' '), t -> t != '')")
     val bigrams = org.apache.spark.sql.GraftColumnBridge.column(
       graft.dedup.ShingleArray(
         org.apache.spark.sql.GraftColumnBridge.expression(toks),
@@ -934,11 +948,11 @@ object TextOps {
     * forms are join/bucket keys for exact dedup at scale.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val norm = lowerSimple(regexp_replace(col("text"), "\\s+", " "))
     val fp   = md5(norm.cast("binary"))
     // per-token 32-bit hashes of the normalized token stream
     val ths =
-      "transform(filter(split(lower(regexp_replace(text, '\\\\s+', ' ')), ' '), t -> t != ''), " +
+      "transform(filter(split(lower(translate(regexp_replace(text, '\\\\s+', ' '), 'İ', 'i')), ' '), t -> t != ''), " +
         "t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
     val roll = expr(
       s"CASE WHEN size($ths) = 0 THEN 0L ELSE " +
@@ -968,7 +982,7 @@ object TextOps {
     * for a shingle report 0.0 (nothing is repeated).
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val ts = split(lower(col("text")), " ")
+    val ts = split(lowerSimple(col("text")), " ")
     val sh = graft.dedup.DedupOps.shingleArray(ts)
     def ratio(total: Column, distinct: Column): Column =
       when(total > 0, round(lit(1.0) - distinct.cast("double") / total, 6)).otherwise(lit(0.0))
@@ -1032,7 +1046,7 @@ object TextOps {
     val base = graft.Tables.widen(docs)
     val toks = base.select(
       col("doc_id"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TokenRe', 0)")).as("token")
+      explode(expr(s"regexp_extract_all($LowerTextSql, '$TokenRe', 0)")).as("token")
     )
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -1151,7 +1165,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
     val top = graft.Tables.widen(docs)
-      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .select(col("source"), explode(split(lowerSimple(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy("source", "token")
       .agg(count(lit(1)).as("n"))
@@ -1196,11 +1210,12 @@ object TextOps {
        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS BIGINT)
        |      AS n_tokens
        |  FROM documents),
+       |s2 AS (SELECT * FROM s WHERE n_tokens IS NOT NULL),
        |r AS (
        |  SELECT doc_id, n_tokens,
        |    CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS pos_rank
-       |  FROM s),
-       |t AS (SELECT count(*) AS n FROM s)
+       |  FROM s2),
+       |t AS (SELECT count(*) AS n FROM s2)
        |SELECT doc_id, n_tokens, pos_rank,
        |  CAST(1000 * pos_rank AS BIGINT) // n AS pct_millis
        |FROM r CROSS JOIN t ORDER BY doc_id""".stripMargin

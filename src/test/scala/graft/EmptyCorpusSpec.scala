@@ -88,6 +88,61 @@ class EmptyCorpusSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every declared query is total on a hostile-content corpus (or refuses by name)") {
+    // the crash features the r11 adversarial cross-engine sweep found
+    // (tools/adversarial_corpus.py is the full python twin with the DuckDB
+    // compare): zero-norm and 1e30-component vectors (cosine 0/0, BIGINT
+    // cast overflow), malformed JSON props, NULL event_type (driver-side
+    // node sort), zero order totals (ratio divide), empty/İ/NULL text
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hostile-corpus").toString
+    for (t <- Tables.columns.keys)
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").limit(20)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and is of sound mind", "en", "src0", 65L),
+      (1L, "İstanbul STRASSE groß İ ı i dotless", "und", "src1", 35L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "dot . star * plus + bracket [ ] pipe | dollar $", "en", "src2", 47L),
+      (4L, null, null, null, 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val dim = 64
+    val zero  = Array.fill(dim)(0.0f)
+    val huge  = Array.fill(dim)(1.0e30f)
+    val unit  = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val embRows = Seq(
+      (0L, unit.toSeq, 0), (1L, huge.toSeq, 1), (2L, zero.toSeq, 2),
+      (3L, Array.tabulate(dim)(i => (i % 7 - 3).toFloat / 3f).toSeq, 3)
+    ).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label").cast("int"))
+    embRows.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val us0 = 1704067200000000L
+    val events = Seq(
+      (0L, us0, 1L, "signup", 1.0, """{"k": 1}"""),
+      (1L, us0 + 1, 1L, "view", 2.0, "{k: 1"),
+      (2L, us0 + 2, 1L, null, 3.0, """{"k": "str"}"""),
+      (3L, 0L, 2L, "view", 0.0, null)
+    ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val zeroOrder = spark.read.parquet(s"/root/testdata/sf0.001/orders.parquet").limit(1)
+      .withColumn("o_totalprice", lit(0.0))
+    spark.read.parquet(s"/root/testdata/sf0.001/orders.parquet").limit(20)
+      .unionByName(zeroOrder)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val failures = sweep(dir)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("every declared query is total on a null-filled corpus (or refuses by name)") {
     // keys present, every non-key column NULL: the hostile-ingest shape a
     // 100 TB feed WILL eventually produce. Operators may emit NULL-bearing

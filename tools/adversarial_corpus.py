@@ -1,0 +1,251 @@
+#!/usr/bin/env python3
+"""Adversarial corpus generator — same 10-table schema as /root/testdata,
+hostile content: unicode (CJK / emoji / RTL / combining marks), regex
+metacharacters, quotes/backticks, empty and whitespace-only text, exact
+duplicates, numeric ties, negatives, same-microsecond events, zero /
+duplicate / extreme-magnitude vectors, and NULLs in every nullable column.
+
+Purpose: run the FULL cross-engine gate (graft.Verify + verify_local.py)
+over content the driver's friendly synthetic testdata never produces —
+collation, regex-dialect, case-mapping and rounding divergences between
+Spark and DuckDB hide exactly here.
+
+Usage:
+  python3 tools/adversarial_corpus.py /tmp/graft_adversarial
+  sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/verify_adv"
+  python3 tools/verify_local.py /tmp/graft_adversarial /tmp/verify_adv
+
+Expected result: ONE failure, `stream_anomalies_events` — this corpus
+deliberately violates the streaming twin's documented precondition
+(event-time disorder bounded by the watermark delay: it carries an
+epoch-1970 event next to a year-2100 event, so the watermark late-drops
+the old event exactly as the StreamingMonitor contract says, while the
+batch oracle keeps it). Everything else must agree; the r11 sweep that
+introduced this file found and fixed 16 divergences (zero-norm cosine,
+BIGINT quantizer overflow, U+0130 case-mapping, CSV ''-vs-NULL, UNPIVOT
+null rows, rank null exclusion, JSON try_cast, PageRank null nodes,
+zero-total ratio guards).
+"""
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def documents():
+    rows = []
+    did = 0
+
+    def add(text, lang="en", source="src0"):
+        nonlocal did
+        rows.append((did, text, lang, source, len(text) if text is not None else None))
+        did += 1
+
+    # a block of ordinary ASCII docs so thresholds/top-ks have signal
+    for i in range(30):
+        base = f"the quick brown fox {i} jumps over the lazy dog and is of sound mind {i % 7}"
+        add(base + " " + "filler token run " * (i % 5), lang=["en", "de", "es"][i % 3],
+            source=f"src{i % 4}")
+    # exact duplicates (several copies, two sources)
+    for i in range(4):
+        add("der hund und die katze ist da und das ist gut", lang="de",
+            source=f"src{i % 2}")
+    # near-duplicates for the minhash/jaccard tiers
+    add("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    add("alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    add("alpha beta gamma delta epsilon zeta eta theta iota kappa extra")
+    # unicode: CJK (no spaces), emoji, RTL arabic, combining marks, Turkish
+    add("的 是 了 在 和 的 是 了 在 和 这 是 一 个 测 试", lang="zh", source="src9")
+    add("😀 😃 😄 😁 the 🎉 party 🎊 is 🔥 and 🚀 goes 🌙", lang="en")
+    add("مرحبا بالعالم هذا نص عربي للاختبار والتحقق", lang="und", source="src9")
+    add("é à combining marks vérité déjà vu", lang="fr")
+    add("İstanbul STRASSE groß İ ı i dotless", lang="und")
+    # regex metacharacters + SQL-hostile quoting
+    add("dot . star * plus + question ? bracket [ ] paren ( ) brace { } pipe | caret ^ dollar $ backslash \\")
+    add("single ' quote '' doubled \" double `backtick` and -- comment ; semicolon")
+    add("percent % underscore _ like-pattern %_% escape")
+    # whitespace pathologies
+    add("")
+    add(" ")
+    add("   ")
+    add("\t tab \t separated \t tokens \n newline \n embedded \r carriage")
+    add("trailing spaces   ")
+    add("   leading spaces")
+    add("a  double  space  run  between  every  token")
+    # single-token / single-char
+    add("x")
+    add("supercalifragilisticexpialidocious")
+    # long doc: 600 tokens with heavy repetition (boilerplate signal)
+    add(("lorem ipsum dolor sit amet " * 120).strip())
+    # very long single token
+    add("a" * 5000)
+    # numbers and mixed scripts
+    add("123 456.789 -42 0x1f 1e10 ١٢٣ ۴۵۶ Ⅷ ⅔", lang="und")
+    # null text / null lang / null source
+    rows.append((did, None, "en", "src0", None)); did += 1
+    rows.append((did, "null lang doc with the and of tokens", None, "src1", 38)); did += 1
+    rows.append((did, "null source doc and the tokens of it", "en", None, 36)); did += 1
+    # n_chars deliberately inconsistent with text
+    rows.append((did, "short text long claim", "en", "src2", 999999)); did += 1
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def events():
+    rows = []
+    eid = 0
+    us0 = 1704067200000000  # 2024-01-01 UTC in µs
+
+    def add(ts_us, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, value, props))
+        eid += 1
+
+    # funnel-shaped ordinary traffic for 8 users over 3 days
+    for u in range(8):
+        t = us0 + u * 3600_000_000
+        add(t, u, "signup", 1.0, '{"k": %d}' % u)
+        for i in range(6):
+            add(t + (i + 1) * 600_000_000, u, ["view", "click", "view", "purchase", "error", "view"][i],
+                float(i), '{"k": %d}' % (i * u))
+    # same-microsecond ties: one user, three events at the identical timestamp
+    t = us0 + 86400_000_000
+    add(t, 100, "view", 1.0, '{"k": 1}')
+    add(t, 100, "click", 2.0, '{"k": 2}')
+    add(t, 100, "view", 3.0, '{"k": 3}')
+    # single-event user, epoch-0 event, far-future event
+    add(0, 101, "signup", 0.0, '{"k": 0}')
+    add(4102444800000000, 102, "view", -5.5, '{"k": -1}')  # 2100-01-01
+    # malformed / hostile props
+    add(us0 + 1, 103, "view", 1.5, '{k: 1')
+    add(us0 + 2, 103, "click", 2.5, "not json at all")
+    add(us0 + 3, 103, "view", 3.5, '{"k": "string-not-int"}')
+    add(us0 + 4, 103, "view", 4.5, '{"k": null}')
+    add(us0 + 5, 103, "view", 5.5, "")
+    # event_type with quote / unicode
+    add(us0 + 6, 104, "o'brien", 1.0, '{"k": 7}')
+    add(us0 + 7, 104, "类型", 2.0, '{"k": 8}')
+    # nulls in every nullable slot
+    rows.append((eid, us0 + 8, None, "view", 1.0, '{"k": 9}')); eid += 1
+    rows.append((eid, us0 + 9, 105, None, 1.0, '{"k": 10}')); eid += 1
+    rows.append((eid, us0 + 10, 105, "view", None, None)); eid += 1
+    # duplicate event ids are NOT produced (event_id is the key)
+
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("event_type", pa.string()),
+                        ("value", pa.float64()), ("props", pa.string())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def embeddings():
+    import struct
+    dim = 64
+    rows = []
+    vid = 0
+
+    def f32(x):
+        # round-trip through float32 so values are exactly representable
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def add(vec, label=0):
+        nonlocal vid
+        rows.append((vid, [f32(x) for x in vec], label))
+        vid += 1
+
+    # deterministic pseudo-random base vectors (LCG), varied labels
+    state = 42
+    def nxt():
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return (state / float(1 << 31)) * 2.0 - 1.0
+    base = [[nxt() for _ in range(dim)] for _ in range(40)]
+    for i, v in enumerate(base):
+        add(v, label=i % 5)
+    # exact duplicates of vector 0 (three copies)
+    for _ in range(3):
+        add(base[0], label=9)
+    # near-duplicate: base[1] with the last component nudged
+    add(base[1][:-1] + [base[1][-1] + 1e-3], label=9)
+    # scaled copy (same direction, different magnitude -> cosine 1)
+    add([x * 7.5 for x in base[2]], label=9)
+    # negated copy (cosine -1)
+    add([-x for x in base[3]], label=9)
+    # zero vector
+    add([0.0] * dim, label=9)
+    # tiny and huge magnitudes
+    add([x * 1e-30 for x in base[4]], label=9)
+    add([x * 1e30 for x in base[5]], label=9)
+    # one-hot and axis-aligned
+    add([1.0] + [0.0] * (dim - 1), label=9)
+    add([0.0] * (dim - 1) + [-1.0], label=9)
+    # null embedding / null label
+    rows.append((vid, None, 9)); vid += 1
+    rows.append((vid, [f32(x) for x in base[6]], None)); vid += 1
+
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def tpch_extras(dir_out):
+    """Copy the small TPC-H-ish tables from sf0.001 and append adversarial
+    rows to customer / orders / lineitem: ties, negatives, quotes, NULLs."""
+    import duckdb
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "supplier", "part"]:
+        shutil.copy(f"{src}/{t}.parquet", f"{dir_out}/{t}.parquet")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{src}/customer.parquet'
+        UNION ALL SELECT * FROM (VALUES
+          (90001, 'O''Brien & Sons', 0, CAST(-999.99 AS DOUBLE), 'BUILDING'),
+          (90002, 'Ünïcödé 客户', 1, CAST(123.45 AS DOUBLE), 'AUTOMOBILE'),
+          (90003, 'tie-a', 2, CAST(500.0 AS DOUBLE), 'MACHINERY'),
+          (90004, 'tie-b', 2, CAST(500.0 AS DOUBLE), 'MACHINERY'),
+          (90005, NULL, NULL, NULL, NULL)
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ) TO '{dir_out}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{src}/orders.parquet'
+        UNION ALL SELECT * FROM (VALUES
+          (990001, 90001, 'O', CAST(-1.0 AS DOUBLE), TIMESTAMP '2024-06-01 00:00:00', '1-URGENT'),
+          (990002, 90002, 'F', CAST(0.0 AS DOUBLE),  TIMESTAMP '2024-06-01 00:00:00', '5-LOW'),
+          (990003, 90003, 'P', CAST(1e15 AS DOUBLE), TIMESTAMP '1992-01-01 00:00:00', '3-MEDIUM'),
+          (990004, 90004, 'O', NULL, NULL, NULL)
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+      ) TO '{dir_out}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{src}/lineitem.parquet'
+        UNION ALL SELECT * FROM (VALUES
+          (990001, 1, 1, 1, CAST(-5.0 AS DOUBLE), CAST(-100.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 'R', 'F', TIMESTAMP '2024-06-02 00:00:00'),
+          (990001, 2, 2, 2, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), 'N', 'O', TIMESTAMP '2024-06-02 00:00:00'),
+          (990002, 1, 1, 1, CAST(7.0 AS DOUBLE), CAST(7.125 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), 'A', 'F', TIMESTAMP '2024-06-03 00:00:00'),
+          (990002, 1, 1, 2, CAST(7.0 AS DOUBLE), CAST(7.125 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), 'A', 'F', TIMESTAMP '2024-06-03 00:00:00'),
+          (990003, 3, 3, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+      ) TO '{dir_out}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+
+
+def main(out):
+    import os
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(documents(), f"{out}/documents.parquet")
+    pq.write_table(events(), f"{out}/events.parquet")
+    pq.write_table(embeddings(), f"{out}/embeddings.parquet")
+    tpch_extras(out)
+    print(f"adversarial corpus written to {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_adversarial")

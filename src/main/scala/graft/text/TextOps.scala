@@ -1238,9 +1238,9 @@ object TextOps {
     */
   def kwic(docs: DataFrame, term: String, window: Int = 3): DataFrame = {
     require(term.nonEmpty && !term.exists(_.isWhitespace), "term must be a single token")
-    val tokens = filter(split(lower(col("text")), " "), t => t =!= "")
+    val tokens = filter(split(lowerSimple(col("text")), " "), t => t =!= "")
     val kw = graft.Tables.widen(docs)
-      .where(lower(col("text")).contains(term))
+      .where(lowerSimple(col("text")).contains(term))
       .select(col("doc_id"), tokens.as("tokens"))
       .select(col("doc_id"), col("tokens"), array_position(col("tokens"), term).as("pos"))
       .where(col("pos") > 0)

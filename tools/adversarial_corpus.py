@@ -61,6 +61,8 @@ def documents():
     add("مرحبا بالعالم هذا نص عربي للاختبار والتحقق", lang="und", source="src9")
     add("é à combining marks vérité déjà vu", lang="fr")
     add("İstanbul STRASSE groß İ ı i dotless", lang="und")
+    # İ in the same doc as common query terms (kwic/bm25 context must agree)
+    add("the İstanbul hash join of the dup agg İ pipeline", lang="und")
     # regex metacharacters + SQL-hostile quoting
     add("dot . star * plus + question ? bracket [ ] paren ( ) brace { } pipe | caret ^ dollar $ backslash \\")
     add("single ' quote '' doubled \" double `backtick` and -- comment ; semicolon")

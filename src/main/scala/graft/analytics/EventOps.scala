@@ -20,6 +20,19 @@ object EventOps {
 
   private val MicrosPerDay = 86400000000L
 
+  /** The timed-event domain every time-grain operator ranges over: rows with
+    * a NULL `ts` are excluded on BOTH engines (each oracle carries the same
+    * `ts IS NOT NULL`). An untimed event cannot be placed on any timeline —
+    * and the engines DISAGREE on where NULL sorts in window ORDER BY (Spark
+    * ascending puts nulls first, DuckDB last), so keeping such rows makes
+    * every lag/session/trailing-window result engine-dependent and crashes
+    * the watermark-driven streaming twins outright (r11 adversarial sweep).
+    * [[propsStats]] alone stays on the raw table: it profiles payloads, not
+    * the timeline.
+    */
+  private def timed(events: DataFrame): DataFrame =
+    graft.Tables.widen(events).where(col("ts").isNotNull)
+
   /** Ordered-step conversion funnel: a user converts step k iff they have
     * an event of step k's type STRICTLY after their step-(k-1) conversion
     * time, within `windowSeconds` of their FIRST-step time. Earliest
@@ -36,7 +49,7 @@ object EventOps {
     // counts themselves are NOT per-step actions: the S single-row count
     // aggregates over the checkpointed frames union into one plan collected
     // once (r3 ran S+1 count() actions and paid S+1 per-job floors).
-    val ev = graft.Tables.widen(events)
+    val ev = timed(events)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
       .localCheckpoint()
 
@@ -77,12 +90,12 @@ object EventOps {
     val s1 =
       s"""s1 AS (
          |  SELECT user_id, min(epoch_us(ts)) AS t1, min(epoch_us(ts)) AS tprev
-         |  FROM events WHERE event_type = '${steps.head}' GROUP BY user_id)""".stripMargin
+         |  FROM events WHERE event_type = '${steps.head}' AND ts IS NOT NULL GROUP BY user_id)""".stripMargin
     val rest = (1 until steps.size).map { k =>
       s"""s${k + 1} AS (
          |  SELECT e.user_id, s$k.t1, min(epoch_us(e.ts)) AS tprev
          |  FROM events e JOIN s$k ON e.user_id = s$k.user_id
-         |  WHERE e.event_type = '${steps(k)}'
+         |  WHERE e.event_type = '${steps(k)}' AND e.ts IS NOT NULL
          |    AND epoch_us(e.ts) > s$k.tprev AND epoch_us(e.ts) <= s$k.t1 + $winUs
          |  GROUP BY e.user_id, s$k.t1)""".stripMargin
     }
@@ -105,7 +118,7 @@ object EventOps {
     * and of the testdata.
     */
   def retention(events: DataFrame): DataFrame = {
-    val ev = graft.Tables.widen(events)
+    val ev = timed(events)
       .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .distinct()
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
@@ -127,7 +140,7 @@ object EventOps {
     * each: the window input is the AGGREGATED relation, never raw events.
     */
   def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val daily = graft.Tables.widen(events)
+    val daily = timed(events)
       .select(col("event_type"), col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
@@ -143,7 +156,7 @@ object EventOps {
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day,
        |    count(*) AS n_events, count(DISTINCT user_id) AS n_users
-       |  FROM events GROUP BY event_type, day)
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, day)
        |SELECT event_type, day, n_events, n_users,
        |  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
        |    RANGE BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_events
@@ -177,7 +190,7 @@ object EventOps {
       z: Int = 3,
       minBaseline: Int = 7
   ): DataFrame = {
-    val daily = graft.Tables.widen(events)
+    val daily = timed(events)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -215,7 +228,7 @@ object EventOps {
     // as a missing k (NULL), not throw ANSI CAST_INVALID_INPUT mid-scan —
     // TRY_CAST on the oracle side is the same contract
     val k = expr("try_cast(get_json_object(props, '$.k') AS long)")
-    graft.Tables.widen(events)
+    graft.Tables.widen(events) // raw table: payload profiling, not time-grain
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -256,7 +269,7 @@ object EventOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
-    graft.Tables.widen(events)
+    timed(events)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("t"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -270,7 +283,7 @@ object EventOps {
     s"""WITH seq AS (
        |  SELECT user_id, event_type,
        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
-       |  FROM events)
+       |  FROM events WHERE ts IS NOT NULL)
        |SELECT prev_type, event_type AS next_type, count(*) AS n
        |FROM seq WHERE prev_type IS NOT NULL
        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin
@@ -294,7 +307,7 @@ object EventOps {
       .getOrElse("")
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day, count(*) AS n_events
-       |  FROM events GROUP BY event_type, day),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, day),
        |roll AS (
        |  SELECT event_type, day, n_events,
        |    count(*) OVER w AS m,
@@ -314,7 +327,8 @@ object EventOps {
 
   def oracleRetention: String =
     s"""WITH ev AS (
-       |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS day FROM events),
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS day FROM events
+       |  WHERE ts IS NOT NULL),
        |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
        |  count(DISTINCT e.user_id) AS n_users
@@ -341,7 +355,7 @@ object EventOps {
     * aggregate over |days| rows — the regression never sees raw events.
     */
   def volumeTrend(events: DataFrame): DataFrame = {
-    val daily = graft.Tables.widen(events)
+    val daily = timed(events)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("t"))
       .groupBy(col("event_type"), col("t"))
       .agg(count(lit(1)).as("y"))
@@ -371,7 +385,7 @@ object EventOps {
   def oracleVolumeTrend: String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS t, count(*) AS y
-       |  FROM events GROUP BY event_type, t),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, t),
        |g AS (
        |  SELECT event_type, count(*) AS m,
        |    CAST(sum(t) AS BIGINT) AS sum_t, CAST(sum(y) AS BIGINT) AS sum_y,
@@ -398,7 +412,7 @@ object EventOps {
     */
   def cumulativeUsers(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val debuts = graft.Tables.widen(events)
+    val debuts = timed(events)
       .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new"))
@@ -416,7 +430,7 @@ object EventOps {
   def oracleCumulativeUsers: String =
     s"""WITH debut AS (
        |  SELECT user_id, min(epoch_us(ts) // $MicrosPerDay) AS first_day
-       |  FROM events GROUP BY user_id),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
        |d AS (SELECT first_day AS day, count(*) AS n_new FROM debut GROUP BY 1)
        |SELECT day, CAST(n_new AS BIGINT) AS n_new,
        |  CAST(sum(n_new) OVER (ORDER BY day
@@ -437,7 +451,7 @@ object EventOps {
     * of THAT relation — the raw scan happens once.
     */
   def freshness(events: DataFrame): DataFrame = {
-    val perType = graft.Tables.widen(events)
+    val perType = timed(events)
       .select(col("event_type"), expr("unix_micros(ts)").as("us"))
       .groupBy(col("event_type"))
       .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
@@ -454,7 +468,7 @@ object EventOps {
     s"""WITH t AS (
        |  SELECT event_type, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, count(*) AS n
-       |  FROM events GROUP BY event_type),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type),
        |g AS (SELECT max(last_us) AS newest_us FROM t)
        |SELECT event_type, n, first_us, last_us,
        |  CAST(newest_us - last_us AS BIGINT) AS lag_us
@@ -483,7 +497,7 @@ object EventOps {
   def interArrival(events: DataFrame, qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("us")
-    val gaps = graft.Tables.widen(events)
+    val gaps = timed(events)
       .select(col("event_type"), expr("unix_micros(ts)").as("us"))
       .withColumn("gap_s",
         (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1e6)
@@ -504,7 +518,7 @@ object EventOps {
     s"""WITH s AS (
        |  SELECT event_type,
        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS gap_us
-       |  FROM events),
+       |  FROM events WHERE ts IS NOT NULL),
        |g AS (SELECT event_type, CAST(gap_us AS DOUBLE) / 1e6 AS gap_s FROM s WHERE gap_us IS NOT NULL)
        |${branches.mkString("", "\nUNION ALL\n", "")}
        |ORDER BY event_type, q_r""".stripMargin
@@ -532,7 +546,7 @@ object EventOps {
     * the (n−1)·q interpolation convention, so the round-6 median matches.
     */
   def theilSen(events: DataFrame): DataFrame = {
-    val daily = graft.Tables.widen(events)
+    val daily = timed(events)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("t"))
       .groupBy(col("event_type"), col("t"))
       .agg(count(lit(1)).as("y"))
@@ -557,7 +571,7 @@ object EventOps {
   def oracleTheilSen: String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS t, count(*) AS y
-       |  FROM events GROUP BY event_type, t),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, t),
        |p AS (
        |  SELECT a.event_type,
        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
@@ -585,7 +599,7 @@ object EventOps {
     * the spine.
     */
   def gapFilledHourly(events: DataFrame): DataFrame = {
-    val hourly = graft.Tables.widen(events)
+    val hourly = timed(events)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerHour").as("hour"))
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n"))
@@ -607,7 +621,7 @@ object EventOps {
   def oracleGapFilledHourly: String =
     s"""WITH hourly AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerHour AS hour, count(*) AS n
-       |  FROM events GROUP BY event_type, hour),
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, hour),
        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hourly),
        |hours AS (SELECT unnest(generate_series(mn, mx)) AS hour FROM b),
        |types AS (SELECT DISTINCT event_type FROM hourly)
@@ -643,7 +657,7 @@ object EventOps {
       .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("session_idx")).orderBy(col("t"), col("event_id"))
-    graft.Tables.widen(events)
+    timed(events)
       .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t"))
       .withColumn(
         "nf",
@@ -675,7 +689,8 @@ object EventOps {
       k: Int = 50
   ): String = {
     val gapUs = gapSeconds * 1000000L
-    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+       |  WHERE ts IS NOT NULL),
        |flg AS (
        |  SELECT user_id, event_id, event_type, t,
        |    (CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $gapUs THEN 1 ELSE 0 END) AS nf
@@ -721,7 +736,7 @@ object EventOps {
     */
   def ewmaDailyVolume(events: DataFrame, horizon: Int = 20): DataFrame = {
     require(horizon >= 1 && horizon <= 40, "horizon must keep 2^horizon in long range")
-    val daily = graft.Tables.widen(events)
+    val daily = timed(events)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -749,7 +764,7 @@ object EventOps {
   def oracleEwmaDailyVolume(horizon: Int = 20): String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // $MicrosPerDay AS day, count(*) AS n_events
-       |  FROM events GROUP BY event_type, day)
+       |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, day)
        |SELECT d.event_type, d.day, d.n_events,
        |  CAST(sum(h.n_events * CAST(POWER(2, ${horizon - 1} - (d.day - h.day)) AS BIGINT))
        |    AS BIGINT) AS ewma_num
@@ -781,7 +796,7 @@ object EventOps {
     * (1000·n_active div n_cohort), never a float ratio.
     */
   def cohorts(events: DataFrame): DataFrame = {
-    val activity = graft.Tables.widen(events)
+    val activity = timed(events)
       .select(col("user_id"),
         (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("midx"))
       .distinct()
@@ -801,7 +816,8 @@ object EventOps {
     */
   def oracleCohorts: String =
     s"""WITH a AS (
-       |  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 AS midx FROM events),
+       |  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 AS midx FROM events
+       |  WHERE ts IS NOT NULL),
        |c AS (SELECT user_id, min(midx) AS cohort FROM a GROUP BY user_id),
        |s AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY cohort),
        |j AS (

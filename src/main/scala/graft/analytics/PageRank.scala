@@ -66,8 +66,9 @@ object PageRank {
     // 4097 strings while proving |V| ≤ cap, with no separate counting scan.
     // A NULL event_type is not a node (it would NPE the driver-side string
     // sort, and the oracle's v CTE excludes it identically)
-    val nodeRows = graft.Tables.widen(events).select(col("event_type"))
-      .where(col("event_type").isNotNull).distinct()
+    val nodeRows = graft.Tables.widen(events).select(col("event_type"), col("ts"))
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type")).distinct()
       .limit(MaxBoundedVertices.toInt + 1).as[String].collect().toSeq.sorted
     val n = nodeRows.length.toLong
     require(n > 0, "pageRank needs a non-empty graph")
@@ -238,7 +239,10 @@ object PageRank {
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
-    val widened = graft.Tables.widen(events)
+    // timed-event doctrine (EventOps.timed): an untimed event cannot
+    // transition and is not graph evidence; NULL window-order placement
+    // also differs across engines
+    val widened = graft.Tables.widen(events).where(col("ts").isNotNull)
     val edges = widened
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("t"))
@@ -295,12 +299,12 @@ object PageRank {
       s"""WITH seq AS (
          |  SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
-         |  FROM events),
+         |  FROM events WHERE ts IS NOT NULL),
          |e AS (
          |  SELECT prev_type AS src, event_type AS dst, count(*) AS w
          |  FROM seq WHERE prev_type IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
          |v AS (SELECT DISTINCT event_type AS node FROM events
-         |      WHERE event_type IS NOT NULL)""".stripMargin,
+         |      WHERE event_type IS NOT NULL AND ts IS NOT NULL)""".stripMargin,
       iters,
       """SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e12
         |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, event_type"
@@ -311,7 +315,7 @@ object PageRank {
       s"""WITH seq AS (
          |  SELECT user_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
-         |  FROM events),
+         |  FROM events WHERE ts IS NOT NULL),
          |e AS (
          |  SELECT 'u' || CAST(user_id AS VARCHAR) || ':' || prev_type AS src,
          |         'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS dst,
@@ -320,7 +324,8 @@ object PageRank {
          |  WHERE prev_type IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
          |  GROUP BY 1, 2),
          |v AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS node
-         |      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)""".stripMargin,
+         |      FROM events
+         |      WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL)""".stripMargin,
       iters,
       """SELECT node, CAST(r AS BIGINT) AS rank_e12
         |FROM""".stripMargin) + " ORDER BY rank_e12 DESC, node"

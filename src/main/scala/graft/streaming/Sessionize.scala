@@ -38,6 +38,9 @@ object Sessionize {
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val gapUs = gapSeconds * 1000000L
     graft.Tables.widen(events)
+      // the EventOps timed-event doctrine: an untimed event cannot be
+      // sessionized, and NULL window-order placement differs across engines
+      .where(col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), t.as("t"))
       .withColumn(
         "nf",
@@ -56,7 +59,8 @@ object Sessionize {
 
   def oracleBatchSessions(gapSeconds: Long = DefaultGapSeconds): String = {
     val gapUs = gapSeconds * 1000000L
-    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+       |  WHERE ts IS NOT NULL),
        |flg AS (
        |  SELECT user_id, event_id, t,
        |    (CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $gapUs THEN 1 ELSE 0 END) AS nf

@@ -40,7 +40,11 @@ object StreamJoin {
     * streaming variant and the oracle.
     */
   def batchAttribution(events: DataFrame, windowSeconds: Long = DefaultWindowSeconds): DataFrame = {
-    val e = graft.Tables.widen(events)
+    // timed-event doctrine (EventOps.timed): the join predicates already
+    // exclude NULL-ts rows (NULL comparisons), so this changes no output —
+    // it keeps the frame aligned with the streaming twin, whose watermark
+    // cannot carry a NULL event time
+    val e = graft.Tables.widen(events).where(col("ts").isNotNull)
     val p = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), unix_micros(col("ts")).as("p_t"))
     val v = e.where(col("event_type") === "view")
@@ -91,7 +95,7 @@ object StreamJoin {
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-    ) // type-adaptive ts decode
+    ).where(col("ts").isNotNull) // type-adaptive ts decode; timed-event doctrine
 
     // view-side watermark delay must cover the purchase-side delay PLUS the
     // join window, or correct matches could be evicted before their

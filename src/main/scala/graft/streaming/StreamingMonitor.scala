@@ -160,6 +160,9 @@ object StreamingMonitor {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
     ) // type-adaptive ts decode
+      // timed-event doctrine: a NULL event time cannot ride a watermark (it
+      // crashes the stateful aggregation) and the batch oracle excludes it
+      .where(col("ts").isNotNull)
       .withWatermark("ts", "1 second")
     val name = s"graft_stream_anomalies_${runCounter.incrementAndGet()}"
     val q = streamingAnomalies(stream, windowDays, z, minBaseline)

@@ -45,6 +45,9 @@ object StreamingProfiler {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val events = graft.Tables.normalizeEventTs(stream) // type-adaptive ts decode
+      // timed-event doctrine: a NULL event time has no window; the batch
+      // oracle carries the same exclusion
+      .where(col("ts").isNotNull)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
@@ -77,5 +80,6 @@ object StreamingProfiler {
       |  count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events
+      |WHERE ts IS NOT NULL
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 }

@@ -136,6 +136,10 @@ def events():
     rows.append((eid, us0 + 8, None, "view", 1.0, '{"k": 9}')); eid += 1
     rows.append((eid, us0 + 9, 105, None, 1.0, '{"k": 10}')); eid += 1
     rows.append((eid, us0 + 10, 105, "view", None, None)); eid += 1
+    # NULL timestamp: unsequenceable — window ORDER BY NULL placement differs
+    # across engines (Spark ASC puts nulls first, DuckDB last), so sequence
+    # operators must exclude these rows on both sides
+    rows.append((eid, None, 106, "view", 1.0, '{"k": 11}')); eid += 1
     # duplicate event ids are NOT produced (event_id is the key)
 
     schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),

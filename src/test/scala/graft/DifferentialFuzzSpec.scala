@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-operator differential fuzz: random small event corpora are run
+  * through the DISTRIBUTED operators and through straightforward in-JVM
+  * reference implementations of the same declared semantics, and the results
+  * must match EXACTLY. This is the third leg next to the DuckDB oracle gate
+  * (one corpus shape, two engines) and the kernel-level PropertySpec fuzz
+  * (pure functions): here the randomized axis is the CORPUS — same-microsecond
+  * ties, single-event users, NULL users/types, empty types, out-of-order
+  * ids — against the window-ordering-heavy operators where a partitioning or
+  * tie-break bug would be invisible on friendly data.
+  *
+  * The corpora deliberately include NULL `ts` rows; the references implement
+  * the timed-event doctrine (EventOps excludes rows that cannot sit on a
+  * timeline), so these tests also pin that exclusion.
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+
+  private val spark = SparkTestBase.spark
+
+  private case class Ev(id: Long, ts: Option[Long], user: Option[Long], etype: Option[String])
+
+  private def corpus(seed: Long, n: Int = 120): Seq[Ev] = {
+    val rnd   = new scala.util.Random(seed)
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val base  = 1704067200000000L
+    (0 until n).map { i =>
+      val ts =
+        if (rnd.nextInt(20) == 0) None
+        // coarse grid so same-µs ties across and within users are common
+        else Some(base + rnd.nextInt(50) * 600000000L + rnd.nextInt(3) * 1000000L)
+      val user  = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(6).toLong)
+      val etype = if (rnd.nextInt(25) == 0) None else Some(types(rnd.nextInt(types.size)))
+      Ev(i.toLong, ts, user, etype)
+    }
+  }
+
+  private def toDF(evs: Seq[Ev]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("user_id", LongType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = true),
+      StructField("props", StringType, nullable = true)
+    ))
+    val rows = evs.map { e =>
+      Row(e.id, e.ts.map(us => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))).orNull,
+        e.user.map(Long.box).orNull, e.etype.orNull, 1.0, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  /** timed + per-user (t, event_id)-sorted sequences — the shared reference
+    * front half (None user is its own partition, like a NULL group key).
+    */
+  private def seqsByUser(evs: Seq[Ev]): Map[Option[Long], Seq[Ev]] =
+    evs.filter(_.ts.isDefined).groupBy(_.user)
+      .map { case (u, es) => u -> es.sortBy(e => (e.ts.get, e.id)) }
+
+  test("sessionize: distributed gap-split == reference on 6 random corpora") {
+    for (seed <- 1L to 6L) {
+      val evs   = corpus(seed)
+      val gapUs = 1800L * 1000000L
+      val expected = seqsByUser(evs).toSeq.flatMap { case (user, es) =>
+        // walk the sorted sequence, split on gap > gapUs
+        val sessions = es.foldLeft(Vector.empty[Vector[Ev]]) { (acc, e) =>
+          if (acc.isEmpty || e.ts.get - acc.last.last.ts.get > gapUs) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (user, (i + 1).toLong, s.head.ts.get, s.last.ts.get, s.size.toLong)
+        }
+      }.sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+      val got = graft.streaming.Sessionize.batchSessions(toDF(evs)).collect().toSeq
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("transitions: distributed lag-pairs == reference on 6 random corpora") {
+    for (seed <- 10L to 15L) {
+      val evs = corpus(seed)
+      val expected = seqsByUser(evs).values.flatMap { es =>
+        es.sliding(2).collect { case Seq(a, b) if a.etype.isDefined => (a.etype, b.etype) }
+      }.groupBy(identity).map { case ((p, nx), xs) => (p.get, nx.orNull, xs.size.toLong) }
+        .toSeq.sortBy(r => (r._1, Option(r._2).getOrElse("")))
+      val got = graft.analytics.EventOps.transitions(toDF(evs)).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(r => (r._1, Option(r._2).getOrElse("")))
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("retention: distributed cohort matrix == reference on 6 random corpora") {
+    val MicrosPerDay = 86400000000L
+    for (seed <- 20L to 25L) {
+      val evs = corpus(seed)
+      // NULL users never survive the cohort equi-join (NULL key matches
+      // nothing) and count_distinct ignores them — same on both engines
+      val activity = evs.collect { case Ev(_, Some(t), Some(u), _) => (u, t / MicrosPerDay) }.distinct
+      val cohorts  = activity.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+      val expected = activity
+        .map { case (u, d) => (cohorts(u), d - cohorts(u), u) }
+        .groupBy(r => (r._1, r._2))
+        .map { case ((c, off), xs) => (c, off, xs.map(_._3).distinct.size.toLong) }
+        .toSeq.sorted
+      val got = graft.analytics.EventOps.retention(toDF(evs)).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("funnel: distributed earliest-chain == reference on 6 random corpora") {
+    val steps = Seq("signup", "view", "purchase")
+    val winUs = 7L * 86400L * 1000000L
+    for (seed <- 30L to 35L) {
+      val evs  = corpus(seed)
+      val byUser = seqsByUser(evs)
+      // reference: per user, earliest chain t1 < t2 < ... with tk from step k
+      // strictly after t(k-1) and within t1 + win; count survivors per step
+      val counts = Array.fill(steps.size)(0L)
+      byUser.foreach { case (user, es) =>
+        val t1 = es.filter(_.etype.contains(steps.head)).map(_.ts.get).minOption
+        t1.foreach { start =>
+          counts(0) += 1
+          var prev = start
+          var k    = 1
+          // a NULL user_id can complete step 1 (groupBy keeps the NULL
+          // group) but never step 2+: the step join's NULL key matches
+          // nothing — identical on both engines, mirrored here
+          var live = user.isDefined
+          while (live && k < steps.size) {
+            val tk = es.filter(e => e.etype.contains(steps(k)) &&
+              e.ts.get > prev && e.ts.get <= start + winUs).map(_.ts.get).minOption
+            tk match {
+              case Some(t) => counts(k) += 1; prev = t; k += 1
+              case None    => live = false
+            }
+          }
+        }
+      }
+      val expected = steps.indices.map(i => ((i + 1).toLong, steps(i), counts(i))).toSeq
+      val got = graft.analytics.EventOps.funnel(toDF(evs), steps).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got == expected, s"seed $seed")
+    }
+  }
+}

@@ -52,7 +52,13 @@ object StreamingProfiler {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).as("total_value")
+        // finite-measure rule: NaN/Inf have no decimal representation — a
+        // hostile feed's non-finite value must not poison the exact sum
+        // (Spark nulls the cast where DuckDB ERRORS on it, so without the
+        // shared isfinite/isnan guard the twins diverge; r11 sweep)
+        sum(when(!isnan(col("value")) && col("value").between(
+            Double.MinValue, Double.MaxValue),
+          col("value")).cast(DecimalType(18, 6))).as("total_value")
       )
       .select(
         col("w.start").cast("long").as("window_start"),
@@ -78,7 +84,7 @@ object StreamingProfiler {
     """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
       |  event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(sum(CASE WHEN isfinite(value) THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
       |FROM events
       |WHERE ts IS NOT NULL
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin

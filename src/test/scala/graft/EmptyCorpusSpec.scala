@@ -124,10 +124,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
 
     val us0 = 1704067200000000L
     val events = Seq(
-      (0L, us0, 1L, "signup", 1.0, """{"k": 1}"""),
-      (1L, us0 + 1, 1L, "view", 2.0, "{k: 1"),
-      (2L, us0 + 2, 1L, null, 3.0, """{"k": "str"}"""),
-      (3L, 0L, 2L, "view", 0.0, null)
+      (0L, Some(us0), 1L, "signup", 1.0, """{"k": 1}"""),
+      (1L, Some(us0 + 1), 1L, "view", 2.0, "{k: 1"),
+      (2L, Some(us0 + 2), 1L, null, 3.0, """{"k": "str"}"""),
+      (3L, Some(0L), 2L, "view", 0.0, null),
+      // untimed event: the timed-event doctrine must drop it BEFORE any
+      // watermark (a NULL event time crashes stateful streaming otherwise)
+      (4L, None: Option[Long], 2L, "view", 1.0, """{"k": 2}""")
     ).toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .select(col("event_id"), org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))

@@ -140,6 +140,10 @@ def events():
     # across engines (Spark ASC puts nulls first, DuckDB last), so sequence
     # operators must exclude these rows on both sides
     rows.append((eid, None, 106, "view", 1.0, '{"k": 11}')); eid += 1
+    # non-finite measures: a hostile feed WILL ship NaN/Inf doubles
+    add(us0 + 20, 107, "view", float("nan"), '{"k": 12}')
+    add(us0 + 21, 107, "view", float("inf"), '{"k": 13}')
+    add(us0 + 22, 107, "view", float("-inf"), '{"k": 14}')
     # duplicate event ids are NOT produced (event_id is the key)
 
     schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),

@@ -44,7 +44,15 @@ object AsOfJoin {
     def nullAs(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType)
 
-    val taggedRight = right.select(
+    val taggedRight = right
+      // a right row with a NULL key or NULL time can never be "as of"
+      // anything: equi-join semantics say NULL keys match nothing, and a
+      // NULL time has no position on the timeline — but the WINDOW
+      // formulation would group NULL keys into one partition and sort NULL
+      // times FIRST (visible to every later left row via last-ignoreNulls),
+      // silently diverging from the lateral-join oracle (r11 sweep)
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       (Seq(
         col(rightKey).cast("long").as("__k"),
         col(rightTime).as("__t"),

@@ -43,6 +43,11 @@ object Scd2 {
       1L
     ).otherwise(0L)
     val withEp = graft.Tables.widen(df)
+      // timed-event doctrine (EventOps.timed): a change record without an
+      // event time has no position in the validity history, and NULL
+      // window-order placement differs across engines — excluded on both
+      // sides (the oracle carries the same filter)
+      .where(col(timeCol).isNotNull)
       .select(col(keyCol), col(trackedCol), col(timeCol), col(tieCol))
       .withColumn("episode", sum(changed).over(byTime))
     val byEp = Window.partitionBy(col(keyCol)).orderBy(col("episode"))
@@ -76,6 +81,7 @@ object Scd2 {
        |    (CASE WHEN lag($trackedCol) OVER w IS NULL
        |               OR lag($trackedCol) OVER w != $trackedCol THEN 1 ELSE 0 END) AS chg
        |  FROM $table
+       |  WHERE $timeCol IS NOT NULL
        |  WINDOW w AS (PARTITION BY $keyCol ORDER BY $timeCol, $tieCol)),
        |numbered AS (
        |  SELECT *, sum(chg) OVER (PARTITION BY $keyCol ORDER BY $timeCol, $tieCol) AS episode

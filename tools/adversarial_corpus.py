@@ -230,7 +230,9 @@ def tpch_extras(dir_out):
           (990001, 90001, 'O', CAST(-1.0 AS DOUBLE), TIMESTAMP '2024-06-01 00:00:00', '1-URGENT'),
           (990002, 90002, 'F', CAST(0.0 AS DOUBLE),  TIMESTAMP '2024-06-01 00:00:00', '5-LOW'),
           (990003, 90003, 'P', CAST(1e15 AS DOUBLE), TIMESTAMP '1992-01-01 00:00:00', '3-MEDIUM'),
-          (990004, 90004, 'O', NULL, NULL, NULL)
+          (990004, 90004, 'O', NULL, NULL, NULL),
+          (990005, NULL, 'O', CAST(10.0 AS DOUBLE), TIMESTAMP '2024-01-01 00:00:00', '1-URGENT'),
+          (990006, 3, 'F', CAST(20.0 AS DOUBLE), NULL, '2-HIGH')
         ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
       ) TO '{dir_out}/orders.parquet' (FORMAT PARQUET)""")
     con.execute(f"""

@@ -210,8 +210,26 @@ def tpch_extras(dir_out):
     import duckdb
     con = duckdb.connect()
     src = "/root/testdata/sf0.001"
-    for t in ["region", "nation", "supplier", "part"]:
+    for t in ["region", "nation"]:
         shutil.copy(f"{src}/{t}.parquet", f"{dir_out}/{t}.parquet")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{src}/supplier.parquet'
+        UNION ALL SELECT * FROM (VALUES
+          (80001, 'Ünïcödé Supplier ''quote''', 0, CAST(-1.5 AS DOUBLE)),
+          (80002, NULL, NULL, NULL)
+        ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+      ) TO '{dir_out}/supplier.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{src}/part.parquet'
+        UNION ALL SELECT * FROM (VALUES
+          (70001, 'tie part a', 'Brand#1', 'TYPE A', 5, CAST(100.0 AS DOUBLE)),
+          (70002, 'tie part b', 'Brand#1', 'TYPE A', 5, CAST(100.0 AS DOUBLE)),
+          (70003, 'zero price', 'Brand#2', 'TYPE B', 0, CAST(0.0 AS DOUBLE)),
+          (70004, NULL, NULL, NULL, NULL, NULL)
+        ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+      ) TO '{dir_out}/part.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
       COPY (
         SELECT * FROM '{src}/customer.parquet'

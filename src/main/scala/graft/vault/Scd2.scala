@@ -37,9 +37,17 @@ object Scd2 {
       tieCol: String
   ): DataFrame = {
     val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    // NULL-SAFE change detection: a NULL tracked value is its own value (it
+    // opens and continues its own episode, SQL-GROUP-BY style). The lag
+    // formulation (`lag.isNull || lag =!= cur`) silently merged a NULL-value
+    // row into the PREVIOUS episode (NULL comparison → 0), creating
+    // mixed-value episode numbers whose lead(valid_from) chain below was
+    // then ordered by a NON-unique key — engine-dependent output (caught by
+    // the r11 differential fuzz). row_number()=1 handles the first row,
+    // where null-safe equality against the absent lag cannot.
     val changed = when(
-      lag(col(trackedCol), 1).over(byTime).isNull ||
-        lag(col(trackedCol), 1).over(byTime) =!= col(trackedCol),
+      row_number().over(byTime) === 1 ||
+        !(lag(col(trackedCol), 1).over(byTime) <=> col(trackedCol)),
       1L
     ).otherwise(0L)
     val withEp = graft.Tables.widen(df)
@@ -78,8 +86,9 @@ object Scd2 {
   ): String =
     s"""WITH flagged AS (
        |  SELECT $keyCol, $trackedCol, $timeCol, $tieCol,
-       |    (CASE WHEN lag($trackedCol) OVER w IS NULL
-       |               OR lag($trackedCol) OVER w != $trackedCol THEN 1 ELSE 0 END) AS chg
+       |    (CASE WHEN row_number() OVER w = 1
+       |               OR lag($trackedCol) OVER w IS DISTINCT FROM $trackedCol
+       |          THEN 1 ELSE 0 END) AS chg
        |  FROM $table
        |  WHERE $timeCol IS NOT NULL
        |  WINDOW w AS (PARTITION BY $keyCol ORDER BY $timeCol, $tieCol)),

@@ -40,8 +40,11 @@ class ContractSpec extends AnyFunSuite {
       // otherwise numbered CTE references escape the check entirely. The
       // lookbehind keeps a select list ending in `..._from` from matching
       // its own suffix and capturing the next keyword as a relation.
+      // (?<!DISTINCT ): `x IS DISTINCT FROM y` is a comparison operator, not
+      // a relation reference — without the lookbehind the lint reads `y` as
+      // a table name
       val froms =
-        "(?i)(?<![a-z0-9_])FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(code).map(_.group(1)).toSet
+        "(?i)(?<![a-z0-9_])(?<!DISTINCT )FROM\\s+([a-z_][a-z0-9_]*)".r.findAllMatchIn(code).map(_.group(1)).toSet
       // names the SQL itself introduces: CTEs (`x AS (` / `x(cols) AS (`)
       val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(code).map(_.group(1)).toSet

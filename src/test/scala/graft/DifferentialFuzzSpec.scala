@@ -116,6 +116,80 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 episodes: distributed islands == reference on 6 random changelogs") {
+    import org.apache.spark.sql.functions.expr
+    for (seed <- 40L to 45L) {
+      val rnd  = new scala.util.Random(seed)
+      val vals = Seq("A", "B", "C")
+      val rows = (0 until 80).map { i =>
+        val key     = rnd.nextInt(5).toLong
+        val time    = if (rnd.nextInt(15) == 0) None else Some(1000L + rnd.nextInt(40) * 10L)
+        val tracked = if (rnd.nextInt(10) == 0) None else Some(vals(rnd.nextInt(vals.size)))
+        (i.toLong, key, time, tracked)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, k, t, v) =>
+          Row(id, k, t.map(Long.box).orNull, v.orNull)
+        }, 4),
+        StructType(Seq(
+          StructField("tie", LongType, nullable = false),
+          StructField("key", LongType, nullable = false),
+          StructField("t", LongType, nullable = true),
+          StructField("v", StringType, nullable = true))))
+      // reference: timed rows only, sorted per key by (t, tie); NULL-SAFE
+      // change detection — a NULL tracked value is its own value, so chg = 1
+      // on the first row or whenever Option[value] differs from the previous
+      // row's Option[value]; then episode min-time/count + lead(valid_from)
+      val expected = rows.collect { case (id, k, Some(t), v) => (k, t, id, v) }
+        .groupBy(_._1).toSeq.flatMap { case (k, es) =>
+          val sorted = es.sortBy(e => (e._2, e._3))
+          var ep = 0L
+          val numbered = sorted.zipWithIndex.map { case (e, i) =>
+            val chg = i == 0 || sorted(i - 1)._4 != e._4
+            if (chg) ep += 1
+            (k, ep, e._4, e._2)
+          }
+          val eps = numbered.groupBy(x => (x._2, x._3)).toSeq
+            .map { case ((ep0, v), xs) => (k, ep0, v, xs.map(_._4).min, xs.size.toLong) }
+            .sortBy(_._2)
+          eps.zipWithIndex.map { case ((kk, ep0, v, from, n), i) =>
+            val to = if (i + 1 < eps.size) Some(eps(i + 1)._4) else None
+            (kk, ep0, v.orNull, from, to.map(Long.box).orNull, n)
+          }
+        }.sortBy(r => (r._1, r._2))
+      val got = graft.vault.Scd2.episodes(df, "key", "v", "t", "tie").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]).map(Long.box).orNull, r.getLong(5)))
+        .sortBy(r => (r._1, r._2))
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("cdc changelog: latest-wins snapshot == reference on 6 random changelogs") {
+    for (seed <- 50L to 55L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 60).map { i =>
+        (i.toLong + 1L, rnd.nextInt(8).toLong, if (rnd.nextInt(4) == 0) "D" else "U",
+          rnd.nextInt(100).toDouble)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (seq, k, op, pay) => Row(k, seq, op, pay) }, 4),
+        StructType(Seq(
+          StructField("key", LongType, nullable = false),
+          StructField("seq", LongType, nullable = false),
+          StructField("op", StringType, nullable = false),
+          StructField("pay", DoubleType, nullable = false))))
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (k, es) =>
+        val w = es.maxBy(_._1)
+        if (w._3 == "D") None else Some((k, w._1, w._3, w._4))
+      }.sortBy(_._1)
+      val got = graft.cdc.ChangeCapture.applyChangelog(df, "key", "seq", "op")
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("funnel: distributed earliest-chain == reference on 6 random corpora") {
     val steps = Seq("signup", "view", "purchase")
     val winUs = 7L * 86400L * 1000000L

@@ -190,6 +190,87 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: union-window formulation == reference on 6 random inputs") {
+    for (seed <- 60L to 65L) {
+      val rnd = new scala.util.Random(seed)
+      // right: (tie unique, key, time, attr) with NULL keys/times sprinkled
+      val right = (0 until 50).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(8) == 0) None else Some(100L + rnd.nextInt(20) * 10L),
+          rnd.nextInt(1000).toDouble)
+      }
+      val left = (0 until 40).map { i =>
+        (1000L + i,
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(5).toLong),
+          if (rnd.nextInt(8) == 0) None else Some(100L + rnd.nextInt(20) * 10L))
+      }
+      val rightDF = spark.createDataFrame(
+        spark.sparkContext.parallelize(right.map { case (t, k, tm, a) =>
+          Row(t, k.map(Long.box).orNull, tm.map(Long.box).orNull, a) }, 3),
+        StructType(Seq(
+          StructField("r_tie", LongType, nullable = false),
+          StructField("r_key", LongType, nullable = true),
+          StructField("r_time", LongType, nullable = true),
+          StructField("attr", DoubleType, nullable = false))))
+      val leftDF = spark.createDataFrame(
+        spark.sparkContext.parallelize(left.map { case (id, k, tm) =>
+          Row(id, k.map(Long.box).orNull, tm.map(Long.box).orNull) }, 3),
+        StructType(Seq(
+          StructField("l_id", LongType, nullable = false),
+          StructField("l_key", LongType, nullable = true),
+          StructField("l_time", LongType, nullable = true))))
+      // reference: NULL left key/time → no match (equi-join + timeline
+      // semantics); else latest right row (max (time, tie)) with the same
+      // key at or before the left time, among non-null-key/time right rows
+      val expected = left.map { case (id, k, tm) =>
+        val m = (k, tm) match {
+          case (Some(kk), Some(t)) =>
+            right.collect { case (tie, Some(rk), Some(rt), a) if rk == kk && rt <= t => (rt, tie, a) }
+              .sortBy(r => (r._1, r._2)).lastOption
+          case _ => None
+        }
+        (id, m.map(x => Double.box(x._3)).orNull)
+      }.sortBy(_._1)
+      val got = graft.analytics.AsOfJoin.asOf(
+          leftDF, "l_key", "l_time", rightDF, "r_key", "r_time",
+          attrs = Seq("attr"), tieBreak = "r_tie")
+        .select(col("l_id"), col("asof_attr"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), Option(r.get(1)).map(x => Double.box(x.asInstanceOf[Double])).orNull))
+        .sortBy(_._1)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("skyline: sort-filter frontier == quadratic dominance reference on 6 random catalogs") {
+    for (seed <- 70L to 75L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 60).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(12) == 0) None else Some((rnd.nextInt(8) * 25).toDouble),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(8)))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, p, s) =>
+          Row(id, p.map(Double.box).orNull, s.map(Int.box).orNull) }, 4),
+        StructType(Seq(
+          StructField("pk", LongType, nullable = false),
+          StructField("price", DoubleType, nullable = true),
+          StructField("size", IntegerType, nullable = true))))
+      val defined = rows.collect { case (id, Some(p), Some(s)) => (id, p, s.toLong) }
+      def dominated(p: Double, s: Long): Boolean = defined.exists { case (_, q, t) =>
+        q <= p && t >= s && (q < p || t > s)
+      }
+      val expected = defined.collect { case (id, p, s) if !dominated(p, s) => (id, p, s) }
+        .sortBy(r => (r._2, -r._3, r._1))
+      val got = graft.olap.Skyline.skyline(df, "price", "size", Seq("pk"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+        .sortBy(r => (r._2, -r._3, r._1))
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("funnel: distributed earliest-chain == reference on 6 random corpora") {
     val steps = Seq("signup", "view", "purchase")
     val winUs = 7L * 86400L * 1000000L

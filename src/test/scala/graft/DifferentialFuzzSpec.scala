@@ -271,6 +271,44 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("md5 gate: sample/stratified/quota == independent JVM MessageDigest reference") {
+    // the gate is THE reproducibility primitive of the sampling family; this
+    // reference recomputes it with java.security.MessageDigest (no Spark, no
+    // DuckDB) so all three implementations must agree bit-for-bit
+    def jvmGate(key: String, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:$salt".getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for (seed <- 80L to 83L) {
+      val rnd  = new scala.util.Random(seed)
+      val keys = (0 until 200).map(_ => rnd.nextLong(1000000L)).distinct
+      val strata = keys.map(k => (k, s"s${k % 5}"))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(strata.map { case (k, s) => Row(k, s) }, 4),
+        StructType(Seq(
+          StructField("key", LongType, nullable = false),
+          StructField("stratum", StringType, nullable = false))))
+
+      val fr = 0.3
+      val expSample = strata.collect {
+        case (k, _) if jvmGate(k.toString, "graft") < graft.sampling.Sampling.HashSpace * 3 / 10 => k
+      }.sorted
+      val gotSample = graft.sampling.Sampling.sampleByHash(df, "key", fr)
+        .select("key").collect().map(_.getLong(0)).toSeq.sorted
+      assert(gotSample == expSample, s"sample seed $seed")
+
+      val cap = 7
+      val expQuota = strata.groupBy(_._2).toSeq.flatMap { case (_, ks) =>
+        ks.map(_._1).sortBy(k => (jvmGate(k.toString, "graft"), k)).take(cap)
+      }.sorted
+      val gotQuota = graft.sampling.Sampling.quotaByHash(df, "key", "stratum", cap)
+        .select("key").collect().map(_.getLong(0)).toSeq.sorted
+      assert(gotQuota == expQuota, s"quota seed $seed")
+    }
+  }
+
   test("funnel: distributed earliest-chain == reference on 6 random corpora") {
     val steps = Seq("signup", "view", "purchase")
     val winUs = 7L * 86400L * 1000000L

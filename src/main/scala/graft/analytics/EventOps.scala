@@ -736,7 +736,11 @@ object EventOps {
     */
   def ewmaDailyVolume(events: DataFrame, horizon: Int = 20): DataFrame = {
     require(horizon >= 1 && horizon <= 40, "horizon must keep 2^horizon in long range")
+    // NULL-typed events have no per-type series: excluded HERE, explicitly —
+    // the self-join's null-rejecting equality would drop them anyway (as does
+    // the oracle twin's JOIN), but only after carrying them through the rollup
     val daily = timed(events)
+      .where(col("event_type").isNotNull)
       .select(col("event_type"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))

@@ -30,9 +30,14 @@ object Blocklist {
     require(phrases.forall(p => p.nonEmpty && !p.contains("'")),
       "phrases must be non-empty and quote-free")
     val docs = graft.Tables.widen(docs0)
+    // simple-fold BOTH sides of the match: the text through the İ/Σ
+    // pre-fold (TextOps.lowerSimple), the phrase through its JVM twin —
+    // Java's raw toLowerCase would put a final sigma in a Greek phrase
+    // where DuckDB's simple-mapped text has σ
+    val lt = TextOps.LowerTextSql
     val hitTerms = phrases.map { p =>
-      val lit = p.toLowerCase(java.util.Locale.ROOT)
-      s"(length(lower(text)) - length(replace(lower(text), '$lit', ''))) div ${lit.length}"
+      val lit = TextOps.lowerSimpleJvm(p)
+      s"(length($lt) - length(replace($lt, '$lit', ''))) div ${lit.length}"
     }
     docs
       .select(
@@ -45,7 +50,8 @@ object Blocklist {
   /** DuckDB twin of [[blocklistHits]] — the same replace-length identity. */
   def oracleBlocklistHits(phrases: Seq[String]): String = {
     val terms = phrases.map { p =>
-      val lit = p.toLowerCase(java.util.Locale.ROOT)
+      // DuckDB's lower IS the simple mapping — only the phrase needs the fold
+      val lit = TextOps.lowerSimpleJvm(p)
       s"(length(lower(text)) - length(replace(lower(text), '$lit', ''))) // ${lit.length}"
     }
     s"""SELECT doc_id,

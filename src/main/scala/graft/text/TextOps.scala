@@ -49,17 +49,27 @@ object TextOps {
 
   /** Lowercase via the Unicode SIMPLE case mapping on both engines. Java's
     * `toLowerCase` applies SpecialCasing — dotted capital İ (U+0130) becomes
-    * `i` + combining dot (U+0069 U+0307) — where DuckDB's utf8proc applies
-    * the simple mapping (İ → plain `i`), silently desynchronizing every
-    * token, fingerprint and signature downstream (r11 adversarial sweep:
-    * one İ flipped 11 declared queries). U+0130 is the ONLY unconditional
-    * lowercase entry in SpecialCasing.txt, so pre-folding it to `i` makes
-    * Spark's lower() the simple mapping everywhere.
+    * `i` + combining dot (U+0069 U+0307), and word-final Σ (U+03A3) becomes
+    * final sigma ς (U+03C2) under the conditional Final_Sigma rule — where
+    * DuckDB's utf8proc applies the simple mapping (İ → plain `i`, Σ → σ
+    * everywhere), silently desynchronizing every token, fingerprint and
+    * signature downstream (r11 adversarial sweep: one İ flipped 11 declared
+    * queries; the Greek probe caught Σ the same way). İ is the only
+    * UNCONDITIONAL lowercase entry in SpecialCasing.txt and Final_Sigma the
+    * only CONDITIONAL one a ROOT-locale toLowerCase applies, so pre-folding
+    * exactly these two makes Spark's lower() the simple mapping everywhere.
     */
-  private[graft] def lowerSimple(c: Column): Column = lower(translate(c, "İ", "i"))
+  private[graft] def lowerSimple(c: Column): Column = lower(translate(c, "İΣ", "iσ"))
 
   /** [[lowerSimple]] for Spark-side SQL-string expressions over `text`. */
-  private[graft] val LowerTextSql: String = "lower(translate(text, 'İ', 'i'))"
+  private[graft] val LowerTextSql: String = "lower(translate(text, 'İΣ', 'iσ'))"
+
+  /** [[lowerSimple]] for JVM-side literals (blocklist phrases, marker
+    * tokens) that get compared against simple-folded column text: the same
+    * two pre-folds, then ROOT toLowerCase (which is then purely simple).
+    */
+  private[graft] def lowerSimpleJvm(s: String): String =
+    s.replace('İ', 'i').replace('Σ', 'σ').toLowerCase(java.util.Locale.ROOT)
 
   private def tokens(c: Column): Column = split(lowerSimple(c), " ")
 
@@ -952,7 +962,7 @@ object TextOps {
     val fp   = md5(norm.cast("binary"))
     // per-token 32-bit hashes of the normalized token stream
     val ths =
-      "transform(filter(split(lower(translate(regexp_replace(text, '\\\\s+', ' '), 'İ', 'i')), ' '), t -> t != ''), " +
+      "transform(filter(split(lower(translate(regexp_replace(text, '\\\\s+', ' '), 'İΣ', 'iσ')), ' '), t -> t != ''), " +
         "t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
     val roll = expr(
       s"CASE WHEN size($ths) = 0 THEN 0L ELSE " +

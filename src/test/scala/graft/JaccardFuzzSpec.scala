@@ -36,14 +36,15 @@ class JaccardFuzzSpec extends AnyFunSuite {
   /** doc → distinct 3-shingle set (lowercased, split keeps empty tokens). */
   private def refSets(texts: Seq[String]): Map[Long, Set[String]] =
     texts.zipWithIndex.collect {
-      case (t, d) if t.replace('İ', 'i').toLowerCase(java.util.Locale.ROOT)
+      case (t, d) if t.replace('İ', 'i').replace('Σ', 'σ').toLowerCase(java.util.Locale.ROOT)
         .split(" ", -1).length >= 3 =>
-        val ts = t.replace('İ', 'i').toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        val ts = t.replace('İ', 'i').replace('Σ', 'σ')
+          .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
         d.toLong -> ts.sliding(3).map(_.mkString(" ")).toSet
     }.toMap
 
   private def corpus(seed: Long): Seq[String] = {
-    val words = Array("aa", "bb", "cc")
+    val words = Array("aa", "bb", "ΛΟΓΟΣ")
     val rnd   = new scala.util.Random(seed)
     (0 until 4 + rnd.nextInt(20)).map { _ =>
       val sep = if (rnd.nextInt(5) == 0) "  " else " "

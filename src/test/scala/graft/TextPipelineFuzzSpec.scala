@@ -15,7 +15,8 @@ import graft.text.{ApproxVocab, Packing, SpanDedup, TextOps}
   * one). References are direct in-JVM implementations of the declared
   * semantics; corpora are drawn from tiny alphabets so duplicated spans,
   * token ties and bucket collisions are dense rather than accidental, and
-  * include İ (the one unconditional special-lowercase mapping), empty texts
+  * include İ (the unconditional special-lowercase mapping) and word-final Σ
+  * (the conditional Final_Sigma mapping), empty texts
   * and leading/trailing-space empty tokens.
   */
 class TextPipelineFuzzSpec extends AnyFunSuite {
@@ -23,7 +24,7 @@ class TextPipelineFuzzSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
 
   private def lowerRef(s: String): String =
-    s.replace('İ', 'i').toLowerCase(java.util.Locale.ROOT)
+    s.replace('İ', 'i').replace('Σ', 'σ').toLowerCase(java.util.Locale.ROOT)
 
   private def docsDF(texts: Seq[String], parts: Int): DataFrame = {
     val schema = StructType(Seq(
@@ -59,7 +60,7 @@ class TextPipelineFuzzSpec extends AnyFunSuite {
   }
 
   test("spanDedup: cut-then-stitch == naive reference on 8 random corpora (k=2,3)") {
-    val words = Array("aa", "bb", "cc", "dd", "İq")
+    val words = Array("aa", "bb", "cc", "dd", "İq", "ΘΕΟΣ")
     for (seed <- 1L to 8L) {
       val rnd = new scala.util.Random(seed)
       val k   = 2 + (seed % 2).toInt

@@ -24,7 +24,9 @@ batch oracle keeps it). Everything else must agree; the r11 sweep that
 introduced this file found and fixed 16 divergences (zero-norm cosine,
 BIGINT quantizer overflow, U+0130 case-mapping, CSV ''-vs-NULL, UNPIVOT
 null rows, rank null exclusion, JSON try_cast, PageRank null nodes,
-zero-total ratio guards).
+zero-total ratio guards). The later Greek probe caught a 17th: Java's
+conditional Final_Sigma lowercase (Σ → ς word-finally) vs utf8proc's
+unconditional Σ → σ, fixed by widening the lowerSimple pre-fold.
 """
 import shutil
 import sys
@@ -63,6 +65,13 @@ def documents():
     add("İstanbul STRASSE groß İ ı i dotless", lang="und")
     # İ in the same doc as common query terms (kwic/bm25 context must agree)
     add("the İstanbul hash join of the dup agg İ pipeline", lang="und")
+    # Greek with word-final Σ: Java's toLowerCase applies the conditional
+    # Final_Sigma rule (Σ → ς at word end) where utf8proc maps Σ → σ
+    # everywhere — the lowerSimple pre-fold must neutralize it
+    add("ΟΔΟΣ ΣΟΦΟΣ ΘΕΟΣ ΚΟΣΜΟΣ ΛΟΓΟΣ", lang="und", source="src9")
+    add("Η ΟΔΟΣ and the dup agg λογος ΣΑΣ kosmos", lang="und")
+    # pre-existing lowercase final sigma must survive unchanged on both sides
+    add("η οδος και ο λογος σοφος ς σ mixed sigmas", lang="und")
     # regex metacharacters + SQL-hostile quoting
     add("dot . star * plus + question ? bracket [ ] paren ( ) brace { } pipe | caret ^ dollar $ backslash \\")
     add("single ' quote '' doubled \" double `backtick` and -- comment ; semicolon")

@@ -43,9 +43,15 @@ object SourceDivergence {
     val bySrc    = bySrcTok.groupBy(col("source")).agg(
       sum(col("c_s")).as("n_s"), count(lit(1)).as("n_types"))
     val total    = byTok.agg(sum(col("c_tot")).as("n_tot"))
+    // NULL-safe source join: a NULL source is a group like any other (the
+    // textStats/groupBy convention) — a plain equi-join would silently drop
+    // the whole NULL-source feed from the report while its tokens still
+    // count inside n_tot/c_tot (r11 fuzz find)
     bySrcTok
       .join(byTok, Seq("token"))
-      .join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(bySrc.withColumnRenamed("source", "src2")),
+        col("source") <=> col("src2"))
+      .drop("src2")
       .crossJoin(broadcast(total))
       .select(col("source"), col("n_s"), col("n_types"), expr(termExpr).as("term"))
       .groupBy(col("source"))
@@ -70,9 +76,9 @@ object SourceDivergence {
        |terms AS (
        |  SELECT st.source, cs.n_s, cs.n_types, $termExpr AS term
        |  FROM st JOIN ct ON st.token = ct.token
-       |  JOIN cs ON st.source = cs.source CROSS JOIN tot)
+       |  JOIN cs ON st.source IS NOT DISTINCT FROM cs.source CROSS JOIN tot)
        |SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
        |  CAST(min(n_types) AS BIGINT) AS n_types,
        |  CAST(CAST(sum(term) AS DECIMAL(28,6)) AS VARCHAR) AS kl_str
-       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+       |FROM terms GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 }

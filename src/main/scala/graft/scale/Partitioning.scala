@@ -93,7 +93,10 @@ object Partitioning {
       max(col("n")).as("max_key_rows")
     )
     val top = counts
-      .orderBy(col("n").desc, col(key))
+      // asc_nulls_last: Spark's asc default is NULLS FIRST but the DuckDB
+      // twin's `ORDER BY n DESC, k` is NULLS LAST — a NULL key tying in
+      // count at the top-K boundary would otherwise pick different keys
+      .orderBy(col("n").desc, col(key).asc_nulls_last)
       .limit(topK)
       .agg(sum(col("n")).as("top_rows"))
     totals

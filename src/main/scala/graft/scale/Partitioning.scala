@@ -86,7 +86,12 @@ object Partitioning {
     * partition heaps, driver merge of P·topK rows — never a global sort).
     */
   def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).persist()
+    // no persist: both consumers (the 1-row totals and the top-K heap) sit
+    // in ONE final plan over the same counts subtree, so ReuseExchange
+    // dedupes the key shuffle — sharing without an anonymous cache entry
+    // that would outlive the call (the PageRank r10 lesson; asserted in
+    // PlanShapeSpec)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val totals = counts.agg(
       sum(col("n")).as("n_rows"),
       count(lit(1)).as("n_keys"),

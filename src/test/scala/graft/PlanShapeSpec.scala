@@ -239,6 +239,90 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quarantine counts must combine map-side:\n$pq")
   }
 
+  test("bucketized range join plans a hash join on the cell, never a nested-loop band scan") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p  = plan(graft.analytics.RangeJoin.priceBandStats(li))
+    // the naive `v >= lo AND v < hi` join is a BroadcastNestedLoopJoin —
+    // every row tests every band; the cell equi-join must be a hash lookup
+    assert(p.contains("BroadcastHashJoin"), s"cell join is not a hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to an all-bands scan:\n$p")
+    // column pruning reaches the fact scan: only the value column is read
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"fact scan reads more than the value column:\n$p")
+  }
+
+  test("data-vault generators: hub is one distinct shuffle; satellite is a pure projection") {
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val ph = plan(graft.vault.DataVault.hub(cust, "customer", Seq("c_custkey")))
+    val hx = "Exchange (\\w+)".r.findAllMatchIn(ph).map(_.group(1)).toList
+    assert(hx.count(_.startsWith("hashpartitioning")) == 1 &&
+      hx.count(_.startsWith("rangepartitioning")) == 1 && hx.size == 2,
+      s"hub should cost one distinct shuffle + the declared sort, got $hx:\n$ph")
+    val ps = plan(graft.vault.DataVault.satellite(cust, "customer", Seq("c_custkey"), Seq("c_name", "c_acctbal")))
+    assert(!ps.contains("HashAggregate"), s"satellite should not aggregate:\n$ps")
+    val sx = "Exchange (\\w+)".r.findAllMatchIn(ps).map(_.group(1)).toList
+    assert(sx.forall(e => e.startsWith("rangepartitioning") || e.startsWith("RoundRobin")),
+      s"satellite should shuffle only for the declared sort, got $sx:\n$ps")
+  }
+
+  test("ruleReport evaluates the whole suite in one pass — single scan, no Expand, broadcast dim") {
+    val ords = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val p = plan(graft.quality.Checks.orderChecks(ords, cust))
+    // the single count(DISTINCT key) plans as the keyed two-phase rewrite,
+    // never the multi-distinct Expand that multiplies the scan
+    assert(!p.contains("Expand"), s"rule suite multiplies rows through an Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"referential arm is not a broadcast join:\n$p")
+    assert("orders\\.parquet".r.findAllMatchIn(p).size == 1,
+      s"adding rules must not add scans — orders scanned more than once:\n$p")
+  }
+
+  test("diffSummary is the one irreducible full-outer join plus a 1-row aggregate") {
+    val p = plan(graft.quality.Diff.diffDocuments(docs))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"reconciliation must full-outer join on the key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff plans an all-pairs operator:\n$p")
+    assert(!p.contains("Window"), s"diff should aggregate, not window:\n$p")
+  }
+
+  test("unpivotStats: one Expand, null filter below the map-side combine") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = plan(graft.report.Reshape.unpivotStats(li, "l_returnflag",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+    assert("Expand".r.findAllMatchIn(p).size == 1, s"melt should be ONE Expand:\n$p")
+    // the grouped partial aggregate must sit below the exchange, so the
+    // shuffle carries ≤ |groups|·|measures| buffer rows per partition,
+    // never the Expand-multiplied fact rows
+    assert(p.indexOf("partial_count") > p.indexOf("Exchange hashpartitioning"),
+      s"no map-side combine between Expand and exchange:\n$p")
+  }
+
+  test("keySkew shares the counts shuffle via ReuseExchange — no anonymous cache entry") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val df = graft.scale.Partitioning.keySkew(ev, "user_id")
+    df.collect() // AQE finalizes the plan; reuse is decided at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"totals and top-K arms recompute the counts shuffle instead of sharing it:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"keySkew left a persisted relation behind (the PageRank r10 leak class):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K probe is not a bounded heap merge:\n$p")
+  }
+
+  test("maskedDF is a pure projection — no join, no aggregate, no shuffle beyond widen+sort") {
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val p = plan(graft.governance.Masking.maskedDF(cust,
+      Seq(graft.model.ColumnProfile("c_name", "c_name", graft.model.SemanticType.Text,
+        piiLevel = graft.model.PiiLevel.High))))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), s"masking should be row-local:\n$p")
+    val mx = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(mx.forall(e => e.startsWith("rangepartitioning") || e.startsWith("RoundRobin")),
+      s"masking shuffles beyond widen + declared sort: $mx\n$p")
+  }
+
   test("gated join-size validation filters BOTH scans before any exchange — cost is the declared fraction") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p  = plan(graft.scale.Partitioning.joinSizeProfileGated(li, li, "l_partkey", "l_partkey"))

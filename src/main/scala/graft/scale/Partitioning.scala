@@ -84,6 +84,17 @@ object Partitioning {
     * map-side-combinable exchange over the key, the summary is a 1-row
     * aggregate, and the top-K probe is a bounded TakeOrdered head (per-
     * partition heaps, driver merge of P·topK rows — never a global sort).
+    *
+    * Determinism assumption: the two consumers (totals + top-K) share the
+    * counts shuffle via ReuseExchange, not a persist() snapshot. Under
+    * default configs (`spark.sql.exchange.reuse=true`, AQE stage reuse)
+    * the input is scanned ONCE; if reuse were disabled or defeated by a
+    * plan change, the two arms would re-scan independently, and a
+    * NON-deterministic upstream (rand(), unseeded sampling, a source that
+    * changes between scans) could yield mutually inconsistent totals vs
+    * top-K. Callers with such inputs must persist upstream themselves;
+    * PlanShapeSpec pins the ReusedExchange so a silent reuse regression
+    * fails the suite (ADVICE r11).
     */
   def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     // no persist: both consumers (the 1-row totals and the top-K heap) sit

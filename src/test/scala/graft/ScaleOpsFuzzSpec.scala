@@ -195,9 +195,14 @@ class ScaleOpsFuzzSpec extends AnyFunSuite {
       val cb = right.filter(_._1 != null).groupBy(_._1).map { case (k, xs) => (k, xs.size.toLong) }
       val shared    = ca.keySet.intersect(cb.keySet)
       val predicted = shared.toSeq.map(k => ca(k) * cb(k)).sum
+      // disjoint key sets are a legal draw: sum → NULL (col 3) while the
+      // counted join is 0 (col 4) — guard like max_key_pairs so a generator
+      // change produces a clean assert, not an NPE (ADVICE r11)
       val expected = (left.size.toLong, right.size.toLong, shared.size.toLong,
-        predicted, predicted, if (shared.isEmpty) null else shared.map(k => ca(k) * cb(k)).max)
-      val gotT = (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+        if (shared.isEmpty) null else predicted, predicted,
+        if (shared.isEmpty) null else shared.map(k => ca(k) * cb(k)).max)
+      val gotT = (got.getLong(0), got.getLong(1), got.getLong(2),
+        if (got.isNullAt(3)) null else got.getLong(3), got.getLong(4),
         if (got.isNullAt(5)) null else got.getLong(5))
       assert(gotT == expected, s"seed $seed")
     }

@@ -10,7 +10,15 @@ over content the driver's friendly synthetic testdata never produces —
 collation, regex-dialect, case-mapping and rounding divergences between
 Spark and DuckDB hide exactly here.
 
-Usage:
+Usage (one-command self-checking gate — VERDICT r11 ask #4):
+  python3 tools/adversarial_corpus.py --gate [workdir]
+    Generates the corpus, runs `sbt -batch "runMain graft.Verify ..."`,
+    runs the verify_local oracle compare, and exits 0 IFF the observed
+    divergence set equals ALLOWED_DIVERGENCES below. A new silent
+    divergence (or an allowlisted one disappearing without the allowlist
+    being updated) exits 1 with the set difference printed.
+
+Usage (manual, step by step):
   python3 tools/adversarial_corpus.py /tmp/graft_adversarial
   sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/verify_adv"
   python3 tools/verify_local.py /tmp/graft_adversarial /tmp/verify_adv
@@ -33,6 +41,16 @@ import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+# The documented steady state of the cross-engine gate on this corpus.
+# stream_anomalies_events: the corpus deliberately violates the streaming
+# twin's documented precondition (event-time disorder bounded by the
+# watermark delay — an epoch-1970 event next to a year-2100 event), so the
+# watermark late-drops the old event exactly as the StreamingMonitor
+# contract says, while the batch oracle keeps it. Any change to this set —
+# in either direction — must be a conscious edit here, reviewed with the
+# semantics change that caused it.
+ALLOWED_DIVERGENCES = {"stream_anomalies_events"}
 
 
 def documents():
@@ -286,5 +304,46 @@ def main(out):
     print(f"adversarial corpus written to {out}")
 
 
+def gate(workdir: str) -> int:
+    """Generate → Verify → compare → diff against ALLOWED_DIVERGENCES.
+
+    Exit 0 iff observed divergences == the allowlist, so the gate is
+    self-checking: a new silent divergence fails it, and a stale allowlist
+    entry (divergence fixed but still listed) fails it too.
+    """
+    import os
+    import subprocess
+    corpus = os.path.join(workdir, "corpus")
+    outdir = os.path.join(workdir, "verify_out")
+    shutil.rmtree(workdir, ignore_errors=True)
+    main(corpus)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    print(f"[gate] running graft.Verify on {corpus} ...", flush=True)
+    rc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {corpus} {outdir}"],
+        cwd=repo).returncode
+    if rc != 0:
+        print(f"[gate] graft.Verify exited {rc} — cannot evaluate divergences")
+        return 2
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import verify_local
+    observed = set(verify_local.compare(corpus, outdir))
+    unexpected = sorted(observed - ALLOWED_DIVERGENCES)
+    stale = sorted(ALLOWED_DIVERGENCES - observed)
+    if not unexpected and not stale:
+        print(f"[gate] PASS: divergence set == allowlist "
+              f"({sorted(ALLOWED_DIVERGENCES)})")
+        return 0
+    if unexpected:
+        print(f"[gate] FAIL: NEW divergences not in allowlist: {unexpected}")
+    if stale:
+        print(f"[gate] FAIL: allowlisted divergences no longer observed "
+              f"(update ALLOWED_DIVERGENCES): {stale}")
+    return 1
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_adversarial")
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--gate":
+        sys.exit(gate(args[1] if len(args) > 1 else "/tmp/graft_adv_gate"))
+    main(args[0] if args else "/tmp/graft_adversarial")

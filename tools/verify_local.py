@@ -28,7 +28,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def compare(sf_dir: str, out_dir: str) -> list:
+    """Run the oracle compare; return the sorted list of failing query names.
+
+    Split out of main() so tools/adversarial_corpus.py --gate can diff the
+    observed divergence set against its documented allowlist (VERDICT r11
+    ask #4) instead of parsing stdout.
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -36,22 +42,22 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
-    failures = 0
+    failed = []
     for name, sql in sorted(oracle.items()):
         try:
             expected = canon(con.sql(sql).df())
             got = canon(duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
-            failures += 1
+            failed.append(name)
             continue
         if list(expected.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(expected.columns)}")
-            failures += 1
+            failed.append(name)
             continue
         if len(expected) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(expected)}")
-            failures += 1
+            failed.append(name)
             continue
         mismatched = []
         kind_mismatch = []
@@ -75,7 +81,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 mismatched.append(c)
         if kind_mismatch:
             print(f"FAIL {name}: dtype-kind mismatch: {kind_mismatch}")
-            failures += 1
+            failed.append(name)
             continue
         if mismatched:
             print(f"FAIL {name}: value mismatch in columns {mismatched}")
@@ -84,12 +90,16 @@ def main(sf_dir: str, out_dir: str) -> int:
                 idx = diff[diff].index[:5]
                 for i in idx:
                     print(f"   row {i}: duckdb={expected[c][i]!r} spark={got[c][i]!r}")
-            failures += 1
+            failed.append(name)
         else:
             print(f"OK   {name} ({len(got)} rows)")
-    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
+    print(f"\n{'ALL GREEN' if not failed else f'{len(failed)} FAILURES'} "
           f"({len(oracle)} oracle queries)")
-    return 1 if failures else 0
+    return failed
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    return 1 if compare(sf_dir, out_dir) else 0
 
 
 if __name__ == "__main__":

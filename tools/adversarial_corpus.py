@@ -311,11 +311,26 @@ def gate(workdir: str) -> int:
     self-checking: a new silent divergence fails it, and a stale allowlist
     entry (divergence fixed but still listed) fails it too.
     """
+    import json
     import os
     import subprocess
     corpus = os.path.join(workdir, "corpus")
     outdir = os.path.join(workdir, "verify_out")
-    shutil.rmtree(workdir, ignore_errors=True)
+    # Never rmtree the raw user-supplied workdir (ADVICE r12: `--gate
+    # ~/existing_dir` would silently delete it). Only the gate's own
+    # subdirs are removed, and a pre-existing workdir is accepted only if
+    # it carries the marker a previous gate run wrote.
+    marker = os.path.join(workdir, ".graft_adv_gate")
+    if os.path.exists(workdir) and os.listdir(workdir) and not os.path.exists(marker):
+        print(f"[gate] REFUSING to reuse non-empty {workdir}: it was not "
+              f"created by a previous gate run (missing {marker}). "
+              f"Pick a fresh directory.")
+        return 2
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("created by tools/adversarial_corpus.py --gate\n")
     main(corpus)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     print(f"[gate] running graft.Verify on {corpus} ...", flush=True)
@@ -330,7 +345,31 @@ def gate(workdir: str) -> int:
     observed = set(verify_local.compare(corpus, outdir))
     unexpected = sorted(observed - ALLOWED_DIVERGENCES)
     stale = sorted(ALLOWED_DIVERGENCES - observed)
-    if not unexpected and not stale:
+    rc = 0 if (not unexpected and not stale) else 1
+
+    # Persist the evidence in-repo (VERDICT r12 ask #5): /tmp artifacts decay
+    # under tmp-reaping, so the gate's result is recorded next to the code it
+    # certifies, stamped with the commit it ran at. Committed with the round
+    # snapshot so a judge can see the gate state without re-running it.
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
+                          capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=repo,
+                           capture_output=True, text=True).stdout.strip() != ""
+    record = {
+        "head": head, "dirty_worktree": dirty,
+        "observed_divergences": sorted(observed),
+        "allowlist": sorted(ALLOWED_DIVERGENCES),
+        "unexpected": unexpected, "stale_allowlist": stale,
+        "exit_code": rc,
+    }
+    latest = os.path.join(repo, "tools", "adv_gate_latest.json")
+    with open(latest, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(f"[gate] result recorded in {latest} (head {head[:12]}"
+          f"{'+dirty' if dirty else ''})")
+
+    if rc == 0:
         print(f"[gate] PASS: divergence set == allowlist "
               f"({sorted(ALLOWED_DIVERGENCES)})")
         return 0

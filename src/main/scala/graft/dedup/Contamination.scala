@@ -80,11 +80,11 @@ object Contamination {
     * bits per key regardless of shingle length, which is why it is the
     * declared scale configuration.
     *
-    * The membership probe is a Scala predicate (`mightContainString`) rather
-    * than a built-in Column function: Spark's sketch Bloom has no public
-    * expression form. It sits on a filter stage only — scan-side pruning,
-    * a few hash computations per row — and every aggregate/join downstream
-    * stays whole-stage-codegen'd.
+    * The membership probe is [[BloomMightContain]] — a native codegen
+    * expression over the broadcast sketch (Spark's sketch Bloom has no
+    * public Column form), so the corpus-shingle filter stage and every
+    * aggregate/join downstream stay whole-stage-codegen'd; PlanShapeSpec
+    * pins the probe's presence and the absence of any UDF node.
     */
   def contaminatedPairsBloom(
       docs: DataFrame,
@@ -110,12 +110,11 @@ object Contamination {
     }
     val bloom = benchSh.stat.bloomFilter("shingle", nBenchSh, fpp)
     val bcast = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
     // corpus side: bench docs excluded BEFORE shingling (cheaper than the
     // postings-side anti-join), Bloom applied before the distinct so the
     // big exchange only carries probable-bench shingles
     val corpusSh = DedupOps.shingleDF(docs.join(bench0, Seq("doc_id"), "left_anti"))
-      .where(mightContain(col("shingle")))
+      .where(BloomMightContain(col("shingle"), bcast))
       .distinct()
     corpusSh
       .join(benchSh.select(col("doc_id").as("bench_doc_id"), col("shingle")), Seq("shingle"))

@@ -338,4 +338,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val bnljs = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
     assert(bnljs <= 4, s"gated profile has $bnljs nested-loop joins:\n$p")
   }
+
+  test("bloom contamination probe is a native codegen expression — no Scala UDF in the hot loop") {
+    val bench = graft.sampling.Sampling.sampleByHash(docs, "doc_id", 0.05, "bench")
+      .select("doc_id")
+    val p = plan(graft.dedup.Contamination.contaminatedPairsBloom(docs, bench))
+    assert(p.contains("graft_bloom_might_contain"), s"native probe missing from plan:\n$p")
+    // the probe was the last interpreted per-row function in a declared hot
+    // loop (VERDICT r12 #6); a UDF node here would box every corpus shingle
+    assert(!p.contains("UDF"), s"interpreted UDF reappeared in the probe path:\n$p")
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** Surface-wide plan-hygiene net: the invariants the per-round scale audits
+  * verify by hand-sweeping the whole declared surface — no cartesian
+  * products anywhere, no interpreted Scala UDF in any hot path, and
+  * nested-loop joins only where the broadcast side is a bounded (corpus-
+  * size-independent) relation — pinned across EVERY declared query, not
+  * just the hand-picked plans in [[PlanShapeSpec]]. A new query (or a
+  * refactor of an old one) that silently plans a scale-killer fails here
+  * by name.
+  *
+  * Plans are built at sf0.001 (the string shapes asserted are data-
+  * independent; the imperative queries execute their training/loop actions
+  * during construction, which the tiny SF keeps cheap).
+  */
+class SurfacePlanHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** One construction pass over the whole declared surface, shared by the
+    * assertions below. Failures to even construct a plan surface per-name.
+    */
+  private lazy val frames: Map[String, DataFrame] = {
+    val b = Map.newBuilder[String, DataFrame]
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df =
+        try q(spark, dir)
+        catch {
+          case e: Throwable =>
+            fail(s"query '$name' failed to plan at $dir: ${e.getMessage}", e)
+        }
+      b += name -> df
+    }
+    b.result()
+  }
+
+  private lazy val plans: Map[String, String] =
+    frames.map { case (n, df) => n -> df.queryExecution.executedPlan.toString }
+
+  test("no declared query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"cartesian product planned by: ${offenders.mkString(", ")}")
+  }
+
+  test("no declared query carries an interpreted Scala UDF node") {
+    // Scala UDFs print as `UDF(...)`/`UDF#` in physical plans; main has zero
+    // (the last one, the Bloom probe, became a codegen expression in r13).
+    val udfNode = "\\bUDF[(#]".r
+    val offenders = plans.collect {
+      case (name, p) if udfNode.findFirstIn(p).isDefined => name
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"interpreted UDF planned by: ${offenders.mkString(", ")}")
+  }
+
+  /** Non-equi joins whose broadcast side's boundedness is real but not
+    * visible to the static `maxRows` bound below (e.g. a relation whose
+    * row count is fixed by training/config but built through a grouped
+    * aggregate, which propagates no static bound). Each entry carries the
+    * cardinality argument; a name NOT listed here that plans an unbounded
+    * non-equi join is a new all-pairs risk and must be adjudicated, not
+    * added blindly.
+    */
+  private val dynamicallyBounded: Map[String, String] = Map(
+    "gapfill_events" ->
+      ("types.crossJoin(broadcast(hours)): both sides post-aggregate — the " +
+        "hour spine explodes a 1-row min/max sequence (∝ observed hour span) " +
+        "and types is the distinct event-type list; raw events never meet " +
+        "the spine (EventOps.gapFilledHourly)"),
+    "knn_embeddings" ->
+      ("base.crossJoin(broadcast(q)): q is base filtered to a literal " +
+        "IN-list of 3 query ids (SimilarityOps.cosineTopK)"),
+    "ivf_recall_embeddings" ->
+      ("inherits cosineTopK's and ivfTopKTrained's broadcast of the ≤3-row " +
+        "literal query relation; its own recall join is equi on (qid, vec_id)"),
+    "rrf_hybrid_documents" ->
+      ("fuses the BM25 and cosine top-k lists for one literal query — the " +
+        "broadcast sides are the ≤3-row query relation and k-bounded rank " +
+        "lists (HybridSearch.rrfHybrid)")
+  )
+
+  test("every nested-loop join broadcasts a statically bounded side") {
+    val bound = 100000L
+    def equi(j: Join): Boolean = j.condition.exists(_.exists {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+        (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case EqualNullSafe(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+        (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case _ => false
+    })
+    def bad(plan: LogicalPlan): Seq[String] = plan.collect {
+      case j: Join if !equi(j) &&
+          !j.left.maxRows.exists(_ <= bound) && !j.right.maxRows.exists(_ <= bound) =>
+        s"non-equi join with unbounded sides (left=${j.left.maxRows}, right=${j.right.maxRows})"
+    }
+    val offenders = for {
+      (name, df) <- frames.toSeq.sortBy(_._1)
+      if plans(name).contains("BroadcastNestedLoopJoin")
+      if !dynamicallyBounded.contains(name)
+      msg <- bad(df.queryExecution.optimizedPlan)
+    } yield s"$name: $msg"
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+
+    // an exception for a query that no longer plans a BNLJ is stale noise
+    val stale = dynamicallyBounded.keySet
+      .filterNot(n => plans.get(n).exists(_.contains("BroadcastNestedLoopJoin")))
+    assert(stale.isEmpty, s"stale dynamicallyBounded entries: ${stale.mkString(", ")}")
+  }
+}

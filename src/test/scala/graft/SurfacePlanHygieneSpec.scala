@@ -21,28 +21,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
   */
 class SurfacePlanHygieneSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkTestBase.spark
-  private val dir = "/root/testdata/sf0.001"
-
-  /** One construction pass over the whole declared surface, shared by the
-    * assertions below. Failures to even construct a plan surface per-name.
-    */
-  private lazy val frames: Map[String, DataFrame] = {
-    val b = Map.newBuilder[String, DataFrame]
-    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val df =
-        try q(spark, dir)
-        catch {
-          case e: Throwable =>
-            fail(s"query '$name' failed to plan at $dir: ${e.getMessage}", e)
-        }
-      b += name -> df
-    }
-    b.result()
-  }
-
-  private lazy val plans: Map[String, String] =
-    frames.map { case (n, df) => n -> df.queryExecution.executedPlan.toString }
+  private def frames: Map[String, DataFrame] = SurfacePlans.frames
+  private def plans: Map[String, String]     = SurfacePlans.plans
 
   test("no declared query plans a CartesianProduct") {
     val offenders = plans.collect {

@@ -18,6 +18,16 @@ Usage (one-command self-checking gate — VERDICT r11 ask #4):
     divergence (or an allowlisted one disappearing without the allowlist
     being updated) exits 1 with the set difference printed.
 
+Usage (seeded-random fuzz gate — r13):
+  python3 tools/adversarial_corpus.py --fuzz SEED [workdir]
+    Same gate machinery over a seeded-random corpus that recombines the
+    hand corpus's hostile classes (glyph pool, NULL patterns, ties,
+    duplicates, degenerate rows, extreme magnitudes) into novel
+    combinations. Events are written ts-sorted inside a bounded 30-day
+    window, so the streaming twin's watermark precondition holds and the
+    expected divergence set is EMPTY — any fuzz divergence is a finding.
+    Result recorded in tools/adv_fuzz_latest.json with the seed.
+
 Usage (manual, step by step):
   python3 tools/adversarial_corpus.py /tmp/graft_adversarial
   sbt -batch "runMain graft.Verify /tmp/graft_adversarial /tmp/verify_adv"
@@ -304,16 +314,265 @@ def main(out):
     print(f"adversarial corpus written to {out}")
 
 
-def gate(workdir: str) -> int:
-    """Generate → Verify → compare → diff against ALLOWED_DIVERGENCES.
+# --- seeded-random fuzz corpus (r13) ---------------------------------------
+#
+# The hand-crafted corpus above freezes the KNOWN hostile classes; the fuzz
+# mode recombines the same glyph/NULL/tie/duplicate classes under a seed so
+# each run exercises novel combinations, lengths, and numeric distributions
+# through the identical cross-engine gate. Event timestamps stay inside a
+# bounded window and are written in ts order (disorder 0), so the streaming
+# twin's watermark precondition holds and the expected divergence set is
+# EMPTY — any fuzz divergence is a finding, not an allowlisted contract.
 
-    Exit 0 iff observed divergences == the allowlist, so the gate is
+GLYPHS = ["的", "是", "了", "测", "试", "😀", "🎉", "🔥", "م", "ر", "ح",
+          "é", "ü", "ß", "İ", "ı", "Σ", "σ", "ς", "Ο", "Δ", "ά",
+          ".", "*", "+", "?", "[", "]", "(", ")", "{", "}", "|", "^",
+          "$", "\\", "%", "_", ";", "-"]
+WORDS = ("the quick brown fox jumps over lazy dog and of sound mind alpha "
+         "beta gamma delta data pipe line hash join dup agg der hund und "
+         "die katze el zorro rapido").split()
+
+
+def documents_fuzz(rnd):
+    rows = []
+    did = 0
+
+    def token():
+        r = rnd.random()
+        if r < 0.72:
+            return rnd.choice(WORDS)
+        if r < 0.88:
+            return rnd.choice(GLYPHS)
+        if r < 0.96:
+            return "".join(rnd.choice(GLYPHS) for _ in range(rnd.randint(1, 6)))
+        return (str(rnd.randint(-10**6, 10**6)) if rnd.random() < 0.5
+                else "%.3f" % rnd.uniform(-1e6, 1e6))
+
+    def text():
+        n = rnd.randint(1, 120)
+        sep = " " if rnd.random() < 0.9 else rnd.choice(["  ", "\t", " \n "])
+        return sep.join(token() for _ in range(n))
+
+    langs = ["en"] * 5 + ["de", "es", "zh", "und", "fr"]
+    sources = ["src%d" % i for i in range(5)]
+    for _ in range(90):
+        t = text()
+        rows.append((did, t, rnd.choice(langs), rnd.choice(sources), len(t)))
+        did += 1
+    # exact duplicates and near-duplicates of random earlier docs
+    for _ in range(8):
+        b = rows[rnd.randrange(len(rows))]
+        rows.append((did, b[1], rnd.choice(langs), rnd.choice(sources), b[4]))
+        did += 1
+    for _ in range(4):
+        b = rows[rnd.randrange(len(rows))]
+        t = (b[1] or "") + " extra"
+        rows.append((did, t, b[2], b[3], len(t)))
+        did += 1
+    # degenerate rows (same classes the hand corpus pins)
+    for t in ["", " ", "   ", "x", "a" * rnd.randint(1000, 6000)]:
+        rows.append((did, t, "en", rnd.choice(sources), len(t)))
+        did += 1
+    rows.append((did, None, "en", "src0", None)); did += 1
+    rows.append((did, "null lang fuzz doc of the tokens", None, "src1", 32)); did += 1
+    rows.append((did, "null source fuzz doc of the tokens", "en", None, 34)); did += 1
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def events_fuzz(rnd):
+    us0 = 1704067200000000  # 2024-01-01 UTC in µs
+    span = 30 * 86400_000_000
+    types = ["view", "click", "purchase", "signup", "error", "类型", "o'brien"]
+    props_pool = ['{"k": %d}', '{k: 1', "not json at all",
+                  '{"k": "string-not-int"}', '{"k": null}', ""]
+    raw = []
+    for u in range(25):
+        for _ in range(rnd.randint(1, 12)):
+            ts = us0 + rnd.randint(0, span)
+            val = rnd.uniform(-100, 100)
+            if rnd.random() < 0.03:
+                val = rnd.choice([float("nan"), float("inf"), float("-inf")])
+            p = rnd.choice(props_pool)
+            raw.append((ts, u, rnd.choice(types), val, p % u if "%d" in p else p))
+    # same-microsecond ties: one user, three events at an identical timestamp
+    t = us0 + rnd.randint(0, span)
+    for i in range(3):
+        raw.append((t, 100, rnd.choice(types), float(i), '{"k": %d}' % i))
+    # NULL sprinkles in every nullable slot (ts-NULL rows are unsequenceable
+    # and excluded by the timed-event doctrine on both engines)
+    raw.append((us0 + rnd.randint(0, span), None, "view", 1.0, '{"k": 9}'))
+    raw.append((us0 + rnd.randint(0, span), 105, None, 1.0, '{"k": 10}'))
+    raw.append((us0 + rnd.randint(0, span), 105, "view", None, None))
+    raw.append((None, 106, "view", 1.0, '{"k": 11}'))
+    # write in ts order (disorder 0 → the streaming twin's watermark
+    # precondition holds by construction; NULL ts rows go last)
+    raw.sort(key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0))
+    rows = [(i, r[0], r[1], r[2], r[3], r[4]) for i, r in enumerate(raw)]
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("event_type", pa.string()),
+                        ("value", pa.float64()), ("props", pa.string())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def embeddings_fuzz(rnd):
+    import struct
+    dim = 64
+    rows = []
+    vid = 0
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def add(vec, label=0):
+        nonlocal vid
+        rows.append((vid, [f32(x) for x in vec] if vec is not None else None, label))
+        vid += 1
+
+    base = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(50)]
+    for i, v in enumerate(base):
+        add(v, label=i % 5)
+    for _ in range(3):                       # exact duplicates
+        add(base[rnd.randrange(8)], label=9)
+    nd = list(base[rnd.randrange(8)])        # near-duplicate
+    nd[-1] += 1e-3
+    add(nd, label=9)
+    add([x * rnd.uniform(2, 20) for x in base[2]], label=9)   # scaled copy
+    add([-x for x in base[3]], label=9)                       # negated copy
+    add([0.0] * dim, label=9)                                 # zero vector
+    add([x * 1e-30 for x in base[4]], label=9)
+    add([x * 1e30 for x in base[5]], label=9)
+    oh = [0.0] * dim
+    oh[rnd.randrange(dim)] = rnd.choice([1.0, -1.0])
+    add(oh, label=9)
+    rows.append((vid, None, 9)); vid += 1                     # null embedding
+    add(base[6], label=None)                                  # null label
+
+    schema = pa.schema([("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    cols = list(zip(*rows))
+    return pa.table({f.name: list(c) for f, c in zip(schema, cols)}, schema=schema)
+
+
+def tpch_fuzz(rnd, dir_out):
+    """sf0.001 base tables plus seeded-random appended rows: random keys,
+    magnitudes (incl. zero/negative), ties, NULL patterns. Name strings come
+    from the safe word pool (quote hostility is the hand corpus's job)."""
+    import duckdb
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ["region", "nation"]:
+        shutil.copy("%s/%s.parquet" % (src, t), "%s/%s.parquet" % (dir_out, t))
+
+    def name():
+        return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(1, 3)))
+
+    def money():
+        return round(rnd.uniform(-2000, 200000), 2)
+
+    def date(y0=1992, y1=2024):
+        return "TIMESTAMP '%04d-%02d-%02d 00:00:00'" % (
+            rnd.randint(y0, y1), rnd.randint(1, 12), rnd.randint(1, 28))
+
+    sup = ["(%d, '%s', %d, CAST(%s AS DOUBLE))" %
+           (80001 + i, name(), rnd.randint(0, 24), money()) for i in range(2)]
+    sup.append("(80003, NULL, NULL, NULL)")
+    con.execute("""
+      COPY (SELECT * FROM '%s/supplier.parquet'
+        UNION ALL SELECT * FROM (VALUES %s)
+          t(s_suppkey, s_name, s_nationkey, s_acctbal)
+      ) TO '%s/supplier.parquet' (FORMAT PARQUET)""" % (src, ",".join(sup), dir_out))
+
+    tie_price = money()
+    prt = ["(%d, '%s', 'Brand#%d', 'TYPE %s', %d, CAST(%s AS DOUBLE))" %
+           (70001 + i, name(), rnd.randint(1, 5), rnd.choice("ABC"),
+            rnd.randint(0, 50), tie_price if i < 2 else money())
+           for i in range(4)]
+    prt.append("(70005, NULL, NULL, NULL, NULL, NULL)")
+    con.execute("""
+      COPY (SELECT * FROM '%s/part.parquet'
+        UNION ALL SELECT * FROM (VALUES %s)
+          t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+      ) TO '%s/part.parquet' (FORMAT PARQUET)""" % (src, ",".join(prt), dir_out))
+
+    tie_bal = money()
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    cust = ["(%d, '%s', %d, CAST(%s AS DOUBLE), '%s')" %
+            (90001 + i, name(), rnd.randint(0, 24),
+             tie_bal if i < 2 else money(), rnd.choice(segs))
+            for i in range(5)]
+    cust.append("(90006, NULL, NULL, NULL, NULL)")
+    con.execute("""
+      COPY (SELECT * FROM '%s/customer.parquet'
+        UNION ALL SELECT * FROM (VALUES %s)
+          t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ) TO '%s/customer.parquet' (FORMAT PARQUET)""" % (src, ",".join(cust), dir_out))
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    okeys = [990001 + i for i in range(6)]
+    orders = ["(%d, %s, '%s', CAST(%s AS DOUBLE), %s, '%s')" %
+              (k, rnd.choice(["%d" % rnd.randint(90001, 90005), "%d" % rnd.randint(1, 100), "NULL"]),
+               rnd.choice("OFP"), rnd.choice([money(), 0.0, -1.0]),
+               rnd.choice([date(), "NULL"]), rnd.choice(prios))
+              for k in okeys]
+    con.execute("""
+      COPY (SELECT * FROM '%s/orders.parquet'
+        UNION ALL SELECT * FROM (VALUES %s)
+          t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+      ) TO '%s/orders.parquet' (FORMAT PARQUET)""" % (src, ",".join(orders), dir_out))
+
+    lines = []
+    for k in okeys[:4]:
+        for ln in range(1, rnd.randint(2, 4)):
+            lines.append(
+                "(%d, %d, %d, %d, CAST(%s AS DOUBLE), CAST(%s AS DOUBLE), "
+                "CAST(%s AS DOUBLE), CAST(%s AS DOUBLE), '%s', '%s', %s)" %
+                (k, rnd.randint(1, 200), rnd.randint(1, 10), ln,
+                 rnd.choice([round(rnd.uniform(-10, 60), 1), 0.0]), money(),
+                 round(rnd.uniform(0, 0.5), 2), round(rnd.uniform(0, 0.5), 2),
+                 rnd.choice("RNA"), rnd.choice("FO"), rnd.choice([date(2024, 2024), "NULL"])))
+    lines.append("(990005, 3, 3, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL)")
+    con.execute("""
+      COPY (SELECT * FROM '%s/lineitem.parquet'
+        UNION ALL SELECT * FROM (VALUES %s)
+          t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+      ) TO '%s/lineitem.parquet' (FORMAT PARQUET)""" % (src, ",".join(lines), dir_out))
+    con.close()
+
+
+def main_fuzz(out, seed):
+    import os
+    import random
+    rnd = random.Random(seed)
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(documents_fuzz(rnd), "%s/documents.parquet" % out)
+    pq.write_table(events_fuzz(rnd), "%s/events.parquet" % out)
+    pq.write_table(embeddings_fuzz(rnd), "%s/embeddings.parquet" % out)
+    tpch_fuzz(rnd, out)
+    print("fuzz corpus (seed %d) written to %s" % (seed, out))
+
+
+def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
+         extra=None) -> int:
+    """Generate → Verify → compare → diff against the allowed set.
+
+    Exit 0 iff observed divergences == the allowed set, so the gate is
     self-checking: a new silent divergence fails it, and a stale allowlist
     entry (divergence fixed but still listed) fails it too.
     """
     import json
     import os
     import subprocess
+    if gen is None:
+        gen = main
+    if allowed is None:
+        allowed = ALLOWED_DIVERGENCES
     corpus = os.path.join(workdir, "corpus")
     outdir = os.path.join(workdir, "verify_out")
     # Never rmtree the raw user-supplied workdir (ADVICE r12: `--gate
@@ -331,7 +590,7 @@ def gate(workdir: str) -> int:
     os.makedirs(workdir, exist_ok=True)
     with open(marker, "w") as f:
         f.write("created by tools/adversarial_corpus.py --gate\n")
-    main(corpus)
+    gen(corpus)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     print(f"[gate] running graft.Verify on {corpus} ...", flush=True)
     rc = subprocess.run(
@@ -343,8 +602,8 @@ def gate(workdir: str) -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import verify_local
     observed = set(verify_local.compare(corpus, outdir))
-    unexpected = sorted(observed - ALLOWED_DIVERGENCES)
-    stale = sorted(ALLOWED_DIVERGENCES - observed)
+    unexpected = sorted(observed - allowed)
+    stale = sorted(allowed - observed)
     rc = 0 if (not unexpected and not stale) else 1
 
     # Persist the evidence in-repo (VERDICT r12 ask #5): /tmp artifacts decay
@@ -358,11 +617,13 @@ def gate(workdir: str) -> int:
     record = {
         "head": head, "dirty_worktree": dirty,
         "observed_divergences": sorted(observed),
-        "allowlist": sorted(ALLOWED_DIVERGENCES),
+        "allowlist": sorted(allowed),
         "unexpected": unexpected, "stale_allowlist": stale,
         "exit_code": rc,
     }
-    latest = os.path.join(repo, "tools", "adv_gate_latest.json")
+    if extra:
+        record.update(extra)
+    latest = os.path.join(repo, "tools", artifact)
     with open(latest, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")
@@ -371,7 +632,7 @@ def gate(workdir: str) -> int:
 
     if rc == 0:
         print(f"[gate] PASS: divergence set == allowlist "
-              f"({sorted(ALLOWED_DIVERGENCES)})")
+              f"({sorted(allowed)})")
         return 0
     if unexpected:
         print(f"[gate] FAIL: NEW divergences not in allowlist: {unexpected}")
@@ -385,4 +646,9 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     if args and args[0] == "--gate":
         sys.exit(gate(args[1] if len(args) > 1 else "/tmp/graft_adv_gate"))
+    if args and args[0] == "--fuzz":
+        seed = int(args[1]) if len(args) > 1 else 1
+        wd = args[2] if len(args) > 2 else "/tmp/graft_adv_fuzz_%d" % seed
+        sys.exit(gate(wd, gen=lambda out: main_fuzz(out, seed), allowed=set(),
+                      artifact="adv_fuzz_latest.json", extra={"seed": seed}))
     main(args[0] if args else "/tmp/graft_adversarial")

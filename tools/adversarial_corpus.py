@@ -558,6 +558,56 @@ def main_fuzz(out, seed):
     print("fuzz corpus (seed %d) written to %s" % (seed, out))
 
 
+# --- oracle-dialect fallback verifiers ---------------------------------------
+#
+# Some oracle functions only share semantics with Spark on a sub-dialect of
+# their domain: DuckDB's `levenshtein` counts UTF-8 BYTES where Spark's
+# counts codepoints (probe: levenshtein('😀','x') = 4 in DuckDB), so the
+# editdist oracle pair agrees exactly on ASCII — which the hand corpus keeps
+# to, and which the operator's scaladoc documents. When a random fuzz corpus
+# leaves that sub-dialect, the divergence is the ORACLE's dialect, not an
+# engine bug — but the gate must not just shrug: the fallback re-verifies
+# Spark's output against an independent in-gate codepoint reference (plus
+# the pair set against the oracle-green minhash pairs), and only a verified
+# divergence is excused. Spark disagreeing with the codepoint reference
+# still fails the gate.
+
+def _codepoint_lev(s, t, prefix=200):
+    s = (s or "")[:prefix]
+    t = (t or "")[:prefix]
+    if len(s) < len(t):
+        s, t = t, s
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+def _recheck_editdist(corpus, outdir):
+    import duckdb
+    con = duckdb.connect()
+    try:
+        docs = dict(con.execute(
+            "SELECT doc_id, text FROM '%s/documents.parquet'" % corpus).fetchall())
+        got = con.execute(
+            "SELECT doc_a, doc_b, edit_dist FROM '%s/editdist_pairs_documents/*.parquet' "
+            "ORDER BY doc_a, doc_b" % outdir).fetchall()
+        pairs = con.execute(
+            "SELECT doc_a, doc_b FROM '%s/minhash_pairs_documents/*.parquet' "
+            "ORDER BY doc_a, doc_b" % outdir).fetchall()
+    finally:
+        con.close()
+    if [(a, b) for a, b, _ in got] != [(a, b) for a, b in pairs]:
+        return False
+    return all(d == _codepoint_lev(docs.get(a), docs.get(b)) for a, b, d in got)
+
+
+DIALECT_FALLBACKS = {"editdist_pairs_documents": _recheck_editdist}
+
+
 def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
          extra=None) -> int:
     """Generate → Verify → compare → diff against the allowed set.
@@ -604,6 +654,17 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
     observed = set(verify_local.compare(corpus, outdir))
     unexpected = sorted(observed - allowed)
     stale = sorted(allowed - observed)
+    fallback_verified = []
+    remaining = []
+    for q in unexpected:
+        fb = DIALECT_FALLBACKS.get(q)
+        if fb is not None and fb(corpus, outdir):
+            print("[gate] %s: oracle-dialect divergence — spark output "
+                  "re-verified exact against the codepoint reference" % q)
+            fallback_verified.append(q)
+        else:
+            remaining.append(q)
+    unexpected = remaining
     rc = 0 if (not unexpected and not stale) else 1
 
     # Persist the evidence in-repo (VERDICT r12 ask #5): /tmp artifacts decay
@@ -619,6 +680,7 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
         "observed_divergences": sorted(observed),
         "allowlist": sorted(allowed),
         "unexpected": unexpected, "stale_allowlist": stale,
+        "dialect_fallback_verified": fallback_verified,
         "exit_code": rc,
     }
     if extra:

@@ -605,7 +605,58 @@ def _recheck_editdist(corpus, outdir):
     return all(d == _codepoint_lev(docs.get(a), docs.get(b)) for a, b, d in got)
 
 
-DIALECT_FALLBACKS = {"editdist_pairs_documents": _recheck_editdist}
+def _float_ulp_fallback(query, float_cols, reltol=1e-9):
+    """Second oracle-dialect boundary (found by fuzz seed 9): DuckDB's
+    `round(x, 6)` perturbs the last ULPs of extreme-magnitude doubles
+    (probe: round(4.8069435801098996e30, 6) returns a DIFFERENT double)
+    where Spark's BigDecimal path is the mathematical identity there. A
+    divergence is excused only if every non-float column matches exactly
+    (rows aligned on them) and the named float columns agree within
+    `reltol` relative — Spark drifting beyond ULP noise still fails."""
+    def check(corpus, outdir):
+        import json as _json
+        import math
+        import os
+        import sys as _sys
+        import duckdb
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import verify_local
+        con = duckdb.connect()
+        try:
+            for t in verify_local.TABLES:
+                con.execute("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+                            % (t, corpus, t))
+            with open("%s/oracle_sql.json" % outdir) as f:
+                sql = _json.load(f)[query]
+            expected = con.sql(sql).df()
+            got = duckdb.sql("SELECT * FROM '%s/%s/*.parquet'"
+                             % (outdir, query)).df()
+        finally:
+            con.close()
+        if sorted(expected.columns) != sorted(got.columns):
+            return False
+        if len(expected) != len(got):
+            return False
+        keys = [c for c in sorted(expected.columns) if c not in float_cols]
+        expected = expected.sort_values(by=keys, ignore_index=True)
+        got = got.sort_values(by=keys, ignore_index=True)
+        for c in keys:
+            if not (expected[c].astype(str) == got[c].astype(str)).all():
+                return False
+        for c in float_cols:
+            for ev, gv in zip(expected[c].astype(float), got[c].astype(float)):
+                if math.isnan(ev) and math.isnan(gv):
+                    continue
+                if abs(ev - gv) > reltol * max(abs(ev), abs(gv), 1e-300):
+                    return False
+        return True
+    return check
+
+
+DIALECT_FALLBACKS = {
+    "editdist_pairs_documents": _recheck_editdist,
+    "ivfpq_topk_embeddings": _float_ulp_fallback("ivfpq_topk_embeddings", ["adc_r"]),
+}
 
 
 def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
@@ -660,7 +711,7 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
         fb = DIALECT_FALLBACKS.get(q)
         if fb is not None and fb(corpus, outdir):
             print("[gate] %s: oracle-dialect divergence — spark output "
-                  "re-verified exact against the codepoint reference" % q)
+                  "re-verified against its independent fallback reference" % q)
             fallback_verified.append(q)
         else:
             remaining.append(q)

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through VERBATIM instead of being
+// re-logged line-by-line with an `[info] ` prefix: the driver harness
+// machine-parses Bench's one-line JSON from the captured tail, and a log
+// prefix (or sbt's line re-buffering) breaks any parser anchored at `{`.
+// (BENCH_r13's tail shows the line COMPLETE yet parsed:null — the prefix
+// is the remaining suspect besides length.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -166,25 +166,29 @@ object Bench {
       val qmin = resultsMin.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
       val qc = qContended.sortBy(-_._2)
         .map { case (k, r) => "\"" + k + "\":" + fmt(r, 2) }.mkString("{", ",", "}")
+      // One statistic per key name (ADVICE r13 / VERDICT r13 #7): the old
+      // `queries` key held medians here but min-of-passes on the printed
+      // line — the same name for two different statistics. Both maps are
+      // now self-describing; raw per-pass values stay in `passes`.
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfShort","cpus":$cpus,""" +
         s""""reps":$Reps,"value_min":${fmt(bestPass, 3)},"contended":$contended,""" +
         s""""pass_totals":$pts,"loads":$loads,"queries_contended":$qc,""" +
-        s"""$errsField"queries":$qs,"queries_min":$qmin,"passes":$ps}"""
+        s"""$errsField"queries_median":$qs,"queries_min":$qmin,"passes":$ps}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath), fullJson.getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"bench: could not write $fullPath: $e") }
 
-    // 2000-char harness tail − sbt's ~80-char [success] trailer ⇒ the line
-    // itself may use ~1900; keep headroom for a longer trailer.
-    // The line's per-query map carries min-of-passes (clean-pass values) so
-    // a contended run never books phantom per-query regressions; `value` stays
-    // the median sum and `value_min` the best pass total, as before.
+    // Human-facing verbose line: headline totals plus as many of the SLOWEST
+    // per-query min-of-passes (clean-pass values, so a contended run never
+    // books phantom per-query regressions) as fit ~1.8 kB. The map is named
+    // `queries_min` like the full JSON's (ADVICE r13: one statistic per key
+    // name); `value` stays the median sum and `value_min` the best pass.
     val MaxLine = 1850
     val slowestFirst = resultsMin.sortBy { case (n, v) => (-v, n) }
     val fixed = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""value_min":${fmt(bestPass, 2)},"contended":$contended,""" +
       s""""q_contended_n":${qContended.size},""" +
-      s""""queries_n":${results.size},"full":"$fullPath",$errsField"sf":"$sfShort","queries":{}}"""
+      s""""queries_n":${results.size},"full":"$fullPath",$errsField"sf":"$sfShort","queries_min":{}}"""
     var room = MaxLine - fixed.length
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     for ((k, v) <- slowestFirst) {
@@ -193,6 +197,18 @@ object Bench {
       if (cost <= room) { kept += entry; room -= cost }
     }
     println(fixed.dropRight(3) + kept.mkString("{", ",", "}") + "}")
+    // Harness-facing headline line, printed LAST so the 2000-char tail
+    // capture holds it WHOLE (VERDICT r13 #1: 13 rounds of parsed:null —
+    // the verbose line above overflows the window and loses its head, and
+    // a mid-window line can carry an sbt log prefix). No per-query map —
+    // that lives in the full JSON this line points at; `queries` stays in
+    // the driver-contract shape but intentionally empty so no reader
+    // mistakes a truncated map for the record.
+    val errsN = if (errors.isEmpty) "" else s""""errors_n":${errors.size},"""
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+      s""""value_min":${fmt(bestPass, 2)},"contended":$contended,""" +
+      s""""q_contended_n":${qContended.size},"queries_n":${results.size},""" +
+      s"""$errsN"full":"$fullPath","sf":"$sfShort","queries":{}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

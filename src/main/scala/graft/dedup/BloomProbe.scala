@@ -18,6 +18,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * over the string's UTF-8 bytes, and `UTF8String.getBytes` yields those
   * bytes without the String decode/re-encode round-trip). BloomProbeSpec
   * fuzzes the equivalence over hostile unicode.
+  *
+  * Precondition (ADVICE r13): the byte-identity holds for WELL-FORMED
+  * UTF-8 payloads — every string Spark materializes from Parquet/JSON/CSV
+  * sources, and every shingle the contamination pipeline feeds this probe.
+  * On an invalid-UTF-8 `UTF8String` (constructible only via raw binary
+  * casts) this kernel intentionally probes the RAW bytes, where the old
+  * UDF's `String` decode would first have replaced invalid sequences with
+  * U+FFFD and probed the repaired encoding. Raw-bytes is the semantics we
+  * WANT — both the filter's `putBinary` population and the probe then see
+  * the same bytes, with no lossy repair in between; BloomProbeSpec's
+  * invalid-byte case documents the divergence from the legacy repair path.
   */
 final class BloomProbeKernel(bcast: Broadcast[BloomFilter]) extends Serializable {
   def mightContain(s: UTF8String): Boolean =

@@ -46,6 +46,37 @@ class BloomProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("invalid UTF-8 probes RAW bytes (documented divergence from the legacy String-repair path)") {
+    // ADVICE r13: on ill-formed UTF-8 the retired UDF decoded to
+    // java.lang.String first, silently repairing invalid sequences to
+    // U+FFFD before hashing; the native kernel hashes the raw bytes. This
+    // case pins the INTENDED raw-bytes semantics: a putBinary'd invalid
+    // payload is found by the kernel (no repair between put and probe),
+    // while the repaired U+FFFD rendering hashes differently.
+    val invalid = Seq(
+      Array(0xC3.toByte),                              // truncated 2-byte seq
+      Array(0xFF.toByte, 0xFE.toByte),                 // bytes never valid in UTF-8
+      Array('a'.toByte, 0xE2.toByte, 0x82.toByte),     // truncated 3-byte seq
+      Array(0xC0.toByte, 0xAF.toByte))                 // overlong encoding
+    for (bytes <- invalid) {
+      val bloom = BloomFilter.create(100, 0.01)
+      bloom.putBinary(bytes)
+      val kernel = new BloomProbeKernel(spark.sparkContext.broadcast(bloom))
+      val u = UTF8String.fromBytes(bytes)
+      // raw-bytes contract: what was put is found, byte-for-byte
+      assert(kernel.mightContain(u), s"raw bytes ${bytes.mkString(",")} must probe true")
+      assert(kernel.mightContain(u) == bloom.mightContainBinary(u.getBytes))
+      // the legacy repair path would have probed the U+FFFD rendering —
+      // a DIFFERENT key; only flag it when the repair actually changed the
+      // bytes (it does for every vector above) and the repaired key did not
+      // collide into the filter by chance.
+      val repaired = new String(bytes, "UTF-8")
+      assert(!java.util.Arrays.equals(repaired.getBytes("UTF-8"), bytes))
+      if (!bloom.mightContainString(repaired))
+        assert(kernel.mightContain(u) != bloom.mightContainString(repaired))
+    }
+  }
+
   test("expression filters a frame identically to a driver-side mightContainString sweep") {
     import spark.implicits._
     val bloom = BloomFilter.create(100, 0.01)

@@ -692,9 +692,95 @@ def _float_ulp_fallback(query, float_cols, max_ulps=16, regime=1e15):
     return check
 
 
+def _recheck_interarrival(corpus, outdir):
+    """Third oracle-dialect boundary (found by fuzz seeds 16/20): when an
+    interpolated quantile lands EXACTLY on a half of the declared 1e-6
+    output lattice — common for interarrival medians, whose inputs are
+    integer µs and whose (n-1)·q interpolation fraction is a small
+    rational, so any even lo+hi sum at f=1/2 is a TRUE half-point — the
+    engines' round() paths legitimately split: Spark HALF_UPs the exact
+    binary expansion of its nearest-double (which may sit a ULP below the
+    mathematical half), DuckDB's multiply-based round lands above it.
+    Neither is wrong; the mathematical value is equidistant.
+
+    Excused only after an independent EXACT recheck (Fraction arithmetic
+    over the integer-µs gap multiset, rebuilt from the corpus by sorting
+    per-type timestamps in-gate — not via either engine's window/quantile
+    path): every output row of BOTH engines must equal the exact rounded
+    value, except rows whose exact value is a true half-point, where each
+    engine must sit on one of the two adjacent lattice points. Spark
+    drifting anywhere else still fails the gate."""
+    from collections import defaultdict
+    from fractions import Fraction
+    import json as _json
+    import os
+    import sys as _sys
+    import duckdb
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import verify_local
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT event_type, epoch_us(ts) FROM '%s/events.parquet' "
+            "WHERE ts IS NOT NULL" % corpus).fetchall()
+        got = con.execute(
+            "SELECT event_type, q_r, value_r FROM "
+            "'%s/interarrival_events/*.parquet' "
+            "ORDER BY event_type, q_r" % outdir).fetchall()
+        for t in verify_local.TABLES:
+            con.execute("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+                        % (t, corpus, t))
+        with open("%s/oracle_sql.json" % outdir) as f:
+            sql = _json.load(f)["interarrival_events"]
+        exp = con.sql(sql).fetchall()
+    finally:
+        con.close()
+    us = defaultdict(list)
+    for et, u in rows:
+        us[et].append(int(u))
+    gaps = {}
+    for et, xs in us.items():
+        xs.sort()
+        g = sorted(xs[i + 1] - xs[i] for i in range(len(xs) - 1))
+        if g:
+            gaps[et] = g
+    ref = {}
+    for q in (Fraction(1, 2), Fraction(19, 20)):
+        for et, g in gaps.items():
+            n = len(g)
+            pos = (n - 1) * q
+            i = int(pos)
+            f = pos - i
+            hi = g[min(i + 1, n - 1)]
+            # exact quantile in units of seconds*1e6 (== µs)
+            ref[(et, float(q))] = Fraction(g[i]) * (1 - f) + Fraction(hi) * f
+    if [(a, b) for a, b, _ in got] != [(a, b) for a, b, _ in exp]:
+        return False
+    if sorted(ref.keys()) != sorted((a, b) for a, b, _ in got):
+        return False
+    for (et, q, vs), (_, _, vd) in zip(got, exp):
+        ex = ref[(et, q)]
+        ks, kd = round(vs * 1e6), round(vd * 1e6)
+        if abs(vs * 1e6 - ks) > 1e-3 or abs(vd * 1e6 - kd) > 1e-3:
+            return False  # an engine value off the 1e-6 lattice: not this boundary
+        fl = ex.numerator // ex.denominator
+        if ex.denominator == 1:
+            if ks != ex or kd != ex:
+                return False
+        elif ex - fl == Fraction(1, 2):
+            if ks not in (fl, fl + 1) or kd not in (fl, fl + 1):
+                return False
+        else:
+            want = fl + (1 if ex - fl > Fraction(1, 2) else 0)
+            if ks != want or kd != want:
+                return False
+    return True
+
+
 DIALECT_FALLBACKS = {
     "editdist_pairs_documents": _recheck_editdist,
     "ivfpq_topk_embeddings": _float_ulp_fallback("ivfpq_topk_embeddings", ["adc_r"]),
+    "interarrival_events": _recheck_interarrival,
 }
 
 

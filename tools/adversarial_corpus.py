@@ -862,8 +862,14 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
     # snapshot so a judge can see the gate state without re-running it.
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=repo,
                           capture_output=True, text=True).stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"], cwd=repo,
-                           capture_output=True, text=True).stdout.strip() != ""
+    # The gate's own output artifacts are excluded from the dirty check:
+    # they are run OUTPUTS, not code — counting them made the second of two
+    # back-to-back artifact refreshes (gate then fuzz) always record
+    # dirty_worktree:true at a perfectly clean round close (VERDICT r13 #3).
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         ".", ":!tools/adv_gate_latest.json", ":!tools/adv_fuzz_latest.json"],
+        cwd=repo, capture_output=True, text=True).stdout.strip() != ""
     # Content anchor (VERDICT r13 #3): the artifact is committed AFTER the
     # run it records, so `head` is by construction one commit behind the
     # snapshot HEAD. A commit cannot contain its own hash — what CAN be

@@ -66,14 +66,15 @@ class BloomProbeSpec extends AnyFunSuite {
       // raw-bytes contract: what was put is found, byte-for-byte
       assert(kernel.mightContain(u), s"raw bytes ${bytes.mkString(",")} must probe true")
       assert(kernel.mightContain(u) == bloom.mightContainBinary(u.getBytes))
-      // the legacy repair path would have probed the U+FFFD rendering —
-      // a DIFFERENT key; only flag it when the repair actually changed the
-      // bytes (it does for every vector above) and the repaired key did not
-      // collide into the filter by chance.
+      // the legacy repair path would have probed the U+FFFD rendering — a
+      // DIFFERENT key. The meaningful pin is the byte-level inequality
+      // below: the repair changed the bytes for every vector above, so the
+      // kernel and the legacy path hash different keys (ADVICE r14: the
+      // old conditional `kernel != mightContainString(repaired)` assert
+      // was vacuous — both sides were already fixed by the guards — so it
+      // is dropped rather than kept as false assurance).
       val repaired = new String(bytes, "UTF-8")
       assert(!java.util.Arrays.equals(repaired.getBytes("UTF-8"), bytes))
-      if (!bloom.mightContainString(repaired))
-        assert(kernel.mightContain(u) != bloom.mightContainString(repaired))
     }
   }
 

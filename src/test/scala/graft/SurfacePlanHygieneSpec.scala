@@ -98,4 +98,60 @@ class SurfacePlanHygieneSpec extends AnyFunSuite {
       .filterNot(n => plans.get(n).exists(_.contains("BroadcastNestedLoopJoin")))
     assert(stale.isEmpty, s"stale dynamicallyBounded entries: ${stale.mkString(", ")}")
   }
+
+  /** Partition-less windows whose input boundedness is real but not visible
+    * to the static `maxRows` bound (built through aggregates, which
+    * propagate no bound). Each entry carries the cardinality argument
+    * mirroring the in-source `bounded-global-window` comment at the site; a
+    * name NOT listed here that plans an unbounded global window is a new
+    * single-partition sort-the-world risk and must be adjudicated, not
+    * added blindly (VERDICT r14 #5: these two were prose-only before).
+    */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    // rrf_hybrid_documents needs NO entry: bm25's top-k Limit propagates a
+    // static maxRows bound to its ranking window's child, so the static
+    // check below already adjudicates it (stronger than VERDICT r14 #5
+    // assumed — only the aggregate-built sites lose the bound).
+    "cumulative_users_events" ->
+      ("prefix sum over the first-seen-day rollup: |days| rows, calendar-" +
+        "bounded (years, not corpus size) — the raw event scan never sorts " +
+        "(EventOps.cumulativeUsers, bounded-global-window comment)"),
+    // the net's first run caught these two beyond the pair VERDICT r14 #5
+    // named — both already carried in-source bounded-global-window
+    // arguments, now pinned here so the arguments are machine-inventoried:
+    "mixture_documents" ->
+      ("share denominator over the ALREADY-AGGREGATED |lang × source| " +
+        "strata rows (hundreds at most); the doc scan is aggregated before " +
+        "the window (TextOps.mixture, bounded-global-window comment)"),
+    "skyline_part" ->
+      ("running-max over the distinct + per-partition-pruned frontier " +
+        "candidates — each partition emits only its local monotone " +
+        "frontier, and the union is at most the distinct (price,size) " +
+        "pairs; the global pass orders candidates, which any exact skyline " +
+        "must (Skyline.skyline steps 2-3)")
+  )
+
+  test("every partition-less window is statically bounded or inventoried") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bound = 100000L
+    def unboundedGlobals(plan: LogicalPlan): Seq[LWindow] = plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.child.maxRows.exists(_ <= bound) => w
+    }
+    val offenders = for {
+      (name, df) <- frames.toSeq.sortBy(_._1)
+      if !boundedGlobalWindows.contains(name)
+      w <- unboundedGlobals(df.queryExecution.optimizedPlan)
+    } yield s"$name: partition-less Window over a child with no static " +
+      s"bound (maxRows=${w.child.maxRows}) — sorts the world into one task"
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+
+    // an entry whose query no longer plans an unbounded global window is
+    // stale noise — same freshness rule as the BNLJ inventory above
+    val stale = boundedGlobalWindows.keySet.filterNot { n =>
+      frames.get(n).exists(df =>
+        unboundedGlobals(df.queryExecution.optimizedPlan).nonEmpty)
+    }
+    assert(stale.isEmpty, s"stale boundedGlobalWindows entries: ${stale.mkString(", ")}")
+  }
 }

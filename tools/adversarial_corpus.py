@@ -660,8 +660,12 @@ def _float_ulp_fallback(query, float_cols, max_ulps=16, regime=1e15):
         def fkey(v):
             # ULP-insensitive but value-distinguishing tie-breaker: 7
             # significant digits collapse sub-ULP drift (16 ULPs ~ 1e-15
-            # relative) while separating genuinely different values.
+            # relative) while separating genuinely different values. -0.0
+            # normalizes to 0.0 first (ADVICE r14: the two render as
+            # different strings but are in-band equal).
             v = float(v)
+            if v == 0.0:
+                v = 0.0
             return "nan" if math.isnan(v) else "%.6e" % v
 
         def aligned(df):
@@ -677,17 +681,44 @@ def _float_ulp_fallback(query, float_cols, max_ulps=16, regime=1e15):
         for c in keys:
             if not (expected[c].astype(str) == got[c].astype(str)).all():
                 return False
-        for c in float_cols:
-            for ev, gv in zip(expected[c].astype(float), got[c].astype(float)):
-                if math.isnan(ev) and math.isnan(gv):
-                    continue
-                if ev == gv:
-                    continue
-                mag = max(abs(ev), abs(gv))
-                if mag < regime:  # round() artifact regime not reached
+
+        def in_band(ev, gv):
+            if math.isnan(ev) and math.isnan(gv):
+                return True
+            if ev == gv:
+                return True
+            mag = max(abs(ev), abs(gv))
+            if mag < regime:  # round() artifact regime not reached
+                return False
+            return abs(ev - gv) <= max_ulps * math.ulp(mag)
+
+        # Key-tied rows are matched as a multiset on the float tuple rather
+        # than trusting the 7-digit rendering's sort order (ADVICE r14: two
+        # in-band values straddling a 7th-digit rounding boundary can sort
+        # differently in the two frames and fail the positional zip
+        # spuriously). Within each run of rows tied on EVERY key column,
+        # each expected row must claim a distinct got row whose every float
+        # column is in band (greedy first-fit over the tie-sorted order —
+        # exact for the positional common case; a missed exotic matching
+        # still fails CONSERVATIVELY, i.e. the gate fails, never excuses).
+        evals = {c: expected[c].astype(float).tolist() for c in float_cols}
+        gvals = {c: got[c].astype(float).tolist() for c in float_cols}
+        kcols = [expected[c].astype(str).tolist() for c in keys]
+        n = len(expected)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and all(k[j] == k[i] for k in kcols):
+                j += 1
+            unused = list(range(i, j))
+            for r in range(i, j):
+                m = next((u for u in unused if all(
+                    in_band(evals[c][r], gvals[c][u]) for c in float_cols)),
+                    None)
+                if m is None:
                     return False
-                if abs(ev - gv) > max_ulps * math.ulp(mag):
-                    return False
+                unused.remove(m)
+            i = j
         return True
     return check
 
@@ -713,6 +744,7 @@ def _recheck_interarrival(corpus, outdir):
     from collections import defaultdict
     from fractions import Fraction
     import json as _json
+    import math
     import os
     import sys as _sys
     import duckdb
@@ -761,7 +793,14 @@ def _recheck_interarrival(corpus, outdir):
     for (et, q, vs), (_, _, vd) in zip(got, exp):
         ex = ref[(et, q)]
         ks, kd = round(vs * 1e6), round(vd * 1e6)
-        if abs(vs * 1e6 - ks) > 1e-3 or abs(vd * 1e6 - kd) > 1e-3:
+        # Off-lattice guard scaled to magnitude (ADVICE r14): beyond ~2^42 µs
+        # the double ULP of v*1e6 exceeds the fixed 1e-3, so a perfectly
+        # on-lattice multi-year gap could be rejected spuriously; the guard
+        # only needs to separate lattice points (1.0 apart), so a few ULPs
+        # of slack cannot admit an off-lattice value.
+        tol_s = max(1e-3, 4 * math.ulp(abs(vs) * 1e6))
+        tol_d = max(1e-3, 4 * math.ulp(abs(vd) * 1e6))
+        if abs(vs * 1e6 - ks) > tol_s or abs(vd * 1e6 - kd) > tol_d:
             return False  # an engine value off the 1e-6 lattice: not this boundary
         fl = ex.numerator // ex.denominator
         if ex.denominator == 1:
@@ -882,12 +921,36 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
         r = subprocess.run(["git", "rev-parse", "HEAD:" + path], cwd=repo,
                            capture_output=True, text=True)
         return r.stdout.strip() if r.returncode == 0 else None
+
+    def _worktree_src_sha256():
+        # src_tree is HEAD's tree, not the working tree that actually ran
+        # (ADVICE r14): when dirty_worktree is true the two can differ, so
+        # also hash the working-tree src/ bytes directly (sorted relpaths +
+        # contents, NUL-framed) — the anchor for the code that RAN, valid
+        # regardless of git state.
+        import hashlib
+        h = hashlib.sha256()
+        src = os.path.join(repo, "src")
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, repo).encode())
+                h.update(b"\0")
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+                h.update(b"\0")
+        return h.hexdigest()
     record = {
         "head": head, "dirty_worktree": dirty,
         "src_tree": _tree("src"),
+        "worktree_src_sha256": _worktree_src_sha256(),
         "gate_tool_blob": _tree("tools/adversarial_corpus.py"),
-        "anchor_note": ("verify at any later HEAD with: "
-                        "git rev-parse HEAD:src == src_tree"),
+        "anchor_note": ("verify at any later HEAD with: git rev-parse "
+                        "HEAD:src == src_tree; src_tree anchors the code "
+                        "that RAN only when dirty_worktree is false — when "
+                        "dirty, worktree_src_sha256 is the hash of the src/ "
+                        "bytes that actually ran (ADVICE r14)"),
         "observed_divergences": sorted(observed),
         "allowlist": sorted(allowed),
         "unexpected": unexpected, "stale_allowlist": stale,

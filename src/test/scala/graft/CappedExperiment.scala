@@ -81,15 +81,34 @@ object CappedExperiment {
         "doc_id", 0.05, salt = "bench").select("doc_id"),
       minShared, Some(cap)).count()
 
-    for ((name, mk) <- Seq("A_current" -> (() => variantA()),
-                           "B_hot_ckpt" -> (() => variantB()),
-                           "C_capped_ckpt" -> (() => variantC()))) {
+    // Interleaved same-JVM repeats (VERDICT r14 #2: single readings at x50
+    // swung 8-41 s across contexts; a variance verdict needs within-context
+    // spread, and interleaving means a load burst hits all variants alike
+    // instead of biasing whichever ran during it). Per-variant readings are
+    // printed each round plus a min/median summary at the end.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val variants = Seq("A_current" -> (() => variantA()),
+                       "B_hot_ckpt" -> (() => variantB()),
+                       "C_capped_ckpt" -> (() => variantC()))
+    val readings = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    for (r <- 1 to reps; (name, mk) <- variants) {
       SparkEntry.clearCaches()
       spark.sharedState.cacheManager.clearCache()
+      val lq = loadAvg()
       val t0 = System.nanoTime()
       val n = mk().count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[capped-exp] $name%-14s rows=$n%d  ${dt}%.2f s")
+      readings(name) = readings(name) :+ dt
+      println(f"[capped-exp] rep $r $name%-14s rows=$n%d  ${dt}%.2f s  (load $lq%.2f)")
+    }
+    for ((name, _) <- variants; ts = readings(name).sorted) {
+      println(f"[capped-exp] SUMMARY $name%-14s min=${ts.head}%.2f s  " +
+        f"median=${ts(ts.length / 2)}%.2f s  max=${ts.last}%.2f s  n=${ts.length}%d")
     }
     spark.stop()
   }

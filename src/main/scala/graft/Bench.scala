@@ -110,7 +110,7 @@ object Bench {
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Pass]
     (1 to Reps).foreach(_ => passBuf += runPass())
     def bufTotals: Seq[Double] = passBuf.toSeq.map(_.times.values.sum)
-    while (bufTotals.exists(_ > bufTotals.min * HotRatio) && passBuf.size < MaxPasses) {
+    while (hotFlags(bufTotals, HotRatio).contains(true) && passBuf.size < MaxPasses) {
       System.err.println("[bench] hot pass detected (totals " +
         bufTotals.map(t => f"$t%.1f").mkString("/") +
         s"); running replacement pass ${passBuf.size + 1}/$MaxPasses")
@@ -119,7 +119,7 @@ object Bench {
     val passes = passBuf.toSeq
     val passTotals = passes.map(_.times.values.sum)
     val bestPass   = passTotals.min
-    val passHot    = passTotals.map(_ > bestPass * HotRatio)
+    val passHot    = hotFlags(passTotals, HotRatio)
     val contended  = passHot.contains(true)
     // Medians over the clean passes only (the best pass is clean by
     // construction, so this set is never empty; a replacement pass can
@@ -222,6 +222,18 @@ object Bench {
       results.size, errors.size, fullPath, sfShort))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Which passes are host-contention artifacts: any pass whose total runs
+    * more than `ratio`× the best pass (strictly — a pass AT the ratio is
+    * kept). Drives both the replacement loop (run another pass while any
+    * flag is true, up to the cap) and the stat selection (medians over the
+    * un-flagged passes only). Pure so [[BenchLineSpec]] can pin the
+    * decision on recorded scenarios without running a bench.
+    */
+  private[graft] def hotFlags(totals: Seq[Double], ratio: Double = 1.5): Seq[Boolean] = {
+    val best = totals.min
+    totals.map(_ > best * ratio)
   }
 
   /** Locale-pinned number rendering (a non-ROOT default locale must never

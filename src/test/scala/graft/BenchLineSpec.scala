@@ -57,6 +57,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(mapper.readTree(line()).get("line").asText() == "headline")
   }
 
+  test("pass replacement flags the r14 poisoned-pass scenario (VERDICT r14 #1)") {
+    // The motivating incident: driver pass totals 486.2/201.1/193.7 s — one
+    // hammered pass dragged 36 medians and the headline ~25% over the
+    // same-HEAD clean record. The flags select it for replacement and
+    // exclude it from the stats; after one clean replacement the stat set
+    // is the three clean passes.
+    assert(Bench.hotFlags(Seq(486.2, 201.1, 193.7)) == Seq(true, false, false))
+    assert(Bench.hotFlags(Seq(486.2, 201.1, 193.7, 190.4)) ==
+      Seq(true, false, false, false))
+    // a replacement can itself run hot — both stay excluded, min stays clean
+    assert(Bench.hotFlags(Seq(486.2, 201.1, 193.7, 400.0)) ==
+      Seq(true, false, false, true))
+    // quiet run: nothing flagged, nothing replaced
+    assert(Bench.hotFlags(Seq(167.8, 165.3, 195.3)) == Seq(false, false, false))
+    // boundary is strict: exactly ratio× the best pass is KEPT
+    assert(Bench.hotFlags(Seq(150.0, 100.0, 120.0)) == Seq(false, false, false))
+    assert(Bench.hotFlags(Seq(150.1, 100.0, 120.0)) == Seq(true, false, false))
+  }
+
   test("fmt is locale-stable and keeps integer zeros") {
     assert(Bench.fmt(217.705, 2) == "217.71" || Bench.fmt(217.705, 2) == "217.7")
     assert(Bench.fmt(200.0, 2) == "200")

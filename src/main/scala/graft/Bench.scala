@@ -51,6 +51,23 @@ object Bench {
     val producerFirst = SparkEntry.ProducerFirst
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (if (producerFirst(n)) 0 else 1, n) }
 
+    // Produce-once materializations run BEFORE the timed passes (VERDICT r15
+    // #3): bucketed_join_orders' first execution per JVM WRITES the bucketed
+    // tables (~5 s) that every later execution merely READS (~0.55 s), so its
+    // pass-1/pass-n ratio tripped the per-query contention flag ~10× on every
+    // run — a permanent false entry diluting `queries_contended`. The write is
+    // a deployment-time cost, not a per-read cost (the operator's whole point
+    // is "pay the shuffle once at write time"), so it is booked here as a
+    // timed PRODUCER step recorded under `produce_once` in the full JSON;
+    // every timed pass then measures the steady-state read and the ratio flag
+    // measures real contention again.
+    val produceOnceSec: Seq[(String, Double)] = ordered.collect {
+      case (name, fn) if SparkEntry.ProduceOnce(name) =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+    }
+
     // Per-query MEDIAN of 3 full passes (r4 verdict ask #5: the single-pass
     // band was 2.2× wide on pure box contention, drowning regressions).
     // Caches cleared between passes so each pass re-executes shared stages;
@@ -126,8 +143,7 @@ object Bench {
     // itself run hot, in which case the clean set may stay below Reps).
     val statPasses = passes.zip(passHot).collect { case (p, false) => p }
     val results = ordered.map { case (name, _) =>
-      val ts = statPasses.map(_.times(name)).sorted
-      name -> ts(ts.length / 2)
+      name -> median(statPasses.map(_.times(name)))
     }
     // Per-query min-of-passes: the value a clean host would have measured.
     // The compact driver line publishes THESE (VERDICT r12 #3: the median
@@ -182,10 +198,13 @@ object Bench {
       // line — the same name for two different statistics. Both maps are
       // now self-describing; raw per-pass values stay in `passes`.
       val hot = passHot.map(_.toString).mkString("[", ",", "]")
+      val po = produceOnceSec
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfShort","cpus":$cpus,""" +
         s""""reps":${passes.size},"reps_planned":$Reps,"passes_stat_n":${statPasses.size},""" +
         s""""value_min":${fmt(bestPass, 3)},"contended":$contended,""" +
         s""""pass_totals":$pts,"pass_hot":$hot,"loads":$loads,"queries_contended":$qc,""" +
+        s""""produce_once":$po,""" +
         s"""$errsField"queries_median":$qs,"queries_min":$qmin,"passes":$ps}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath), fullJson.getBytes("UTF-8"))
@@ -234,6 +253,19 @@ object Bench {
   private[graft] def hotFlags(totals: Seq[Double], ratio: Double = 1.5): Seq[Boolean] = {
     val best = totals.min
     totals.map(_ > best * ratio)
+  }
+
+  /** Median that handles EVEN sample sizes by averaging the two middle
+    * values (ADVICE r15): pass replacement can leave an even clean-pass
+    * count (e.g. 4 clean of 5 passes), where the old upper-middle pick
+    * biased every published per-query median — and the headline total —
+    * high in exactly the runs that triggered replacement. Reps=3 used to
+    * guarantee an odd count; this no longer relies on that.
+    */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   /** Locale-pinned number rendering (a non-ROOT default locale must never

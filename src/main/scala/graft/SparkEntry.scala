@@ -60,6 +60,29 @@ object SparkEntry {
       graft.dedup.DedupOps.shinglePostings(Tables.load(spark, dir, "documents")).persist()
     )
 
+  /** One DISTINCT (doc_id, shingle) exchange per (session, dir) per JVM run,
+    * persisted and shared by the contamination family — the plain screen,
+    * the df-capped screen, and the decontaminated training cut (VERDICT r15
+    * #5): the tokenize+explode+distinct subtree is the dominant stage of all
+    * three, and everything configuration-specific (df-cap, minShared, the
+    * curation anti-joins) is downstream of it. Before this cache each query
+    * paid its own `localCheckpoint` of the same frame — three identical
+    * materializations per pass; the trio-context scale row in BASELINE.md
+    * measures the difference. An EAGER `localCheckpoint` (not `persist`)
+    * keeps each consumer's inspected plan truncated at the materialized
+    * frame, same as the old per-call checkpoint, so the exchange/scan
+    * budgets stay per-consumer instead of triple-counting the shared
+    * subtree. Keyed on applicationId like [[clusterCache]]; unpersisted by
+    * [[clearCaches]].
+    */
+  private val distinctShingleCache = TrieMap.empty[(String, String), DataFrame]
+
+  private def distinctShingles(spark: SparkSession, dir: String): DataFrame =
+    distinctShingleCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.dedup.DedupOps.shingleDF(Tables.load(spark, dir, "documents")).distinct().localCheckpoint()
+    )
+
   /** Trained IVF centroids, one k-means run per (session, dir) shared by the
     * declared `ivf_assign`/`ivf_topk` queries AND their oracles: training is
     * deterministic, and the centroids are canonicalized through decimal
@@ -113,6 +136,16 @@ object SparkEntry {
     */
   private[graft] val ProducerFirst: Set[String] = Set("ivf_centroids_embeddings")
 
+  /** Queries whose FIRST execution per JVM materializes a reusable storage
+    * artifact (the bucketed tables in `scale/Bucketing.ensureBucketedTables`
+    * — "pay the shuffle once at write time"): [[Bench]] runs these once as a
+    * timed producer step BEFORE the repetition passes and records the write
+    * cost under `produce_once` in the full JSON, so every timed pass books
+    * the steady-state READ and the per-query contention ratio stops flagging
+    * the one-time write as ~10× "contention" on every run (VERDICT r15 #3).
+    */
+  private[graft] val ProduceOnce: Set[String] = Set("bucketed_join_orders")
+
   /** Drop every cross-query cache (profiles, cluster labels, centroids) —
     * Bench calls this between repetition passes so each pass re-executes the
     * shared stages instead of timing cache hits.
@@ -123,6 +156,8 @@ object SparkEntry {
     semanticClusterCache.clear()
     postingsCache.values.foreach(_.unpersist(blocking = false))
     postingsCache.clear()
+    distinctShingleCache.values.foreach(_.unpersist(blocking = false))
+    distinctShingleCache.clear()
     centroidCache.clear()
     pqCache.clear()
     graft.analytics.PageRank.clearCache()
@@ -281,7 +316,8 @@ object SparkEntry {
       "contamination_documents" -> ((s: SparkSession, d: String) => {
         val dd = docs(s, d)
         val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
-        graft.dedup.Contamination.contaminatedPairs(dd, bench)
+        graft.dedup.Contamination.contaminatedPairs(dd, bench,
+          distinctShingles = Some(distinctShingles(s, d)))
       }),
       // the 100 TB-relevant capped configuration, hash-checked itself (r3
       // verdict ask #6): hot shingles dropped by document frequency before
@@ -301,7 +337,8 @@ object SparkEntry {
         val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
         graft.dedup.Contamination.contaminatedPairs(
           dd, bench, minShared = SparkEntry.contaminationCappedMinShared,
-          maxShingleDf = Some(SparkEntry.contaminationCap))
+          maxShingleDf = Some(SparkEntry.contaminationCap),
+          distinctShingles = Some(distinctShingles(s, d)))
       }),
       // the daily-ingest shape: new slice deduped against stored signatures
       "incremental_pairs_documents" -> ((s: SparkSession, d: String) => {
@@ -588,7 +625,8 @@ object SparkEntry {
       "decontaminated_documents" -> ((s: SparkSession, d: String) => {
         val dd = docs(s, d)
         val bench = graft.sampling.Sampling.sampleByHash(dd, "doc_id", 0.05, salt = "bench").select("doc_id")
-        graft.curation.Curation.decontaminatedDocuments(dd, clusterLabels(s, d), bench)
+        graft.curation.Curation.decontaminatedDocuments(dd, clusterLabels(s, d), bench,
+          distinctShingles = Some(distinctShingles(s, d)))
       }),
       // exact interpolated quantiles (profiling tier)
       "quantiles_lineitem" -> ((s: SparkSession, d: String) =>

@@ -59,16 +59,21 @@ object Curation {
     * every training doc the contamination screen caught leaking a benchmark
     * doc ([[graft.dedup.Contamination]]). Reuses precomputed cluster labels
     * like [[curatedDocuments]]; the contamination pass shares its postings
-    * checkpoint internally.
+    * checkpoint internally, or — when the session has already materialized
+    * the distinct shingle postings for its other contamination screens —
+    * reuses that frame via `distinctShingles` (one exchange for the whole
+    * contamination family, the declared-surface configuration).
     */
   def decontaminatedDocuments(
       docs: DataFrame,
       clusters: DataFrame,
       benchIds: DataFrame,
-      minShared: Long = 5L
+      minShared: Long = 5L,
+      distinctShingles: Option[DataFrame] = None
   ): DataFrame = {
     val leaking = graft.dedup.Contamination
-      .contaminatedPairs(docs, benchIds, minShared)
+      .contaminatedPairs(docs, benchIds, minShared,
+        distinctShingles = distinctShingles)
       .select(col("doc_id"))
       .distinct()
     curatedDocuments(docs, clusters)

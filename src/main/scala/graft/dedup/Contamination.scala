@@ -30,19 +30,29 @@ object Contamination {
     *   docs themselves are not reported against each other or themselves.
     * @param maxShingleDf drop shingles occurring in more than this many
     *   corpus docs before the join (the hot-key guard; bounded recall loss).
+    * @param distinctShingles optional pre-materialized distinct
+    *   (doc_id, shingle) postings of `docs` — when a pipeline runs several
+    *   screens over the SAME corpus (plain + capped + the decontamination
+    *   cut, as the declared surface does), the distinct-shingle exchange is
+    *   their dominant shared stage, and paying it once per SESSION instead
+    *   of once per screen is the difference the trio-context scale row in
+    *   BASELINE.md measures (VERDICT r15 #5). The caller owns the
+    *   materialization (persist/checkpoint); semantics are identical.
     */
   def contaminatedPairs(
       docs: DataFrame,
       benchIds: DataFrame,
       minShared: Long = 5L,
-      maxShingleDf: Option[Int] = None
+      maxShingleDf: Option[Int] = None,
+      distinctShingles: Option[DataFrame] = None
   ): DataFrame = {
     // materialized once: the distinct postings feed BOTH join sides (and the
     // df filter when capped) — without the checkpoint each consumer re-runs
     // the tokenize+explode+distinct subtree (r3 housekeeping #4). At 100 TB
     // the same reuse is a persisted/bucketed postings table instead of an
     // in-memory checkpoint.
-    val sh0 = DedupOps.shingleDF(docs).distinct().localCheckpoint()
+    val sh0 = distinctShingles.getOrElse(
+      DedupOps.shingleDF(docs).distinct().localCheckpoint())
     val sh = maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df")).where(col("df") > cap)

@@ -76,6 +76,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.hotFlags(Seq(150.1, 100.0, 120.0)) == Seq(true, false, false))
   }
 
+  test("median averages the two middle values on even sizes (ADVICE r15)") {
+    // odd sizes: the classic middle pick, unchanged
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    // even sizes: pass replacement can leave 4 clean of 5 passes — the old
+    // upper-middle pick booked 0.60 here, biasing the headline high in
+    // exactly the replacement runs; the averaged median books 0.55
+    assert(Bench.median(Seq(0.7, 0.5, 0.6, 0.4)) == 0.55)
+    assert(Bench.median(Seq(2.0, 1.0)) == 1.5)
+    // unsorted input is sorted internally
+    assert(Bench.median(Seq(10.0, 1.0, 9.0, 2.0)) == 5.5)
+  }
+
+  test("produce-once inventory names only declared queries (VERDICT r15 #3)") {
+    // every produce-once entry must be a real declared query, or Bench's
+    // producer step silently books nothing and the contention flag returns
+    assert(SparkEntry.ProduceOnce.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.ProduceOnce.contains("bucketed_join_orders"))
+  }
+
   test("fmt is locale-stable and keeps integer zeros") {
     assert(Bench.fmt(217.705, 2) == "217.71" || Bench.fmt(217.705, 2) == "217.7")
     assert(Bench.fmt(200.0, 2) == "200")

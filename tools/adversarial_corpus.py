@@ -697,10 +697,12 @@ def _float_ulp_fallback(query, float_cols, max_ulps=16, regime=1e15):
         # in-band values straddling a 7th-digit rounding boundary can sort
         # differently in the two frames and fail the positional zip
         # spuriously). Within each run of rows tied on EVERY key column,
-        # each expected row must claim a distinct got row whose every float
-        # column is in band (greedy first-fit over the tie-sorted order —
-        # exact for the positional common case; a missed exotic matching
-        # still fails CONSERVATIVELY, i.e. the gate fails, never excuses).
+        # each expected row must claim a DISTINCT got row whose every float
+        # column is in band — a perfect bipartite matching, found with
+        # augmenting paths (ADVICE r15: the previous greedy first-fit was
+        # order-dependent and could reject a run where a valid matching
+        # exists — a spurious gate failure on a genuine dialect boundary;
+        # tie runs are small, so the O(run^3) matcher costs nothing).
         evals = {c: expected[c].astype(float).tolist() for c in float_cols}
         gvals = {c: got[c].astype(float).tolist() for c in float_cols}
         kcols = [expected[c].astype(str).tolist() for c in keys]
@@ -710,14 +712,25 @@ def _float_ulp_fallback(query, float_cols, max_ulps=16, regime=1e15):
             j = i + 1
             while j < n and all(k[j] == k[i] for k in kcols):
                 j += 1
-            unused = list(range(i, j))
-            for r in range(i, j):
-                m = next((u for u in unused if all(
-                    in_band(evals[c][r], gvals[c][u]) for c in float_cols)),
-                    None)
-                if m is None:
+            run = list(range(i, j))
+            m = len(run)
+            ok = [[all(in_band(evals[c][run[r]], gvals[c][run[u]])
+                       for c in float_cols) for u in range(m)]
+                  for r in range(m)]
+            owner = [-1] * m  # got slot -> expected row holding it
+
+            def augment(r, seen):
+                for u in range(m):
+                    if ok[r][u] and not seen[u]:
+                        seen[u] = True
+                        if owner[u] == -1 or augment(owner[u], seen):
+                            owner[u] = r
+                            return True
+                return False
+
+            for r in range(m):
+                if not augment(r, [False] * m):
                     return False
-                unused.remove(m)
             i = j
         return True
     return check
@@ -793,13 +806,15 @@ def _recheck_interarrival(corpus, outdir):
     for (et, q, vs), (_, _, vd) in zip(got, exp):
         ex = ref[(et, q)]
         ks, kd = round(vs * 1e6), round(vd * 1e6)
-        # Off-lattice guard scaled to magnitude (ADVICE r14): beyond ~2^42 µs
-        # the double ULP of v*1e6 exceeds the fixed 1e-3, so a perfectly
-        # on-lattice multi-year gap could be rejected spuriously; the guard
-        # only needs to separate lattice points (1.0 apart), so a few ULPs
-        # of slack cannot admit an off-lattice value.
-        tol_s = max(1e-3, 4 * math.ulp(abs(vs) * 1e6))
-        tol_d = max(1e-3, 4 * math.ulp(abs(vd) * 1e6))
+        # Off-lattice guard scaled to magnitude (ADVICE r14), clamped below
+        # half a lattice step (ADVICE r15): at |v|*1e6 >= 2^49 (~17.8-year
+        # gaps) 4 ULPs reaches 0.5 and would stop separating adjacent 1e-6
+        # lattice points, so an off-lattice double inside the slack could
+        # slip past this check. The 0.49 clamp keeps the guard separating at
+        # every magnitude; the downstream exact Fraction comparison bounds
+        # what an excused value can be in any case.
+        tol_s = min(0.49, max(1e-3, 4 * math.ulp(abs(vs) * 1e6)))
+        tol_d = min(0.49, max(1e-3, 4 * math.ulp(abs(vd) * 1e6)))
         if abs(vs * 1e6 - ks) > tol_s or abs(vd * 1e6 - kd) > tol_d:
             return False  # an engine value off the 1e-6 lattice: not this boundary
         fl = ex.numerator // ex.denominator
@@ -925,9 +940,16 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
     def _worktree_src_sha256():
         # src_tree is HEAD's tree, not the working tree that actually ran
         # (ADVICE r14): when dirty_worktree is true the two can differ, so
-        # also hash the working-tree src/ bytes directly (sorted relpaths +
-        # contents, NUL-framed) — the anchor for the code that RAN, valid
-        # regardless of git state.
+        # also hash the working-tree src/ bytes directly — the anchor for
+        # the code that RAN, valid regardless of git state. Framing is
+        # INJECTIVE (ADVICE r15: NUL separators alone are ambiguous when
+        # file contents contain NULs): each file contributes
+        # len(relpath) ":" relpath len(bytes) ":" bytes, a length-prefixed
+        # netstring-style encoding no content can forge. Untracked files
+        # under src/ are intentionally included — the anchor means "the
+        # bytes that ran", whatever git thinks of them. (First round with
+        # this framing: r16 — artifacts before that used the NUL framing,
+        # anchored additionally by src_tree when the worktree was clean.)
         import hashlib
         h = hashlib.sha256()
         src = os.path.join(repo, "src")
@@ -935,11 +957,11 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
             dirs.sort()
             for fn in sorted(files):
                 p = os.path.join(root, fn)
-                h.update(os.path.relpath(p, repo).encode())
-                h.update(b"\0")
+                rel = os.path.relpath(p, repo).encode()
                 with open(p, "rb") as fh:
-                    h.update(fh.read())
-                h.update(b"\0")
+                    data = fh.read()
+                h.update(str(len(rel)).encode() + b":" + rel)
+                h.update(str(len(data)).encode() + b":" + data)
         return h.hexdigest()
     record = {
         "head": head, "dirty_worktree": dirty,

@@ -17,10 +17,11 @@ class BenchLineSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   private def line(total: Double = 217.71, best: Double = 193.7,
-      contended: Boolean = true, qcN: Int = 36, qN: Int = 169,
+      contended: Boolean = true, hostDeg: Boolean = false, oobN: Int = 0,
+      qcN: Int = 36, qN: Int = 169,
       errN: Int = 0, full: String = "tools/bench_full_sf0.1.json",
       sf: String = "sf0.1"): String =
-    Bench.headlineLine(total, best, contended, qcN, qN, errN, full, sf)
+    Bench.headlineLine(total, best, contended, hostDeg, oobN, qcN, qN, errN, full, sf)
 
   test("headline line fits the 2000-char tail capture with margin") {
     // representative round shape, plus an adversarially wide one (huge
@@ -28,8 +29,8 @@ class BenchLineSpec extends AnyFunSuite {
     // the line has no per-query map, so nothing in it scales with the
     // surface and even the wide shape stays far under the window.
     assert(line().length < 500)
-    val wide = line(total = 999999.99, best = 999999.99, qcN = 999999,
-      qN = 999999, errN = 999999,
+    val wide = line(total = 999999.99, best = 999999.99, hostDeg = true,
+      oobN = 999999, qcN = 999999, qN = 999999, errN = 999999,
       full = "tools/bench_full_" + "x" * 100 + ".json", sf = "x" * 100)
     assert(wide.length < 2000)
   }
@@ -87,6 +88,101 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.median(Seq(2.0, 1.0)) == 1.5)
     // unsorted input is sorted internally
     assert(Bench.median(Seq(10.0, 1.0, 9.0, 2.0)) == 5.5)
+  }
+
+  test("headline carries the self-label fields (VERDICT r16 #1)") {
+    val node = mapper.readTree(line(hostDeg = true, oobN = 7))
+    assert(node.get("host_degraded").asBoolean())
+    assert(node.get("out_of_band_n").asInt() == 7)
+    assert(!mapper.readTree(line()).get("host_degraded").asBoolean())
+  }
+
+  test("the r16 all-passes-hot driver run self-labels (VERDICT r16 #1)") {
+    // The motivating incident: driver pass totals 395.1/408.0/356.0 s —
+    // spread 1.15×, below the 1.5× hot-pass threshold, so the r15 defense
+    // saw nothing (pass_hot all-false, contended:false published) while the
+    // headline booked 354.59 s, 2.2× the 160 s band center. No probe data
+    // exists for that run; the committed in-band floor alone must catch it:
+    // best pass 356.0 > band-top 200 ⇒ contended AND host_degraded, even
+    // with all probes reading quiet.
+    val totals = Seq(395.1, 408.0, 356.0)
+    val quietProbes = Seq(0.41, 0.43, 0.42)
+    val (passHot, contended, hostDeg) =
+      Bench.selfLabel(totals, quietProbes, Bench.BandTopSec.get("sf0.1"))
+    assert(passHot == Seq(false, false, false), "spread test alone still blind — by design")
+    assert(contended, "floor check must label the run contended")
+    assert(hostDeg, "floor check must label the host degraded")
+    // Had the probe run during that window it would have read hot too
+    // (sustained steal slows a single-thread loop proportionally): probes
+    // ≥1.5× ref flag every pass for replacement AND set host_degraded.
+    val hotProbes = Seq(0.95, 1.1, 0.88)
+    val (ph2, c2, hd2) = Bench.selfLabel(totals, hotProbes, Bench.BandTopSec.get("sf0.1"))
+    assert(ph2 == Seq(true, true, true) && c2 && hd2)
+  }
+
+  test("a quiet in-band run publishes host_degraded:false (VERDICT r16 #1)") {
+    // r18 record run 1: totals 185.4/162.4/153.8, all probes at the quiet
+    // floor — nothing flagged, floor not exceeded, labels all clean.
+    val (passHot, contended, hostDeg) = Bench.selfLabel(
+      Seq(185.4, 162.4, 153.8), Seq(0.42, 0.41, 0.44), Some(200.0))
+    assert(passHot == Seq(false, false, false) && !contended && !hostDeg)
+    // boundary is strict on the probe: exactly ratio× ref is KEPT
+    assert(!Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio))
+    assert(Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio + 0.001))
+    // and strict on the floor: a best pass AT band-top is in-band
+    assert(!Bench.selfLabel(Seq(200.0, 210.0), Seq(0.41, 0.41), Some(200.0))._2)
+  }
+
+  test("a probe-hot pass triggers replacement even with even totals (VERDICT r16 #1a)") {
+    // Sustained steal across a SHORT window can slow one pass's probe while
+    // totals stay within spread (localized steal inflating few queries —
+    // the r11 signature). The probe flag feeds the replacement loop where
+    // the totals test cannot.
+    val (passHot, contended, _) = Bench.selfLabel(
+      Seq(170.0, 175.0, 172.0), Seq(0.41, 0.89, 0.43), Some(200.0))
+    assert(passHot == Seq(false, true, false))
+    assert(contended)
+  }
+
+  test("record-ratio check flags the r16 driver offenders (VERDICT r16 #3)") {
+    // The driver run booked corr_lineitem at 38.2 s (record 2.537) and
+    // mad_lineitem at 25.6 s (record 4.924) — the forensics the r16 verdict
+    // did by hand across the full JSON. outOfBand turns them into one field:
+    // both flagged, corr_lineitem worst by ratio; a query at its record
+    // (ivfpq 5.9 vs 5.871) and a sub-2s query (even 10× its record) do not
+    // flag.
+    val booked = Seq(
+      "corr_lineitem" -> 38.2, "mad_lineitem" -> 25.6,
+      "ivfpq_topk_embeddings" -> 5.9, "span_dedup_documents" -> 0.9)
+    val recs = Map(
+      "corr_lineitem" -> 2.537, "mad_lineitem" -> 4.924,
+      "ivfpq_topk_embeddings" -> 5.871, "span_dedup_documents" -> 0.05)
+    val oob = Bench.outOfBand(booked, recs)
+    assert(oob.map(_._1) == Seq("corr_lineitem", "mad_lineitem"))
+    assert(oob.head._2 > 15.0 && oob(1)._2 > 5.0)
+    // a query missing from the records map never flags (surface drift is
+    // caught by the key-set test below, not by a phantom ratio)
+    assert(Bench.outOfBand(Seq("new_q" -> 50.0), recs).isEmpty)
+  }
+
+  test("committed records cover exactly the declared surface (VERDICT r16 #3)") {
+    // same coverage contract as the exchange/scan budgets: a new declared
+    // query without a record (or a record for a removed query) fails here,
+    // so the record check can never silently go stale against the surface
+    assert(BenchRecords.RecordMedianSec.keySet == SparkEntry.queries.keySet)
+    assert(BenchRecords.RecordSf == "sf0.1")
+    assert(BenchRecords.RecordMedianSec.values.forall(v => v >= 0.0 && v < 60.0))
+  }
+
+  test("probe kernel is deterministic and its reference is committed") {
+    // the kernel's checksum pins the exact instruction sequence the
+    // calibration constant was measured on — an edit to the loop body that
+    // changes the work must fail here and recalibrate ProbeRefSec
+    assert(Bench.probeWork(1000L) == Bench.probeWork(1000L))
+    assert(Bench.probeWork(1000L) != Bench.probeWork(1001L))
+    assert(Bench.ProbeIters == 200000000L)
+    assert(Bench.ProbeRefSec == 0.41 && Bench.ProbeHotRatio == 1.5)
+    assert(Bench.BandTopSec == Map("sf0.1" -> 200.0))
   }
 
   test("produce-once inventory names only declared queries (VERDICT r15 #3)") {

@@ -448,9 +448,14 @@ object Bench {
   private[graft] def anchorFields(): String = {
     val head = gitOut("rev-parse", "HEAD")
     val srcTree = gitOut("rev-parse", "HEAD:src")
+    // The glob covers ALL bench run outputs — tools/bench_full_<sf>.json and
+    // the renamed record/drill copies (tools/bench_r*_run*.json): the first
+    // r19 record set showed run 1's untracked copy flipping runs 2-5 to
+    // dirty_worktree:true while src/ was provably byte-identical to HEAD:src
+    // (their worktree_src_sha256 all equal the committed tree's) — the exact
+    // sibling-artifact false positive the gate solved in VERDICT r13 #3.
     val dirty = gitOut("status", "--porcelain", "--", ".",
-      ":!tools/bench_full_sf0.1.json", ":!tools/bench_full_sf0.01.json",
-      ":!tools/bench_full_sf0.001.json").map(_.nonEmpty)
+      ":!tools/bench_*.json").map(_.nonEmpty)
     val srcSha =
       try Some(worktreeSrcSha256(java.nio.file.Paths.get(".").toAbsolutePath.normalize))
       catch { case _: Exception => None }

@@ -107,8 +107,12 @@ class BenchLineSpec extends AnyFunSuite {
     // with all probes reading quiet.
     val totals = Seq(395.1, 408.0, 356.0)
     val quietProbes = Seq(0.41, 0.43, 0.42)
+    // the incident's recorded 1-min loads ran 4-19 — UNDER the 24 ambient
+    // ceiling (host steal is invisible to guest loadavg; the probe/floor own
+    // that regime), so ambient flags are all false here
+    val noAmbient = Seq(false, false, false)
     val (passHot, contended, hostDeg) =
-      Bench.selfLabel(totals, quietProbes, Bench.BandTopSec.get("sf0.1"))
+      Bench.selfLabel(totals, quietProbes, noAmbient, Bench.BandTopSec.get("sf0.1"))
     assert(passHot == Seq(false, false, false), "spread test alone still blind — by design")
     assert(contended, "floor check must label the run contended")
     assert(hostDeg, "floor check must label the host degraded")
@@ -116,7 +120,7 @@ class BenchLineSpec extends AnyFunSuite {
     // (sustained steal slows a single-thread loop proportionally): probes
     // ≥1.5× ref flag every pass for replacement AND set host_degraded.
     val hotProbes = Seq(0.95, 1.1, 0.88)
-    val (ph2, c2, hd2) = Bench.selfLabel(totals, hotProbes, Bench.BandTopSec.get("sf0.1"))
+    val (ph2, c2, hd2) = Bench.selfLabel(totals, hotProbes, noAmbient, Bench.BandTopSec.get("sf0.1"))
     assert(ph2 == Seq(true, true, true) && c2 && hd2)
   }
 
@@ -124,13 +128,15 @@ class BenchLineSpec extends AnyFunSuite {
     // r18 record run 1: totals 185.4/162.4/153.8, all probes at the quiet
     // floor — nothing flagged, floor not exceeded, labels all clean.
     val (passHot, contended, hostDeg) = Bench.selfLabel(
-      Seq(185.4, 162.4, 153.8), Seq(0.42, 0.41, 0.44), Some(200.0))
+      Seq(185.4, 162.4, 153.8), Seq(0.42, 0.41, 0.44),
+      Seq(false, false, false), Some(200.0))
     assert(passHot == Seq(false, false, false) && !contended && !hostDeg)
     // boundary is strict on the probe: exactly ratio× ref is KEPT
     assert(!Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio))
     assert(Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio + 0.001))
     // and strict on the floor: a best pass AT band-top is in-band
-    assert(!Bench.selfLabel(Seq(200.0, 210.0), Seq(0.41, 0.41), Some(200.0))._2)
+    assert(!Bench.selfLabel(Seq(200.0, 210.0), Seq(0.41, 0.41),
+      Seq(false, false), Some(200.0))._2)
   }
 
   test("a probe-hot pass triggers replacement even with even totals (VERDICT r16 #1a)") {
@@ -139,9 +145,44 @@ class BenchLineSpec extends AnyFunSuite {
     // the r11 signature). The probe flag feeds the replacement loop where
     // the totals test cannot.
     val (passHot, contended, _) = Bench.selfLabel(
-      Seq(170.0, 175.0, 172.0), Seq(0.41, 0.89, 0.43), Some(200.0))
+      Seq(170.0, 175.0, 172.0), Seq(0.41, 0.89, 0.43),
+      Seq(false, false, false), Some(200.0))
     assert(passHot == Seq(false, true, false))
     assert(contended)
+  }
+
+  test("the r17 drill's fair-share co-tenant regime self-labels via the load ceiling") {
+    // The drill (tools/bench_r19_drill.json): 48 spinner processes beside
+    // the bench, 1-min loads 31-51 through every pass, pass totals
+    // 120.8/96.6/88.6 (1.3-1.6× quiet) — and the probes read 0.371-0.424,
+    // AT the quiet floor: group fair-share gives the JVM's group a full
+    // core for its single probe thread while the 32 executor threads take
+    // a real haircut. Probe and spread are both blind; the ambient-load
+    // ceiling is the signal that catches it.
+    val totals = Seq(120.797, 96.564, 88.611)
+    val probes = Seq(0.371, 0.424, 0.371)
+    val loadMaxes = Seq(48.93, 50.37, 51.54) // max(before, after, heavy) per pass
+    val ceiling = Bench.ambientLoadCeiling(8) // the drill ran SPARK_GRAFT_CPUS=8
+    val ambient = loadMaxes.map(_ > ceiling)
+    assert(ambient == Seq(true, true, true))
+    val (passHot, contended, hostDeg) =
+      Bench.selfLabel(totals, probes, ambient, None)
+    assert(passHot == Seq(true, true, true) && contended)
+    // guest co-tenancy is NOT host degradation — the flag stays precise
+    assert(!hostDeg)
+  }
+
+  test("the load ceiling never flags the bench's own self-load") {
+    // self-load measured ≤14 across all ten r18/r19 sf0.1 record runs at
+    // 32 threads (worst single reading: 13.62); the ceiling sits at 24 with
+    // clear margin, and scales up for wider-than-default thread counts
+    assert(Bench.ambientLoadCeiling(32) == 24.0)
+    assert(Bench.ambientLoadCeiling(8) == 24.0)
+    assert(Bench.ambientLoadCeiling(64) == 48.0)
+    assert(Bench.passLoadMax(7.69, 10.27, Seq(13.45, 6.49)) == 13.45)
+    assert(Bench.passLoadMax(1.53, 6.72, Nil) == 6.72)
+    // worst recorded record-run pass vs ceiling: clean
+    assert(Bench.passLoadMax(11.86, 12.44, Seq(13.62)) < Bench.ambientLoadCeiling(32))
   }
 
   test("record-ratio check flags the r16 driver offenders (VERDICT r16 #3)") {

@@ -172,6 +172,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!hostDeg)
   }
 
+  test("run 6's in-the-wild floor trip labels without any per-pass signal") {
+    // tools/bench_r19_run6.json: pass totals 252.8/222.0/221.7 (spread
+    // 1.14×), probes 0.327-0.401 (single-thread FASTER than quiet — higher
+    // boost clock on idle cores), loads 1.6-10.6 (pure self-load) — all-core
+    // throughput degradation that no per-pass flag can attribute. The
+    // committed floor is the only signal: best pass 221.7 > 200 ⇒ both
+    // run-level labels true, per-pass flags all false.
+    val (passHot, contended, hostDeg) = Bench.selfLabel(
+      Seq(252.791, 222.044, 221.735), Seq(0.358, 0.401, 0.327),
+      Seq(false, false, false), Bench.BandTopSec.get("sf0.1"))
+    assert(passHot == Seq(false, false, false))
+    assert(contended && hostDeg)
+  }
+
   test("the load ceiling never flags the bench's own self-load") {
     // self-load measured ≤14 across all ten r18/r19 sf0.1 record runs at
     // 32 threads (worst single reading: 13.62); the ceiling sits at 24 with

@@ -15,9 +15,15 @@ object Bench {
     // run measure a quarter-width cluster and miss the recorded baseline
     // by 2-3× (r2 verdict, "what's wrong" #2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Numeric knobs (shuffle partitions, the ambient-load ceiling, the JSON
+    // `cpus` field) need an Int; `local[*]` is a legal master string, so a
+    // non-integer env value must degrade to the machine's core count instead
+    // of crashing the bench at startup before any diagnostics (ADVICE r17).
+    val cpusInt = cpus.trim.toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpusInt.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -81,16 +87,6 @@ object Bench {
     // driver line publishes min-of-pass-totals alongside the median sum
     // and a `contended` flag (any pass total >1.5× the best pass), so a
     // contaminated median self-identifies machine-readably.
-    def loadAvg(): Double = {
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        s.split("\\s+")(0).toDouble
-      } catch { case _: Exception =>
-        try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-        catch { case _: Exception => -1.0 }
-      }
-    }
     val HeavySec = 2.0
     val Reps = 3
     // Poisoned-pass replacement (VERDICT r14 #1): one catastrophically
@@ -137,8 +133,8 @@ object Bench {
       Pass(times, lb, loadAvg(), heavy, pr)
     }
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val bandTop = BandTopSec.get(sfShort)
-    val loadCeiling = ambientLoadCeiling(cpus.toInt)
+    val bandTop = bandTopFor(sfShort)
+    val loadCeiling = ambientLoadCeiling(cpusInt)
     def ambientFlags(ps: Seq[Pass]): Seq[Boolean] =
       ps.map(p => passLoadMax(p.loadBefore, p.loadAfter, p.heavyLoads.values) > loadCeiling)
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Pass]
@@ -167,10 +163,21 @@ object Bench {
     val bestPass   = passTotals.min
     val probeSecs  = passes.map(_.probeSec)
     val ambientHot = ambientFlags(passes)
-    val (passHot, contended, hostDegraded) =
+    val (passHot, contended, hostDegraded, floorExceeded) =
       selfLabel(passTotals, probeSecs, ambientHot, bandTop, HotRatio)
     val probeHotFlags = probeSecs.map(probeHot(_))
-    val floorExceeded = bandTop.exists(bestPass > _)
+    // Recalibration tripwire (ADVICE r17): every probe of a run reading hot
+    // is either a fully-degraded window (rare; the r16 regime) or a
+    // committed reference that no longer matches the hardware — on a host
+    // class slower than the calibration box EVERY run would land here,
+    // forcing the 6-pass cap (~2× bench cost) and permanent host_degraded
+    // labels. Say so once, with the one-command fix.
+    if (probeHotFlags.nonEmpty && probeHotFlags.forall(identity))
+      System.err.println(f"[bench] ALL ${probeHotFlags.size} calibration probes read hot " +
+        f"(min ${probeSecs.min}%.3f s vs committed ref $ProbeRefSec; hot at >${ProbeRefSec * ProbeHotRatio}%.3f): " +
+        "if this host is genuinely quiet, the committed reference no longer matches the " +
+        "hardware — measure the quiet floor with `sbt \"runMain graft.ProbeCalibrate\"` and " +
+        "override via SPARK_GRAFT_PROBE_REF (or commit the new floor; protocol in BASELINE.md).")
     // Medians over the clean passes only. With the probe flag a pass can be
     // hot WITHOUT a clean sibling (the r16 all-passes-hot regime): every
     // pass probe-hot leaves the clean set EMPTY, in which case the medians
@@ -246,7 +253,7 @@ object Bench {
       val pHot = probeHotFlags.map(_.toString).mkString("[", ",", "]")
       val oobJson = oob.map { case (k, r) => "\"" + k + "\":" + fmt(r, 2) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfShort","cpus":$cpus,""" +
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfShort","cpus":$cpusInt,""" +
         s"""${anchorFields()},""" +
         s""""reps":${passes.size},"reps_planned":$Reps,"passes_stat_n":${statPasses.size},""" +
         s""""value_min":${fmt(bestPass, 3)},"contended":$contended,""" +
@@ -278,7 +285,8 @@ object Bench {
     // position in the capture window was the only tell).
     val fixed = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""line":"verbose","value_min":${fmt(bestPass, 2)},"contended":$contended,""" +
-      s""""host_degraded":$hostDegraded,"out_of_band_n":${oob.size},""" +
+      s""""host_degraded":$hostDegraded,"floor_exceeded":$floorExceeded,""" +
+      s""""out_of_band_n":${oob.size},""" +
       s""""q_contended_n":${qContended.size},""" +
       s""""queries_n":${results.size},"full":"$fullPath",$errsField"sf":"$sfShort","queries_min":{}}"""
     var room = MaxLine - fixed.length
@@ -293,8 +301,8 @@ object Bench {
     // capture holds it WHOLE (VERDICT r13 #1: 13 rounds of parsed:null —
     // the verbose line above overflows the window and loses its head, and
     // a mid-window line can carry an sbt log prefix).
-    println(headlineLine(total, bestPass, contended, hostDegraded, oob.size,
-      qContended.size, results.size, errors.size, fullPath, sfShort))
+    println(headlineLine(total, bestPass, contended, hostDegraded, floorExceeded,
+      oob.size, qContended.size, results.size, errors.size, fullPath, sfShort))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
@@ -320,8 +328,31 @@ object Bench {
   // a momentary scheduling blip or GC pause cannot flag a quiet pass — only
   // throughput degradation sustained across all three samples (~1.2 s) can.
   private[graft] val ProbeIters = 200000000L
-  private[graft] val ProbeRefSec = 0.41
+  // The committed quiet-box floor is a HOST-PROFILE constant, calibrated on
+  // this sandbox (protocol: [[ProbeCalibrate]], documented in BASELINE.md —
+  // a spec pins the default against the value BASELINE.md names). On other
+  // hardware it can be overridden per-run without a recalibration commit
+  // (ADVICE r17): SPARK_GRAFT_PROBE_REF, seconds, > 0. The effective value
+  // is what ships in the JSON's `probe_ref_sec`, so an overridden run is
+  // self-describing.
+  private[graft] val ProbeRefSecDefault = 0.41
+  private[graft] val ProbeRefSec = sys.env.get("SPARK_GRAFT_PROBE_REF")
+    .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(ProbeRefSecDefault)
   private[graft] val ProbeHotRatio = 1.5
+
+  /** 1-minute system load average (context for probe/pass readings; shared
+    * with [[ProbeCalibrate]]). /proc first, MXBean fallback, -1 if neither.
+    */
+  private[graft] def loadAvg(): Double = {
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split("\\s+")(0).toDouble
+    } catch { case _: Exception =>
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Exception => -1.0 }
+    }
+  }
 
   /** The probe kernel: branch-free, allocation-free, result-dependent so the
     * JIT cannot elide it. Returns the checksum (value irrelevant — only the
@@ -396,24 +427,42 @@ object Bench {
   // (best pass 356.0 s) trips this where the 1.5× spread test cannot.
   private[graft] val BandTopSec: Map[String, Double] = Map("sf0.1" -> 200.0)
 
+  /** The effective band-top for a run: the committed per-SF map, overridable
+    * per-run via SPARK_GRAFT_BAND_TOP (seconds, > 0) on hardware the
+    * committed band was never measured on (ADVICE r17 — same rationale as
+    * SPARK_GRAFT_PROBE_REF). The effective value ships in the JSON's
+    * `band_top_sec`, so an overridden run is self-describing.
+    */
+  private[graft] def bandTopFor(sf: String): Option[Double] =
+    sys.env.get("SPARK_GRAFT_BAND_TOP").flatMap(_.toDoubleOption)
+      .filter(_ > 0).orElse(BandTopSec.get(sf))
+
   /** The whole self-labeling decision, pure so [[BenchLineSpec]] can pin it
     * on the r16 driver run's (and the r17 drill's) recorded pass data
     * without running a bench: per-pass hot flags (total-spread OR probe OR
     * ambient-load ceiling), the run-level `contended` flag (any hot pass OR
-    * best pass above the committed band-top), and `host_degraded` (any
-    * probe-hot pass OR the floor check — the signals that implicate the
-    * HOST; an ambient-load flag implicates guest co-tenancy instead, so it
-    * contends the pass without claiming host degradation).
+    * best pass above the committed band-top), `host_degraded` (any
+    * probe-hot pass — direct throughput evidence implicating the HOST),
+    * and `floor_exceeded` (best pass above the committed band-top).
+    *
+    * `floor_exceeded` is deliberately CAUSE-NEUTRAL and no longer folded
+    * into `host_degraded` (ADVICE r17): a best pass above the band-top with
+    * quiet probes is EITHER all-core capping the probe cannot see (the
+    * r19-run6 regime) OR a genuine code regression on a quiet host — the
+    * bench cannot distinguish them, so it must not attribute the breach to
+    * the host and risk a real regression being excluded from band evidence
+    * as environmental noise. An ambient-load flag likewise implicates guest
+    * co-tenancy, so it contends the pass without claiming host degradation.
     */
   private[graft] def selfLabel(passTotals: Seq[Double], probeSecs: Seq[Double],
       ambientHot: Seq[Boolean], bandTop: Option[Double],
-      hotRatio: Double = 1.5): (Seq[Boolean], Boolean, Boolean) = {
+      hotRatio: Double = 1.5): (Seq[Boolean], Boolean, Boolean, Boolean) = {
     val totalsHot = hotFlags(passTotals, hotRatio)
     val pHot = probeSecs.map(probeHot(_))
     val passHot = totalsHot.lazyZip(pHot).lazyZip(ambientHot)
       .map { (a, b, c) => a || b || c }
     val floor = bandTop.exists(passTotals.min > _)
-    (passHot, passHot.contains(true) || floor, pHot.contains(true) || floor)
+    (passHot, passHot.contains(true) || floor, pHot.contains(true), floor)
   }
 
   // --- per-query record check (VERDICT r16 #3) ------------------------------
@@ -470,6 +519,12 @@ object Bench {
           s.iterator().asScala.toSeq
         } finally s.close()
       }
+      // Mirror os.walk(followlinks=False) exactly (ADVICE r17): the
+      // dirs/files SPLIT follows symlinks (a symlink-to-dir classifies as a
+      // dir, so it is never opened as file bytes), but RECURSION does not
+      // (it contributes nothing) — the old NOFOLLOW-everywhere split put a
+      // dir-symlink into `files` where readAllBytes throws, and a
+      // follow-everywhere walk would recurse where Python does not.
       val (dirs, files) = entries.partition(Files.isDirectory(_))
       files.sortBy(_.getFileName.toString).foreach { f =>
         val rel = repoRoot.relativize(f).toString.getBytes("UTF-8")
@@ -477,7 +532,8 @@ object Bench {
         md.update(s"${rel.length}:".getBytes("UTF-8")); md.update(rel)
         md.update(s"${data.length}:".getBytes("UTF-8")); md.update(data)
       }
-      dirs.sortBy(_.getFileName.toString).foreach(walk)
+      dirs.sortBy(_.getFileName.toString)
+        .filterNot(Files.isSymbolicLink(_)).foreach(walk)
     }
     walk(repoRoot.resolve("src"))
     md.digest().map("%02x".format(_)).mkString
@@ -492,17 +548,31 @@ object Bench {
   private[graft] def anchorFields(): String = {
     val head = gitOut("rev-parse", "HEAD")
     val srcTree = gitOut("rev-parse", "HEAD:src")
-    // The glob covers ALL bench run outputs — tools/bench_full_<sf>.json and
-    // the renamed record/drill copies (tools/bench_r*_run*.json): the first
-    // r19 record set showed run 1's untracked copy flipping runs 2-5 to
-    // dirty_worktree:true while src/ was provably byte-identical to HEAD:src
-    // (their worktree_src_sha256 all equal the committed tree's) — the exact
-    // sibling-artifact false positive the gate solved in VERDICT r13 #3.
+    // The exclusion list covers every RUN OUTPUT either artifact family
+    // writes (VERDICT r13 #3 rationale): the bench's own JSONs
+    // (tools/bench_full_<sf>.json and the renamed record/drill copies —
+    // the first r19 record set showed run 1's untracked copy flipping runs
+    // 2-5 to dirty_worktree:true while src/ was provably byte-identical to
+    // HEAD:src), AND the gate/fuzz artifacts (ADVICE r17: a just-refreshed
+    // adv_gate_latest.json in the worktree flipped bench runs dirty — the
+    // mirror image of the sibling-artifact false positive the gate fixed at
+    // adversarial_corpus.py's dirty check, which excludes these same files).
     val dirty = gitOut("status", "--porcelain", "--", ".",
-      ":!tools/bench_*.json").map(_.nonEmpty)
+      ":!tools/bench_*.json", ":!tools/adv_gate_latest.json",
+      ":!tools/adv_fuzz_latest.json").map(_.nonEmpty)
+    // Resolve the repo root from git instead of assuming the JVM cwd IS the
+    // root (ADVICE r17 — an sbt launched from a subdirectory would hash a
+    // src/ that does not exist and null the anchor); a failed hash warns
+    // instead of nulling silently.
+    val repoRoot = gitOut("rev-parse", "--show-toplevel")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(".").toAbsolutePath.normalize)
     val srcSha =
-      try Some(worktreeSrcSha256(java.nio.file.Paths.get(".").toAbsolutePath.normalize))
-      catch { case _: Exception => None }
+      try Some(worktreeSrcSha256(repoRoot))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] worktree src hash failed (anchor nulled): $e")
+        None
+      }
     def q(o: Option[String]) = o.map("\"" + _ + "\"").getOrElse("null")
     s""""head":${q(head)},"dirty_worktree":${dirty.map(_.toString).getOrElse("null")},""" +
       s""""src_tree":${q(srcTree)},"worktree_src_sha256":${q(srcSha)},""" +
@@ -565,13 +635,14 @@ object Bench {
     * [[BenchLineSpec]] pins the same bound plus JSON well-formedness.
     */
   private[graft] def headlineLine(total: Double, bestPass: Double,
-      contended: Boolean, hostDegraded: Boolean, outOfBandN: Int,
-      qContendedN: Int, queriesN: Int, errorsN: Int,
+      contended: Boolean, hostDegraded: Boolean, floorExceeded: Boolean,
+      outOfBandN: Int, qContendedN: Int, queriesN: Int, errorsN: Int,
       fullPath: String, sfShort: String): String = {
     val errsN = if (errorsN == 0) "" else s""""errors_n":$errorsN,"""
     val line = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
       s""""line":"headline","value_min":${fmt(bestPass, 2)},"contended":$contended,""" +
-      s""""host_degraded":$hostDegraded,"out_of_band_n":$outOfBandN,""" +
+      s""""host_degraded":$hostDegraded,"floor_exceeded":$floorExceeded,""" +
+      s""""out_of_band_n":$outOfBandN,""" +
       s""""q_contended_n":$qContendedN,"queries_n":$queriesN,""" +
       s"""$errsN"full":"$fullPath","sf":"$sfShort","queries":{}}"""
     require(line.length < 2000,

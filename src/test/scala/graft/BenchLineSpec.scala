@@ -17,11 +17,12 @@ class BenchLineSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   private def line(total: Double = 217.71, best: Double = 193.7,
-      contended: Boolean = true, hostDeg: Boolean = false, oobN: Int = 0,
+      contended: Boolean = true, hostDeg: Boolean = false,
+      floorExc: Boolean = false, oobN: Int = 0,
       qcN: Int = 36, qN: Int = 169,
       errN: Int = 0, full: String = "tools/bench_full_sf0.1.json",
       sf: String = "sf0.1"): String =
-    Bench.headlineLine(total, best, contended, hostDeg, oobN, qcN, qN, errN, full, sf)
+    Bench.headlineLine(total, best, contended, hostDeg, floorExc, oobN, qcN, qN, errN, full, sf)
 
   test("headline line fits the 2000-char tail capture with margin") {
     // representative round shape, plus an adversarially wide one (huge
@@ -30,7 +31,7 @@ class BenchLineSpec extends AnyFunSuite {
     // surface and even the wide shape stays far under the window.
     assert(line().length < 500)
     val wide = line(total = 999999.99, best = 999999.99, hostDeg = true,
-      oobN = 999999, qcN = 999999, qN = 999999, errN = 999999,
+      floorExc = true, oobN = 999999, qcN = 999999, qN = 999999, errN = 999999,
       full = "tools/bench_full_" + "x" * 100 + ".json", sf = "x" * 100)
     assert(wide.length < 2000)
   }
@@ -90,47 +91,55 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.median(Seq(10.0, 1.0, 9.0, 2.0)) == 5.5)
   }
 
-  test("headline carries the self-label fields (VERDICT r16 #1)") {
-    val node = mapper.readTree(line(hostDeg = true, oobN = 7))
+  test("headline carries the self-label fields (VERDICT r16 #1, ADVICE r17)") {
+    val node = mapper.readTree(line(hostDeg = true, floorExc = true, oobN = 7))
     assert(node.get("host_degraded").asBoolean())
+    assert(node.get("floor_exceeded").asBoolean())
     assert(node.get("out_of_band_n").asInt() == 7)
-    assert(!mapper.readTree(line()).get("host_degraded").asBoolean())
+    val clean = mapper.readTree(line())
+    assert(!clean.get("host_degraded").asBoolean())
+    assert(!clean.get("floor_exceeded").asBoolean())
   }
 
-  test("the r16 all-passes-hot driver run self-labels (VERDICT r16 #1)") {
+  test("the r16 all-passes-hot driver run self-labels (VERDICT r16 #1, ADVICE r17)") {
     // The motivating incident: driver pass totals 395.1/408.0/356.0 s —
     // spread 1.15×, below the 1.5× hot-pass threshold, so the r15 defense
     // saw nothing (pass_hot all-false, contended:false published) while the
     // headline booked 354.59 s, 2.2× the 160 s band center. No probe data
     // exists for that run; the committed in-band floor alone must catch it:
-    // best pass 356.0 > band-top 200 ⇒ contended AND host_degraded, even
-    // with all probes reading quiet.
+    // best pass 356.0 > band-top 200 ⇒ contended AND floor_exceeded. With
+    // quiet probes host_degraded stays FALSE (ADVICE r17): a floor breach
+    // alone is cause-neutral — all-core capping the probe cannot see, or a
+    // genuine code regression on a quiet host — so the run is excluded from
+    // band evidence without the bench claiming to know which.
     val totals = Seq(395.1, 408.0, 356.0)
     val quietProbes = Seq(0.41, 0.43, 0.42)
     // the incident's recorded 1-min loads ran 4-19 — UNDER the 24 ambient
     // ceiling (host steal is invisible to guest loadavg; the probe/floor own
     // that regime), so ambient flags are all false here
     val noAmbient = Seq(false, false, false)
-    val (passHot, contended, hostDeg) =
+    val (passHot, contended, hostDeg, floorExc) =
       Bench.selfLabel(totals, quietProbes, noAmbient, Bench.BandTopSec.get("sf0.1"))
     assert(passHot == Seq(false, false, false), "spread test alone still blind — by design")
     assert(contended, "floor check must label the run contended")
-    assert(hostDeg, "floor check must label the host degraded")
-    // Had the probe run during that window it would have read hot too
-    // (sustained steal slows a single-thread loop proportionally): probes
-    // ≥1.5× ref flag every pass for replacement AND set host_degraded.
+    assert(floorExc, "floor check must publish the breach under its own name")
+    assert(!hostDeg, "a floor breach alone must not be attributed to the host")
+    // Had the probe run during that window it would have read hot (sustained
+    // steal slows a single-thread loop proportionally): probes ≥1.5× ref
+    // flag every pass for replacement AND set host_degraded — THAT is the
+    // direct host evidence the flag is reserved for.
     val hotProbes = Seq(0.95, 1.1, 0.88)
-    val (ph2, c2, hd2) = Bench.selfLabel(totals, hotProbes, noAmbient, Bench.BandTopSec.get("sf0.1"))
-    assert(ph2 == Seq(true, true, true) && c2 && hd2)
+    val (ph2, c2, hd2, fe2) = Bench.selfLabel(totals, hotProbes, noAmbient, Bench.BandTopSec.get("sf0.1"))
+    assert(ph2 == Seq(true, true, true) && c2 && hd2 && fe2)
   }
 
   test("a quiet in-band run publishes host_degraded:false (VERDICT r16 #1)") {
     // r18 record run 1: totals 185.4/162.4/153.8, all probes at the quiet
     // floor — nothing flagged, floor not exceeded, labels all clean.
-    val (passHot, contended, hostDeg) = Bench.selfLabel(
+    val (passHot, contended, hostDeg, floorExc) = Bench.selfLabel(
       Seq(185.4, 162.4, 153.8), Seq(0.42, 0.41, 0.44),
       Seq(false, false, false), Some(200.0))
-    assert(passHot == Seq(false, false, false) && !contended && !hostDeg)
+    assert(passHot == Seq(false, false, false) && !contended && !hostDeg && !floorExc)
     // boundary is strict on the probe: exactly ratio× ref is KEPT
     assert(!Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio))
     assert(Bench.probeHot(Bench.ProbeRefSec * Bench.ProbeHotRatio + 0.001))
@@ -144,11 +153,11 @@ class BenchLineSpec extends AnyFunSuite {
     // totals stay within spread (localized steal inflating few queries —
     // the r11 signature). The probe flag feeds the replacement loop where
     // the totals test cannot.
-    val (passHot, contended, _) = Bench.selfLabel(
+    val (passHot, contended, hostDeg, _) = Bench.selfLabel(
       Seq(170.0, 175.0, 172.0), Seq(0.41, 0.89, 0.43),
       Seq(false, false, false), Some(200.0))
     assert(passHot == Seq(false, true, false))
-    assert(contended)
+    assert(contended && hostDeg)
   }
 
   test("the r17 drill's fair-share co-tenant regime self-labels via the load ceiling") {
@@ -165,11 +174,11 @@ class BenchLineSpec extends AnyFunSuite {
     val ceiling = Bench.ambientLoadCeiling(8) // the drill ran SPARK_GRAFT_CPUS=8
     val ambient = loadMaxes.map(_ > ceiling)
     assert(ambient == Seq(true, true, true))
-    val (passHot, contended, hostDeg) =
+    val (passHot, contended, hostDeg, floorExc) =
       Bench.selfLabel(totals, probes, ambient, None)
     assert(passHot == Seq(true, true, true) && contended)
     // guest co-tenancy is NOT host degradation — the flag stays precise
-    assert(!hostDeg)
+    assert(!hostDeg && !floorExc)
   }
 
   test("run 6's in-the-wild floor trip labels without any per-pass signal") {
@@ -177,13 +186,17 @@ class BenchLineSpec extends AnyFunSuite {
     // 1.14×), probes 0.327-0.401 (single-thread FASTER than quiet — higher
     // boost clock on idle cores), loads 1.6-10.6 (pure self-load) — all-core
     // throughput degradation that no per-pass flag can attribute. The
-    // committed floor is the only signal: best pass 221.7 > 200 ⇒ both
-    // run-level labels true, per-pass flags all false.
-    val (passHot, contended, hostDeg) = Bench.selfLabel(
+    // committed floor is the only signal: best pass 221.7 > 200 ⇒ contended
+    // + floor_exceeded, per-pass flags all false. host_degraded stays false
+    // (ADVICE r17): with the probes QUIET the bench has no evidence the host
+    // caused the breach — for run 6 it happened to be all-core capping, but
+    // the identical signature is what a real code regression produces, and
+    // mislabeling that as environmental would hide it from band evidence.
+    val (passHot, contended, hostDeg, floorExc) = Bench.selfLabel(
       Seq(252.791, 222.044, 221.735), Seq(0.358, 0.401, 0.327),
       Seq(false, false, false), Bench.BandTopSec.get("sf0.1"))
     assert(passHot == Seq(false, false, false))
-    assert(contended && hostDeg)
+    assert(contended && floorExc && !hostDeg)
   }
 
   test("the load ceiling never flags the bench's own self-load") {
@@ -236,8 +249,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.probeWork(1000L) == Bench.probeWork(1000L))
     assert(Bench.probeWork(1000L) != Bench.probeWork(1001L))
     assert(Bench.ProbeIters == 200000000L)
-    assert(Bench.ProbeRefSec == 0.41 && Bench.ProbeHotRatio == 1.5)
+    assert(Bench.ProbeRefSecDefault == 0.41 && Bench.ProbeHotRatio == 1.5)
     assert(Bench.BandTopSec == Map("sf0.1" -> 200.0))
+    // with no env override (the test JVM sets neither variable) the
+    // effective values resolve to the committed defaults (ADVICE r17)
+    assert(Bench.ProbeRefSec == Bench.ProbeRefSecDefault)
+    assert(Bench.bandTopFor("sf0.1").contains(200.0))
+    assert(Bench.bandTopFor("sf0.001").isEmpty)
   }
 
   test("produce-once inventory names only declared queries (VERDICT r15 #3)") {

@@ -920,9 +920,16 @@ def gate(workdir: str, gen=None, allowed=None, artifact="adv_gate_latest.json",
     # they are run OUTPUTS, not code — counting them made the second of two
     # back-to-back artifact refreshes (gate then fuzz) always record
     # dirty_worktree:true at a perfectly clean round close (VERDICT r13 #3).
+    # Shared exclusion rationale with Bench.anchorFields (ADVICE r17): each
+    # artifact family ignores the OTHER's run outputs too, else a
+    # just-finished bench (bench_full_<sf>.json overwritten in the worktree)
+    # flips the gate to dirty_worktree:true — the mirror image of the
+    # sibling-artifact false positive VERDICT r13 #3 fixed here for the
+    # gate's own files.
     dirty = subprocess.run(
         ["git", "status", "--porcelain", "--",
-         ".", ":!tools/adv_gate_latest.json", ":!tools/adv_fuzz_latest.json"],
+         ".", ":!tools/adv_gate_latest.json", ":!tools/adv_fuzz_latest.json",
+         ":!tools/bench_*.json"],
         cwd=repo, capture_output=True, text=True).stdout.strip() != ""
     # Content anchor (VERDICT r13 #3): the artifact is committed AFTER the
     # run it records, so `head` is by construction one commit behind the

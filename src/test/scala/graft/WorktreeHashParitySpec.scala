@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.worktreeSrcSha256]]'s walk semantics to the Python twin's
+  * (`tools/adversarial_corpus.py` `_worktree_src_sha256`: `os.walk` with
+  * `followlinks=False` over a netstring framing) — the two artifact
+  * families must produce byte-identical anchors for the same tree
+  * (ADVICE r16), including the symlink edge cases ADVICE r17 flagged: a
+  * dir-symlink under src/ must contribute nothing (os.walk lists it in
+  * `dirnames` and never descends), while a file-symlink reads as its
+  * target's bytes (os.walk classifies by following, `open()` follows).
+  * The parity test runs the REAL Python walk over the same temp tree.
+  */
+class WorktreeHashParitySpec extends AnyFunSuite {
+  import java.nio.file.{Files, Path}
+
+  /** A root with src/ containing nested dirs, framing-hostile bytes
+    * (NULs, ':' — the netstring must stay injective), and empty files.
+    */
+  private def mkTree(): Path = {
+    val root = Files.createTempDirectory("graft_wt_parity")
+    val src = root.resolve("src")
+    Files.createDirectories(src.resolve("a/b"))
+    Files.createDirectories(src.resolve("m"))
+    Files.write(src.resolve("a/one.txt"), "alpha\n".getBytes("UTF-8"))
+    Files.write(src.resolve("a/b/two.bin"), Array[Byte](0, 1, ':', 0, 57))
+    Files.write(src.resolve("m/empty.txt"), Array.empty[Byte])
+    Files.write(src.resolve("zed.txt"), "tail".getBytes("UTF-8"))
+    root
+  }
+
+  private def rmTree(root: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  private def trySymlink(link: Path, target: Path): Boolean =
+    try { Files.createSymbolicLink(link, target); true }
+    catch { case _: Exception => false } // FS without symlink support: skip
+
+  test("deterministic, content- and path-sensitive") {
+    val root = mkTree()
+    try {
+      val h1 = Bench.worktreeSrcSha256(root)
+      assert(h1 == Bench.worktreeSrcSha256(root), "same tree, same hash")
+      Files.write(root.resolve("src/a/one.txt"), "alphb\n".getBytes("UTF-8"))
+      val h2 = Bench.worktreeSrcSha256(root)
+      assert(h2 != h1, "a one-byte content change must move the anchor")
+      Files.move(root.resolve("src/a/one.txt"), root.resolve("src/a/one2.txt"))
+      assert(Bench.worktreeSrcSha256(root) != h2,
+        "a rename must move the anchor (path is framed with the bytes)")
+    } finally rmTree(root)
+  }
+
+  test("a dir-symlink under src contributes nothing (os.walk followlinks=False)") {
+    val root = mkTree()
+    try {
+      val base = Bench.worktreeSrcSha256(root)
+      // an out-of-src target dir with content that must NOT leak in
+      val target = Files.createDirectories(root.resolve("outside"))
+      Files.write(target.resolve("secret.txt"), "leak".getBytes("UTF-8"))
+      assume(trySymlink(root.resolve("src/linkdir"), target))
+      assert(Bench.worktreeSrcSha256(root) == base,
+        "a dir-symlink classifies as a dir (followed) but is never recursed")
+    } finally rmTree(root)
+  }
+
+  test("a file-symlink reads as its target bytes (os.walk classifies by follow)") {
+    val root = mkTree()
+    try {
+      val h0 = Bench.worktreeSrcSha256(root)
+      assume(trySymlink(root.resolve("src/alias.txt"), root.resolve("src/zed.txt")))
+      val h1 = Bench.worktreeSrcSha256(root)
+      assert(h1 != h0, "the symlink contributes its name + target bytes")
+      // replacing the symlink with a real copy of the same bytes at the
+      // same path hashes identically — exactly what open() on a symlink
+      // produces in the Python twin
+      Files.delete(root.resolve("src/alias.txt"))
+      Files.write(root.resolve("src/alias.txt"), "tail".getBytes("UTF-8"))
+      assert(Bench.worktreeSrcSha256(root) == h1)
+    } finally rmTree(root)
+  }
+
+  test("byte-identical to the Python os.walk netstring twin on the same tree") {
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => Files.isExecutable(java.nio.file.Paths.get(p)))
+    assume(python.nonEmpty, "python3 not on this box")
+    val root = mkTree()
+    try {
+      // symlink cases included when the FS allows them
+      val t = Files.createDirectories(root.resolve("outside"))
+      Files.write(t.resolve("secret.txt"), "leak".getBytes("UTF-8"))
+      trySymlink(root.resolve("src/linkdir"), t)
+      trySymlink(root.resolve("src/alias.txt"), root.resolve("src/zed.txt"))
+      // the twin's exact logic (adversarial_corpus.py _worktree_src_sha256)
+      val script =
+        """import hashlib, os, sys
+          |repo = sys.argv[1]
+          |h = hashlib.sha256()
+          |for root, dirs, files in os.walk(os.path.join(repo, "src")):
+          |    dirs.sort()
+          |    for fn in sorted(files):
+          |        p = os.path.join(root, fn)
+          |        rel = os.path.relpath(p, repo).encode()
+          |        with open(p, "rb") as fh:
+          |            data = fh.read()
+          |        h.update(str(len(rel)).encode() + b":" + rel)
+          |        h.update(str(len(data)).encode() + b":" + data)
+          |print(h.hexdigest())
+          |""".stripMargin
+      val pb = new ProcessBuilder(python.get, "-c", script, root.toString)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+      assert(proc.waitFor() == 0, "python twin failed: " +
+        new String(proc.getErrorStream.readAllBytes(), "UTF-8").take(300))
+      assert(Bench.worktreeSrcSha256(root) == out,
+        "Scala and Python walks must produce byte-identical anchors")
+    } finally rmTree(root)
+  }
+}

@@ -14,15 +14,22 @@ object Bench {
     // numbers at this setting); the old default of 4 made an env-less harness
     // run measure a quarter-width cluster and miss the recorded baseline
     // by 2-3× (r2 verdict, "what's wrong" #2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim
     // Numeric knobs (shuffle partitions, the ambient-load ceiling, the JSON
     // `cpus` field) need an Int; `local[*]` is a legal master string, so a
     // non-integer env value must degrade to the machine's core count instead
     // of crashing the bench at startup before any diagnostics (ADVICE r17).
-    val cpusInt = cpus.trim.toIntOption
+    val cpusInt = cpus.toIntOption
       .getOrElse(Runtime.getRuntime.availableProcessors)
+    // The master string gets the same degradation (ADVICE r18): only a
+    // positive Int or `*` is interpolated; anything else (a typo like
+    // "3 2") would crash SparkSession startup, so it falls back to
+    // `local[*]` — consistent with cpusInt's fallback above.
+    val master =
+      if (cpus == "*" || cpus.toIntOption.exists(_ > 0)) s"local[$cpus]"
+      else "local[*]"
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpusInt.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -172,9 +179,15 @@ object Bench {
     // class slower than the calibration box EVERY run would land here,
     // forcing the 6-pass cap (~2× bench cost) and permanent host_degraded
     // labels. Say so once, with the one-command fix.
+    // Label the reference honestly (ADVICE r18): when SPARK_GRAFT_PROBE_REF
+    // overrides the committed default, calling it the "committed ref" would
+    // misattribute the trip to the repo's constant.
+    val refLabel =
+      if (ProbeRefSec == ProbeRefSecDefault) f"committed ref $ProbeRefSec"
+      else f"overridden ref $ProbeRefSec (committed default $ProbeRefSecDefault)"
     if (probeHotFlags.nonEmpty && probeHotFlags.forall(identity))
       System.err.println(f"[bench] ALL ${probeHotFlags.size} calibration probes read hot " +
-        f"(min ${probeSecs.min}%.3f s vs committed ref $ProbeRefSec; hot at >${ProbeRefSec * ProbeHotRatio}%.3f): " +
+        f"(min ${probeSecs.min}%.3f s vs $refLabel; hot at >${ProbeRefSec * ProbeHotRatio}%.3f): " +
         "if this host is genuinely quiet, the committed reference no longer matches the " +
         "hardware — measure the quiet floor with `sbt \"runMain graft.ProbeCalibrate\"` and " +
         "override via SPARK_GRAFT_PROBE_REF (or commit the new floor; protocol in BASELINE.md).")
@@ -510,7 +523,15 @@ object Bench {
 
   private[graft] def worktreeSrcSha256(repoRoot: java.nio.file.Path): String = {
     import java.nio.file.Files
+    import scala.math.Ordering.Implicits._
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    // Sort keys are Unicode CODE POINTS, mirroring the Python twin's str
+    // ordering exactly (ADVICE r18): Java String.compareTo compares UTF-16
+    // code units, which orders U+E000–U+FFFF names AFTER supplementary-plane
+    // names while Python orders them before. Identical on ASCII names (the
+    // entire committed src tree), so no committed hash moves.
+    def cpKey(p: java.nio.file.Path): Seq[Int] =
+      p.getFileName.toString.codePoints().toArray.toSeq
     def walk(dir: java.nio.file.Path): Unit = {
       val entries = {
         val s = Files.list(dir)
@@ -526,13 +547,13 @@ object Bench {
       // dir-symlink into `files` where readAllBytes throws, and a
       // follow-everywhere walk would recurse where Python does not.
       val (dirs, files) = entries.partition(Files.isDirectory(_))
-      files.sortBy(_.getFileName.toString).foreach { f =>
+      files.sortBy(cpKey).foreach { f =>
         val rel = repoRoot.relativize(f).toString.getBytes("UTF-8")
         val data = Files.readAllBytes(f)
         md.update(s"${rel.length}:".getBytes("UTF-8")); md.update(rel)
         md.update(s"${data.length}:".getBytes("UTF-8")); md.update(data)
       }
-      dirs.sortBy(_.getFileName.toString)
+      dirs.sortBy(cpKey)
         .filterNot(Files.isSymbolicLink(_)).foreach(walk)
     }
     walk(repoRoot.resolve("src"))

@@ -251,8 +251,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.ProbeIters == 200000000L)
     assert(Bench.ProbeRefSecDefault == 0.41 && Bench.ProbeHotRatio == 1.5)
     assert(Bench.BandTopSec == Map("sf0.1" -> 200.0))
-    // with no env override (the test JVM sets neither variable) the
-    // effective values resolve to the committed defaults (ADVICE r17)
+    // ProbeRefSec/BandTopSec read their env overrides at object init, so a
+    // suite run with either exported would fail the default-resolution
+    // assertions below for an environmental (not code) reason — name that
+    // cause explicitly instead of letting it surface as a confusing
+    // constant mismatch (ADVICE r18)
+    for (v <- Seq("SPARK_GRAFT_PROBE_REF", "SPARK_GRAFT_BAND_TOP"))
+      assert(sys.env.get(v).isEmpty,
+        s"$v is exported in this JVM's environment — unset it before running " +
+          "the suite; the committed-default assertions in this test are only " +
+          "meaningful without per-run overrides")
+    // with no env override (just asserted) the effective values resolve to
+    // the committed defaults (ADVICE r17)
     assert(Bench.ProbeRefSec == Bench.ProbeRefSecDefault)
     assert(Bench.bandTopFor("sf0.1").contains(200.0))
     assert(Bench.bandTopFor("sf0.001").isEmpty)

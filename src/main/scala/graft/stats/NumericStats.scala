@@ -137,10 +137,19 @@ object NumericStats {
     val spark = df.sparkSession
     import spark.implicits._
     val nCols = cols.size
-    val sorted = sortedLong(df, cols)
-      .as[(Int, Double)]
-      .rdd
+    // Persist the DATAFRAME (Tungsten columnar cache: compressed primitive
+    // batches, ~a tenth of the bytes) and let each pass re-derive its row
+    // view from it, instead of persisting the post-conversion RDD of boxed
+    // tuples. The boxed form measured super-linear at the x50 tile (r19
+    // scale attribution: ~50-80 B/row × rows×|cols| blows the executor
+    // storage pool, so the cache half-spills through Java serialization
+    // and the two passes thrash GC; BASELINE.md "x50 octave" section).
+    // Pass-to-pass determinism is unchanged: both passes scan the SAME
+    // materialized cache partitions in stored order, so the pid-keyed
+    // offsets from pass 1 address pass 2's iteration exactly as before.
+    val sortedDf = sortedLong(df, cols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = sortedDf.as[(Int, Double)].rdd
     val rows =
       try {
         // pass 1: per-(partition, column) value counts — P×|cols| longs
@@ -194,7 +203,7 @@ object NumericStats {
             }
           (c, q, value)
         }
-      } finally sorted.unpersist(blocking = false)
+      } finally sortedDf.unpersist(blocking = false)
     rows
       .toDF("column_name", "q_r", "value_raw")
       .selectExpr("column_name", "q_r", "round(value_raw, 6) AS value_r")
@@ -245,10 +254,11 @@ object NumericStats {
       .collect()
       .sorted
       .toSeq
-    val sorted = groupSorted(df, groupCol, cols)
-      .as[(String, Int, Double)]
-      .rdd
+    // columnar-cache-the-DataFrame, row-view per pass — same rationale and
+    // same pass-to-pass partition identity as [[quantiles]] (r19)
+    val sortedDf = groupSorted(df, groupCol, cols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = sortedDf.as[(String, Int, Double)].rdd
     val rows =
       try {
         // pass 1: per-(partition, group, column) value counts
@@ -305,7 +315,7 @@ object NumericStats {
             }
           (g, c, q, value)
         }
-      } finally sorted.unpersist(blocking = false)
+      } finally sortedDf.unpersist(blocking = false)
     rows
       .toDF("grp", "column_name", "q_r", "value_raw")
       .selectExpr("grp", "column_name", "q_r", "round(value_raw, 6) AS value_r")

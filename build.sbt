@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The hash-parity spec's non-BMP filename case needs a UTF-8 filesystem
+// name encoding in the forked test JVM: the harness env exports no LANG,
+// so the JVM's sun.jnu.encoding falls back to ASCII and rejects any
+// non-ASCII path outright (the spec also assume-skips if the locale is
+// missing, so this is an enabler, not a hard dependency).
+Test / envVars += ("LC_ALL" -> "C.utf8")
 // Forked run/runMain stdout passes through VERBATIM instead of being
 // re-logged line-by-line with an `[info] ` prefix: the driver harness
 // machine-parses Bench's one-line JSON from the captured tail, and a log

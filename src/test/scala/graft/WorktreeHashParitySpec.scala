@@ -84,18 +84,13 @@ class WorktreeHashParitySpec extends AnyFunSuite {
     } finally rmTree(root)
   }
 
-  test("byte-identical to the Python os.walk netstring twin on the same tree") {
+  /** Run the twin's exact logic (adversarial_corpus.py
+    * `_worktree_src_sha256`) over `root`; None when python3 is absent.
+    */
+  private def pythonTwinHash(root: Path): Option[String] = {
     val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => Files.isExecutable(java.nio.file.Paths.get(p)))
-    assume(python.nonEmpty, "python3 not on this box")
-    val root = mkTree()
-    try {
-      // symlink cases included when the FS allows them
-      val t = Files.createDirectories(root.resolve("outside"))
-      Files.write(t.resolve("secret.txt"), "leak".getBytes("UTF-8"))
-      trySymlink(root.resolve("src/linkdir"), t)
-      trySymlink(root.resolve("src/alias.txt"), root.resolve("src/zed.txt"))
-      // the twin's exact logic (adversarial_corpus.py _worktree_src_sha256)
+    python.map { py =>
       val script =
         """import hashlib, os, sys
           |repo = sys.argv[1]
@@ -111,13 +106,60 @@ class WorktreeHashParitySpec extends AnyFunSuite {
           |        h.update(str(len(data)).encode() + b":" + data)
           |print(h.hexdigest())
           |""".stripMargin
-      val pb = new ProcessBuilder(python.get, "-c", script, root.toString)
+      val pb = new ProcessBuilder(py, "-c", script, root.toString)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
       assert(proc.waitFor() == 0, "python twin failed: " +
         new String(proc.getErrorStream.readAllBytes(), "UTF-8").take(300))
-      assert(Bench.worktreeSrcSha256(root) == out,
+      out
+    }
+  }
+
+  test("byte-identical to the Python os.walk netstring twin on the same tree") {
+    val root = mkTree()
+    try {
+      // symlink cases included when the FS allows them
+      val t = Files.createDirectories(root.resolve("outside"))
+      Files.write(t.resolve("secret.txt"), "leak".getBytes("UTF-8"))
+      trySymlink(root.resolve("src/linkdir"), t)
+      trySymlink(root.resolve("src/alias.txt"), root.resolve("src/zed.txt"))
+      val twin = pythonTwinHash(root)
+      assume(twin.nonEmpty, "python3 not on this box")
+      assert(Bench.worktreeSrcSha256(root) == twin.get,
         "Scala and Python walks must produce byte-identical anchors")
+    } finally rmTree(root)
+  }
+
+  test("non-BMP names order by code points like the Python twin (ADVICE r18)") {
+    // U+E000 (one UTF-16 unit, 0xE000) vs U+10000 (surrogate pair starting
+    // 0xD800): Java's String order puts the supplementary name FIRST while
+    // Python's code-point order puts U+E000 first — the one regime where
+    // the two walks could diverge, exercised with real files so the
+    // code-point sort in worktreeSrcSha256 is proven, not assumed
+    val root = mkTree()
+    try {
+      val src  = root.resolve("src")
+      val pua  = "\uE000.txt"                                   // one UTF-16 unit
+      val supp = new String(Character.toChars(0x10000)) + ".txt" // surrogate pair
+      // a JVM without a UTF-8 sun.jnu.encoding (no LANG in the env and no
+      // build-injected LC_ALL) cannot even FORM such a path \u2014 skip, named
+      val canEncode =
+        try { src.resolve(pua); true }
+        catch { case _: java.nio.file.InvalidPathException => false }
+      assume(canEncode, "filesystem-name encoding cannot represent non-ASCII names on this JVM")
+      Files.write(src.resolve(pua), "private-use".getBytes("UTF-8"))
+      Files.write(src.resolve(supp), "supplementary".getBytes("UTF-8"))
+      // same pair as DIRECTORY names (the walk sorts dirs independently)
+      val puaDir  = "\uE001dir"
+      val suppDir = new String(Character.toChars(0x10001)) + "dir"
+      Files.createDirectories(src.resolve(puaDir))
+      Files.createDirectories(src.resolve(suppDir))
+      Files.write(src.resolve(puaDir).resolve("x.txt"), "a".getBytes("UTF-8"))
+      Files.write(src.resolve(suppDir).resolve("y.txt"), "b".getBytes("UTF-8"))
+      val twin = pythonTwinHash(root)
+      assume(twin.nonEmpty, "python3 not on this box")
+      assert(Bench.worktreeSrcSha256(root) == twin.get,
+        "mixed BMP-private-use / supplementary-plane names must hash identically cross-language")
     } finally rmTree(root)
   }
 }

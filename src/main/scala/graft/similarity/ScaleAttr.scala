@@ -82,16 +82,23 @@ object ScaleAttr {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One full measurement sweep over a tile dir: (counts, seconds). */
-  private def measure(spark: SparkSession, dir: String): (Seq[(String, Long)], Seq[(String, Double)]) = {
+  /** One full measurement sweep over a tile dir: (counts, seconds).
+    * `nQueries` widens the query batch past the declared default of 3 —
+    * the IVF assignment scan is query-independent while full-ADC work is
+    * |Q|-linear, so sweeping |Q| measures WHERE the prune's saving
+    * overtakes the index-build term (the amortization claim in
+    * BASELINE.md's attribution section).
+    */
+  private def measure(spark: SparkSession, dir: String, nQueries: Int): (Seq[(String, Long)], Seq[(String, Double)]) = {
+    val qids = (0L until nQueries.toLong).toSeq
     val emb = graft.Tables.load(spark, dir, "embeddings")
     val (cents, tTrainIvf) = timed(
       SimilarityOps.canonicalizeCentroids(KMeans.trainCentroids(emb)))
     val (cbs, tTrainPq) = timed(Pq.trainCodebooks(emb))
     val nVec            = SimilarityOps.baseVectors(emb).count()
-    val (nCand, tCand)  = timed(ivfCandidates(emb, cents).count())
-    val (_, tIvfpq)     = timed(Pq.ivfPqTopK(emb, cents, cbs).count())
-    val (_, tAdcFull)   = timed(Pq.adcTopK(emb, cbs).count())
+    val (nCand, tCand)  = timed(ivfCandidates(emb, cents, qids).count())
+    val (_, tIvfpq)     = timed(Pq.ivfPqTopK(emb, cents, cbs, qids).count())
+    val (_, tAdcFull)   = timed(Pq.adcTopK(emb, cbs, qids).count())
 
     val li   = graft.Tables.load(spark, dir, "lineitem")
     val cols = graft.SparkEntry.madCols
@@ -110,7 +117,8 @@ object ScaleAttr {
         Seq(0.25, 0.5, 0.75, 0.95)).count())
 
     val counts = Seq(
-      "n_vectors" -> nVec, "candidates" -> nCand, "rows_lineitem" -> nLi)
+      "n_vectors" -> nVec, "n_queries" -> nQueries.toLong,
+      "candidates" -> nCand, "rows_lineitem" -> nLi)
     val secs = Seq(
       "train_ivf" -> tTrainIvf, "train_pq" -> tTrainPq,
       "ivf_candidates" -> tCand, "ivfpq_topk" -> tIvfpq,
@@ -121,8 +129,11 @@ object ScaleAttr {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: ScaleAttr <tileDir>")
-    val dir  = args(0)
+    require(args.length == 1 || args.length == 2,
+      "usage: ScaleAttr <tileDir> [nQueries]")
+    val dir = args(0)
+    val nQ  = args.lift(1).map(_.toInt).getOrElse(3)
+    require(nQ > 0, "nQueries must be positive")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,10 +154,10 @@ object ScaleAttr {
     }
 
     // JIT warm-up: the IDENTICAL sweep on the smallest SF, result discarded
-    measure(spark, warmDir)
+    measure(spark, warmDir, nQ)
 
     val loadBefore       = graft.Bench.loadAvg()
-    val (counts, secs)   = measure(spark, dir)
+    val (counts, secs)   = measure(spark, dir, nQ)
     val loadAfter        = graft.Bench.loadAvg()
     val countJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val secJson = secs

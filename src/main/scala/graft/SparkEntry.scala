@@ -354,9 +354,11 @@ object SparkEntry {
       "dupgrams_documents" -> ((s: SparkSession, d: String) =>
         graft.dedup.DedupOps.dupShingleStats(shinglePostings(s, d))),
       // banding quality: precision/recall of the LSH candidates against the
-      // exact-Jaccard truth — the text-side twin of ivf_recall (r10)
+      // exact-Jaccard truth — the text-side twin of ivf_recall (r10); the
+      // truth tier shares the one persisted shingle-postings exchange with
+      // the Jaccard twins (r19 — same VERDICT r5 #3 rationale)
       "minhash_recall_documents" -> ((s: SparkSession, d: String) =>
-        graft.dedup.DedupOps.minhashRecall(docs(s, d))),
+        graft.dedup.DedupOps.minhashRecall(docs(s, d), postings = Some(shinglePostings(s, d)))),
       // ExactSubstr span dedup: duplicated k-token spans keep only their
       // first corpus occurrence; documents re-stitched from survivors (r11h)
       "spandedup_documents" -> ((s: SparkSession, d: String) =>

@@ -108,7 +108,12 @@ object DedupClusters {
           .select(col("dst").as("src"), col("m").as("dst"))
           .union(mS.select(col("src"), col("m").as("dst")))
       ).localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // Set equality with ONE exceptAll instead of two (r19): both sides are
+      // canon() outputs — DISTINCT edge sets — so next\e = ∅ means next ⊆ e,
+      // and equal cardinalities then force e = next. The count over the
+      // just-checkpointed `next` is a cached-partition scan, far cheaper
+      // than the second exceptAll's union+aggregate pass per round.
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       e = next
       i += 1
     }

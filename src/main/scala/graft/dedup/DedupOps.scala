@@ -629,16 +629,33 @@ object DedupOps {
     * crossJoin convention). Counts are exact longs; ratios are rounded
     * quotients of exact longs.
     */
-  def minhashRecall(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val truth = jaccardPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val cand  = minhashCandidatePairs(docs).select(col("doc_a"), col("doc_b"))
-    val nHit   = truth.join(cand, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_hit"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val nCand  = cand.agg(count(lit(1)).as("n_cand"))
-    nTruth
-      .crossJoin(broadcast(nCand))
-      .crossJoin(broadcast(nHit))
+  def minhashRecall(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      postings: Option[DataFrame] = None
+  ): DataFrame = {
+    // the exact-Jaccard truth tier derives from a caller-shared postings
+    // frame when one exists (r19 — the jaccard-twin pattern, VERDICT r5 #3:
+    // the shingle exchange is the dominant stage and identical across the
+    // Jaccard-tier queries; recomputing it per query measured ~1 s of pure
+    // duplicate work per bench pass)
+    val truth = postings.map(jaccardPairsFromPostings(_, threshold))
+      .getOrElse(jaccardPairs(docs, threshold))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashCandidatePairs(docs).select(col("doc_a"), col("doc_b"))
+    // ONE full-outer join + ONE aggregate produce all three counts (r19):
+    // the former three separate aggregates referenced `truth` and `cand`
+    // twice each, and Spark executes duplicated subtrees independently — the
+    // whole shingle/signature pipeline ran twice per side. Pair keys are
+    // unique on both sides (groupBy/distinct outputs), so full-outer rows
+    // are 1:1 and the counts are identical by construction.
+    val joined = truth.withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+    joined
+      .agg(
+        count(col("t")).as("n_truth"),
+        count(col("c")).as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1))).as("n_hit"))
       .select(
         col("n_truth"),
         col("n_cand"),

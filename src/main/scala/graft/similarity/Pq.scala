@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: training is per-subspace distributed Lloyd's over a
   * checkpointed narrow projection (per round: one scan + a k×subdim
   * aggregate to the driver — the [[KMeans]] discipline, L2 instead of
-  * cosine). Encoding is the same map-side-combinable argmax/argmin aggregate
-  * as [[SimilarityOps.ivfAssignTrained]]: the ×(M·K) expansion collapses in
-  * the partial aggregate, nothing wide crosses an exchange. ADC search joins
-  * the narrow (vec_id, m, code) relation against a broadcast (qid, m, code,
-  * d²) lookup table and folds the M per-subspace terms in fixed m-order —
-  * the float sum is ORDERED, so the declared queries hash-match the DuckDB
-  * twin (same IEEE ops in the same sequence; the cross-engine convention
-  * BASELINE.md records for float aggregation).
+  * cosine, distances through the native [[L2Sq]] kernel). Encoding is an
+  * IN-ROW argmin over the literal codebooks (r19 — one whole-stage-codegen
+  * projection per vector; the former broadcast-join ×(M·K) expansion and
+  * its collapsing aggregate, with that aggregate's exchange, are gone). ADC
+  * search looks the M per-subspace terms up from a per-query nested-array
+  * table carried on the broadcast probe rows and folds them in fixed
+  * m-order — the float sum is ORDERED, so the declared queries hash-match
+  * the DuckDB twin (same IEEE ops in the same sequence; the cross-engine
+  * convention BASELINE.md records for float aggregation).
   *
   * Determinism: farthest-point seeding over a bounded md5-ordered sample,
   * deterministic tie-breaks (lowest id), fixed rounds; trained codebooks are
@@ -138,7 +139,7 @@ object Pq {
         .join(broadcast(cents), Seq("mi"))
         .select(
           col("vec_id"), col("mi"), col("sv"),
-          struct((-d2(col("sv"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
+          struct((-L2Sq(col("sv"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
         .groupBy(col("vec_id"), col("mi"))
         .agg(first(col("sv")).as("sv"), max(col("sc")).as("best"))
         .select(col("mi"), (-col("best.negc")).cast("int").as("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -155,15 +156,65 @@ object Pq {
     codebooks.map(SimilarityOps.canonicalizeCentroids)
   }
 
-  /** Squared L2 as an ORDERED fold — zip_with evaluates positionally and
-    * `aggregate` folds left-to-right, so the oracle's per-index comprehension
-    * + list_reduce performs the identical IEEE operation sequence.
+  /** The per-code `struct(-d², -code)` score columns for one subvector row
+    * against one subspace's literal codebook — the in-row form of the former
+    * broadcast-join ×K expansion (r19; the [[SimilarityOps.cellScoreStructs]]
+    * argument applied to the PQ argmin: identical IEEE distance per pair,
+    * identical (nd, negc) = (-d², -code) argmax ordering, zero exchanges).
     */
-  private def d2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, z) => acc + z)
+  private def codeScoreStructs(sub: Column, codebook: Array[Array[Double]]): Seq[Column] =
+    codebook.zipWithIndex.toSeq.map { case (c, code) =>
+      val cv = array(c.toIndexedSeq.map(lit): _*)
+      struct((-L2Sq(sub, cv)).as("nd"), lit(-code.toLong).as("negc"))
+    }
+
+  /** In-row argmin over [[codeScoreStructs]] — `greatest` compares structs
+    * with the same ordering the former `max(struct)` aggregate used
+    * (smallest d², lowest code on ties).
+    */
+  private def bestCode(sub: Column, codebook: Array[Array[Double]]): Column = {
+    val ss = codeScoreStructs(sub, codebook)
+    if (ss.size == 1) ss.head else greatest(ss: _*)
+  }
+
+  /** The M per-subspace best-code structs for one full-vector row: slice m's
+    * subvector out of `v` and argmin it against subspace m's literal
+    * codebook, all inside the row.
+    */
+  private def bestCodeStructsForVector(
+      v: Column, codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sd = codebooks.head.head.length
+    codebooks.zipWithIndex.toSeq.map { case (cb, mi) =>
+      bestCode(slice(v, lit(mi * sd + 1), lit(sd)), cb)
+    }
+  }
+
+  /** The per-query ADC lookup table as ONE nested in-row array —
+    * qd2s[m+1][code+1] = d²(subvector m of this row's vector, codebook m's
+    * entry `code`) — every distance against literal codebook entries, so the
+    * whole |Q|·M·K table is a projection over the (tiny) query slice instead
+    * of the former subsDF ⋈ broadcast(cents) relation. Values are the
+    * identical IEEE folds the former `d2(sub, cv)` rows carried.
+    */
+  private def qd2sExpr(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val sd = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(v, lit(mi * sd + 1), lit(sd))
+      array(cb.map(c => L2Sq(sub, array(c.toIndexedSeq.map(lit): _*))): _*)
+    }: _*)
+  }
+
+  /** The ADC distance of one candidate row: M table lookups
+    * (qd2s[m][codes[m]]) summed in fixed m-order — the identical
+    * left-associated double sequence the former
+    * `aggregate(transform(sorted terms, …), 0.0, _+_)` fold performed (the
+    * leading 0.0 + t₀ is an IEEE identity on the non-negative d² terms).
+    */
+  private def adcExpr(qd2s: Column, codes: Column, m: Int): Column = {
+    val terms = (0 until m).map(mi =>
+      element_at(element_at(qd2s, mi + 1), element_at(codes, mi + 1).cast("int") + 1))
+    round(sqrt(terms.reduceLeft(_ + _)), 6)
+  }
 
   // --- declared queries -----------------------------------------------------
 
@@ -194,40 +245,22 @@ object Pq {
        |ORDER BY m, code, pos""".stripMargin
   }
 
-  /** The (m, code, cv) centroid relation both encode and search broadcast. */
-  private def centsDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    codebooks.zipWithIndex.flatMap { case (cb, m) =>
-      cb.zipWithIndex.map { case (c, code) => (m.toLong, code.toLong, c.toSeq) }
-    }.toSeq.toDF("m", "c_code", "cv")
-  }
-
-  /** The (vec_id, m, sub) narrow subvector relation (posexplode — one row
-    * per subspace, subdim doubles wide).
-    */
-  private def subsDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val mCount = codebooks.length
-    val sd     = codebooks.head.head.length
-    val v      = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    graft.Tables.widen(emb)
-      .select(col("vec_id"),
-        posexplode(array((0 until mCount).map(i => slice(v, lit(i * sd + 1), lit(sd))): _*)).as(Seq("m", "sub")))
-      .select(col("vec_id"), col("m").cast("long").as("m"), col("sub"))
-  }
-
   /** PQ encoding, declared: (vec_id, m, code, dist_r) — each subvector's
-    * nearest codebook entry and the (rounded) quantization error. One narrow
-    * exploded scan, broadcast cents, argmin collapsing in partial aggregates.
+    * nearest codebook entry and the (rounded) quantization error. Since r19
+    * the argmin is IN-ROW ([[bestCode]] over literal codebooks): one
+    * projection computes every subspace's best struct, one posexplode emits
+    * the (m, best) rows — no join, no aggregate, NO exchange where the
+    * former shape exploded ×(M·K) through a broadcast join and collapsed in
+    * a hash aggregate whose exchange carried M·|vectors| rows. Values are
+    * bit-identical (same IEEE d² folds, same (nd, negc) ordering).
     */
   def codesDF(emb: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    subsDF(emb, codebooks)
-      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        struct((-d2(col("sub"), col("cv"))).as("nd"), (-col("c_code")).as("negc")).as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), col("m"), (-col("best.negc")).as("code"),
+    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    graft.Tables.widen(emb)
+      .select(col("vec_id"),
+        posexplode(array(bestCodeStructsForVector(v, codebooks): _*)).as(Seq("m", "best")))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        (-col("best.negc")).as("code"),
         round(sqrt(-col("best.nd")), 6).as("dist_r"))
       .orderBy("vec_id", "m")
   }
@@ -286,21 +319,25 @@ object Pq {
       k: Int = 10
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = codesDF(emb, codebooks).select(col("vec_id"), col("m"), col("code"))
-    val table = subsDF(emb, codebooks)
+    val mCount = codebooks.length
+    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    // corpus side: the whole code VECTOR per row, in-row (r19) — the former
+    // per-(vec, m) code relation re-joined the broadcast (m, code) table and
+    // re-aggregated by (qid, vec_id) just to fold M terms; here the M codes
+    // travel as one array column and the fold is [[adcExpr]]'s flat
+    // fixed-m-order sum, so the ×M expansion, the join, and the aggregate's
+    // exchange all disappear (guide §2.4/§4)
+    val codes = graft.Tables.widen(emb).select(col("vec_id"),
+      array(bestCodeStructsForVector(v, codebooks)
+        .map(b => -b.getField("negc")): _*).as("codes"))
+    // query side: the |Q|·M·K lookup table as one nested array per query row
+    val table = graft.Tables.widen(emb)
       .where(col("vec_id").isInCollection(queryIds))
-      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("c_code").as("code"),
-        d2(col("sub"), col("cv")).as("qd2"))
-    val adc = codes
-      .join(broadcast(table), Seq("m", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("terms"))
-      .withColumn("adc_r",
-        round(sqrt(expr("aggregate(transform(terms, t -> t.qd2), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+      .select(col("vec_id").as("qid"), qd2sExpr(v, codebooks).as("qd2s"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_r"), col("vec_id"))
-    adc
-      .select(col("qid"), col("vec_id"), col("adc_r"))
+    codes
+      .crossJoin(broadcast(table))
+      .select(col("qid"), col("vec_id"), adcExpr(col("qd2s"), col("codes"), mCount).as("adc_r"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .drop("rn")
@@ -340,54 +377,46 @@ object Pq {
     // the shared zero/NULL-norm exclusion — both the cell argmax and the
     // exact rerank divide by √n2
     val base = SimilarityOps.baseVectors(emb)
-    val cents = SimilarityOps.centroidDF(emb, centroids)
-    val csim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
-    val scored = base
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"),
-        struct(csim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
-    // one cell per vector: the map-side argmax (narrow — v dropped here)
-    val cells = scored
-      .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), (-col("best.negc")).as("centroid_id"))
-    // nprobe cells + exact query vector per query id (tiny slice)
-    val probes = scored
+    val mCount = codebooks.length
+    // Corpus side, ONE projection (r19): the cell-assignment argmax AND the
+    // PQ code vector both in-row over literal centroids/codebooks — where
+    // the former plan built them as two separate broadcast-join + aggregate
+    // subtrees over two more scans of the table. Candidates then attach by
+    // ONE map-side broadcast join, and the ADC distance is [[adcExpr]]'s
+    // flat lookup sum in the same projection — so between the scan and the
+    // shortlist window NOTHING crosses an exchange at all (the former path
+    // exchanged the cells aggregate, the codes aggregate, the
+    // candidates⋈codes join, and the (qid, vec_id) ADC aggregate).
+    val enriched = base.select(
+      col("vec_id"),
+      (-SimilarityOps.bestCell(col("v"), col("n2"), centroids).getField("negc")).as("centroid_id"),
+      array(bestCodeStructsForVector(col("v"), codebooks)
+        .map(b => -b.getField("negc")): _*).as("codes"))
+    // query slice (tiny): exact vector, sorted cell scores, ADC lookup table
+    val qslice = base
       .where(col("vec_id").isInCollection(queryIds))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("qv"),
-        first(col("n2")).as("qn2"),
-        slice(sort_array(collect_list(col("sc")), asc = false), 1, nprobe).as("top"))
-      .select(col("vec_id").as("qid"), col("qv"), col("qn2"), explode(col("top")).as("sc"))
-      .select(col("qid"), col("qv"), col("qn2"), (-col("sc.negc")).as("centroid_id"))
-    val candidates = cells
-      .join(broadcast(probes.select(col("qid"), col("centroid_id"))), Seq("centroid_id"))
-      .select(col("qid"), col("vec_id"))
-    // ADC over candidates only: narrow codes ⋈ broadcast query lookup table
-    val codes = codesDF(emb, codebooks).select(col("vec_id"), col("m"), col("code"))
-    val table = subsDF(emb, codebooks)
-      .where(col("vec_id").isInCollection(queryIds))
-      .join(broadcast(centsDF(emb, codebooks)), Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("c_code").as("code"),
-        d2(col("sub"), col("cv")).as("qd2"))
-    val adc = candidates
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(table), Seq("qid", "m", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("qd2")))).as("terms"))
-      .withColumn("adc_r",
-        round(sqrt(expr("aggregate(transform(terms, t -> t.qd2), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        sort_array(array(
+          SimilarityOps.cellScoreStructs(col("v"), col("n2"), centroids): _*), asc = false).as("scs"),
+        qd2sExpr(col("v"), codebooks).as("qd2s"))
+    // nprobe probe rows per query, each carrying the query's lookup table
+    // (M·K doubles — broadcast-tiny) so the ADC needs no further join
+    val probes = qslice
+      .select(col("qid"), explode(slice(col("scs"), 1, nprobe)).as("sc"), col("qd2s"))
+      .select(col("qid"), (-col("sc.negc")).as("centroid_id"), col("qd2s"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_r"), col("vec_id"))
-    val shortlist = adc
-      .select(col("qid"), col("vec_id"), col("adc_r"))
+    val shortlist = enriched
+      .join(broadcast(probes), Seq("centroid_id"))
+      .select(col("qid"), col("vec_id"), adcExpr(col("qd2s"), col("codes"), mCount).as("adc_r"))
       .withColumn("srn", row_number().over(wAdc))
       .where(col("srn") <= rerank)
       .drop("srn")
-    // exact rerank of the bounded shortlist
-    val q = probes.select(col("qid"), col("qv"), col("qn2")).distinct()
+    // exact rerank of the bounded shortlist: the shortlist (≤ rerank·|Q|
+    // rows) is explicitly broadcast against the base scan, so the rerank
+    // join shuffles nothing either
+    val q = qslice.select(col("qid"), col("qv"), col("qn2"))
     val wSim = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    shortlist
+    broadcast(shortlist)
       .join(base, Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("sim", DotProduct(col("v"), col("qv")) / (sqrt(col("qn2")) * sqrt(col("n2"))))

@@ -271,27 +271,60 @@ object SimilarityOps {
        |ORDER BY centroid_id, pos""".stripMargin
   }
 
-  /** [[ivfAssign]] against explicit (trained) centroids: one broadcast of
-    * k×dim literal doubles, then a map-side-combinable `max(struct(sim,
-    * -centroid_id))` argmax (lowest-id tie-break — identical ordering to a
-    * `row_number` over sim DESC, centroid_id ASC). The ×k crossJoin expansion
-    * collapses in the partial aggregate, so nothing wide is ever shuffled —
-    * the r4 declared shape shuffled 16×|vectors| rows carrying the 64-dim
-    * arrays through a window exchange just to pick each row's argmax
-    * (VERDICT r4 "what's wrong" #1; same shape as [[KMeans]] assignment).
+  /** Scala-side sequential dot product — the SAME fold order as
+    * [[DotProduct]]'s kernel (index 0 → n-1, one running double), so a
+    * centroid norm precomputed here is bit-identical to the double
+    * `DotProduct(cv, cv)` produces in-plan.
     */
-  def ivfAssignTrained(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val base = baseVectors(emb)
-    val cents = centroidDF(emb, centroids)
-    val sim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
-    base
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), struct(sim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("best"))
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i   = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** The per-centroid `struct(sim, -centroid_id)` score columns for one
+    * vector row — the IN-ROW form of the former crossJoin(broadcast(cents))
+    * expansion (r19 optimization): the centroids are compile-time literals
+    * (constant-folded to one ArrayData each), their norms are precomputed
+    * with the identical sequential fold, and each sim performs the identical
+    * IEEE sequence `graft_dot(v, cv) / (sqrt(n2) * sqrt(cn2))` as the joined
+    * form — so every downstream argmax/top-nprobe sees bit-identical structs
+    * while the ×k row expansion, its hash aggregate, and that aggregate's
+    * exchange disappear from the plan entirely (guide §2.4/§4: one
+    * whole-stage-codegen projection instead of join + aggregate).
+    */
+  private[similarity] def cellScoreStructs(
+      v: Column, n2: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      val cv = array(c.toIndexedSeq.map(lit): _*)
+      val cn = math.sqrt(seqDot(c, c))
+      struct((DotProduct(v, cv) / (sqrt(n2) * lit(cn))).as("s"), lit(-i.toLong).as("negc"))
+    }
+
+  /** In-row argmax over [[cellScoreStructs]] — `greatest` compares structs
+    * with the same (s, negc) ordering the former `max(struct)` aggregate
+    * used (highest sim, lowest centroid_id on ties).
+    */
+  private[similarity] def bestCell(
+      v: Column, n2: Column, centroids: Array[Array[Double]]): Column = {
+    val ss = cellScoreStructs(v, n2, centroids)
+    if (ss.size == 1) ss.head else greatest(ss: _*)
+  }
+
+  /** [[ivfAssign]] against explicit (trained) centroids. Since r19 the
+    * argmax is a single in-row `greatest` over literal-centroid score
+    * structs ([[bestCell]]) — one narrow projection, NO exchange — where the
+    * former shape expanded ×k through a broadcast join and collapsed in a
+    * map-side aggregate (itself the r4 fix of a window-exchange shape; this
+    * removes the aggregate's exchange too). Value-identical: the per-pair
+    * IEEE sequence and the (sim, -centroid_id) argmax ordering are unchanged.
+    */
+  def ivfAssignTrained(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    baseVectors(emb)
+      .select(col("vec_id"), bestCell(col("v"), col("n2"), centroids).as("best"))
       .select(col("vec_id"), (-col("best.negc")).as("centroid_id"), round(col("best.s"), 6).as("sim_r"))
       .orderBy("vec_id")
-  }
 
   def oracleIvfAssignTrained(centroids: Array[Array[Double]]): String =
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -330,14 +363,21 @@ object SimilarityOps {
        |FROM sims WHERE rn = 1 ORDER BY sim_r, vec_id LIMIT $k""".stripMargin
 
   /** [[ivfTopK]] against explicit (trained) centroids — assignment and
-    * probing both use the literal centroid relation. Cell assignment is the
-    * same map-side argmax aggregate as [[ivfAssignTrained]] (the ×k expansion
-    * collapses in the partial aggregate); the nprobe probe cells per query
-    * come from a `slice(sort_array(collect_list(...)))` over the k centroid
-    * scores of the (tiny) query slice — ordering identical to the former
-    * window (`csim DESC, centroid_id ASC`), with the collected list bounded
-    * by k per query. The only window left ranks the final candidates on
-    * NARROW (qid, vec_id, sim) rows — no vector column crosses an exchange.
+    * probing both run on literal centroids. Since r19 both are IN-ROW
+    * expressions ([[bestCell]] / sorted [[cellScoreStructs]]) instead of the
+    * broadcast-join + aggregate shape: cells is one narrow projection (NO
+    * exchange), probes sorts the k per-query score structs inside the row
+    * (`sort_array(…, asc = false)` — the identical struct comparator the
+    * former `sort_array(collect_list(…))` applied). The probe relation is
+    * explicitly broadcast (it is |queries|·nprobe rows; the former plan left
+    * the choice to size estimates), so candidate generation is a map-side
+    * join and the only exchange left in the whole query feeds the final
+    * top-k window on NARROW (qid, vec_id, sim) rows. The former `.distinct()`
+    * before that window is dropped as a no-op: each vector lives in exactly
+    * one cell and a query's nprobe probe cells are distinct, so (qid,
+    * vec_id) candidate rows are unique by construction — the oracle's
+    * `SELECT DISTINCT` is equally vacuous on the same multiplicity-1 set,
+    * and removing it removes one more exchange (guide §2.4).
     */
   def ivfTopKTrained(
       emb: DataFrame,
@@ -347,34 +387,22 @@ object SimilarityOps {
       nprobe: Int = 4
   ): DataFrame = {
     val base = baseVectors(emb)
-    val cents = centroidDF(emb, centroids)
-    val csim = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
-    val scored = base
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"), struct(csim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
-    // v/n2 are functionally determined by vec_id (identical on every row of
-    // the group), so first() is deterministic here
-    val cells = scored
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("v"), col("n2"), (-col("best.negc")).as("centroid_id"))
-    val probes = scored
+    val cells = base.select(
+      col("vec_id"), col("v"), col("n2"),
+      (-bestCell(col("v"), col("n2"), centroids).getField("negc")).as("centroid_id"))
+    val probes = base
       .where(col("vec_id").isInCollection(queryIds))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("v")).as("qv"),
-        first(col("n2")).as("qn2"),
-        slice(sort_array(collect_list(col("sc")), asc = false), 1, nprobe).as("top")
-      )
-      .select(col("vec_id").as("qid"), col("qv"), col("qn2"), explode(col("top")).as("sc"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        explode(slice(
+          sort_array(array(cellScoreStructs(col("v"), col("n2"), centroids): _*), asc = false),
+          1, nprobe)).as("sc"))
       .select(col("qid"), col("qv"), col("qn2"), (-col("sc.negc")).as("centroid_id"))
     val qdot = DotProduct(col("v"), col("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cells
-      .join(probes, Seq("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("sim", qdot / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .select(col("qid"), col("vec_id"), col("sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim_r"))
@@ -750,16 +778,13 @@ object SimilarityOps {
       centroids: Array[Array[Double]],
       threshold: Double = 0.45
   ): DataFrame = {
-    val base  = baseVectors(emb)
-    val cents = centroidDF(emb, centroids)
-    val csim  = DotProduct(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2")))
-    // (vec_id, cell, v, n2): the ×k expansion collapses in the partial aggregate
-    val cells = base
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("n2"), struct(csim.as("s"), (-col("centroid_id")).as("negc")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"), max(col("sc")).as("best"))
-      .select(col("vec_id"), col("v"), col("n2"), (-col("best.negc")).as("centroid_id"))
+    // (vec_id, cell, v, n2): the in-row [[bestCell]] argmax (r19) — one
+    // projection, no ×k expansion, no aggregate exchange; the self-join's
+    // two centroid_id exchanges below now hash IDENTICAL map-side subtrees,
+    // so ReuseExchange collapses them to one
+    val cells = baseVectors(emb)
+      .select(col("vec_id"), col("v"), col("n2"),
+        (-bestCell(col("v"), col("n2"), centroids).getField("negc")).as("centroid_id"))
     val a = cells.select(col("centroid_id"), col("vec_id").as("vec_a"), col("v").as("va"), col("n2").as("na"))
     val b = cells.select(col("centroid_id"), col("vec_id").as("vec_b"), col("v").as("vb"), col("n2").as("nb"))
     val sim = DotProduct(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))

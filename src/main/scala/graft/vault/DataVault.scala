@@ -202,11 +202,19 @@ object DataVault {
     val dfs = relationalTables.map(t => t -> Tables.load(spark, dir, t)).toMap
 
     val orphanPlan = candidatePairs.map { case (ct, cc, pt, pc) =>
-      val child  = dfs(ct).select(col(cc))
+      // pre-aggregate the child side to (key, multiplicity) BEFORE the
+      // anti-join (r19, guide §2.3 "aggregate before you shuffle"): the
+      // anti-join then shuffles one row per DISTINCT child key instead of
+      // one per child ROW (fact-table key columns here are ~30× duplicated),
+      // and the orphan count is the exact sum of surviving multiplicities —
+      // identical to counting surviving raw rows (NULL child keys survive
+      // the anti-join as one group whose multiplicity still counts, exactly
+      // as every raw NULL-key row survived before)
+      val child = dfs(ct).select(col(cc)).groupBy(col(cc)).agg(count(lit(1)).as("__n"))
       val parent = dfs(pt).select(col(pc)).distinct()
       child
         .join(parent, child(cc) === parent(pc), "left_anti")
-        .agg(count(lit(1)).as("orphan_count"))
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("orphan_count"))
         .select(
           lit(ct).as("child_table"), lit(cc).as("child_column"),
           lit(pt).as("parent_table"), lit(pc).as("parent_column"),

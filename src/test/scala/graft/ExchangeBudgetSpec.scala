@@ -24,6 +24,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
 
   /** name -> (max shuffle exchanges, max broadcast exchanges). */
   private val budgets: Map[String, (Int, Int)] = Map(
+
     "ann_embeddings" -> (5, 1),
     "anomalies_events" -> (4, 0),
     "asof_orders_events" -> (2, 0),
@@ -84,11 +85,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "holdout_documents" -> (2, 0),
     "incremental_pairs_documents" -> (5, 1),
     "interarrival_events" -> (1, 0),
-    "ivf_assign_embeddings" -> (3, 1),
+    "ivf_assign_embeddings" -> (2, 0),
     "ivf_centroids_embeddings" -> (1, 0),
-    "ivf_recall_embeddings" -> (15, 3),
-    "ivf_topk_embeddings" -> (9, 2),
-    "ivfpq_topk_embeddings" -> (13, 9),
+    "ivf_recall_embeddings" -> (10, 2),
+    "ivf_topk_embeddings" -> (4, 1),
+    "ivfpq_topk_embeddings" -> (7, 3),
     "jaccard_capped_documents" -> (10, 2),
     "jaccard_pairs_documents" -> (10, 2),
     "join_size_lineitem" -> (9, 7),
@@ -107,7 +108,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "merged_stats_documents" -> (1, 0),
     "mg_vocab_documents" -> (1, 0),
     "minhash_pairs_documents" -> (4, 0),
-    "minhash_recall_documents" -> (27, 7),
+    "minhash_recall_documents" -> (14, 2),
     "mix_plan_documents" -> (6, 2),
     "mixture_documents" -> (3, 0),
     "mixture_rollup_documents" -> (3, 0),
@@ -115,15 +116,15 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "numstats_lineitem" -> (2, 0),
     "numstats_orders" -> (2, 0),
     "orc_roundtrip_documents" -> (1, 0),
-    "outliers_embeddings" -> (2, 1),
+    "outliers_embeddings" -> (1, 0),
     "packing_documents" -> (1, 0),
     "padding_documents" -> (3, 0),
     "pagerank_events" -> (9, 7),
     "pagerank_users" -> (44, 7),
     "partitioned_roundtrip_documents" -> (1, 0),
     "pq_codebooks_embeddings" -> (1, 0),
-    "pq_codes_embeddings" -> (3, 1),
-    "pq_topk_embeddings" -> (6, 3),
+    "pq_codes_embeddings" -> (2, 0),
+    "pq_topk_embeddings" -> (4, 1),
     "profile_customer" -> (1, 0),
     "profile_documents" -> (1, 0),
     "profile_embeddings" -> (1, 0),
@@ -152,7 +153,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "scd2_orders" -> (3, 0),
     "schema_merge_documents" -> (1, 0),
     "semantic_clusters_embeddings" -> (4, 0),
-    "semantic_dups_embeddings" -> (7, 2),
+    "semantic_dups_embeddings" -> (3, 1),
     "semantic_survivors_embeddings" -> (5, 0),
     "sessions_events" -> (3, 0),
     "simhash_documents" -> (2, 0),
@@ -192,7 +193,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "vocab_coverage_documents" -> (1, 0),
     "vocab_overlap_documents" -> (7, 1),
     "winsorized_lineitem" -> (2, 0),
-    "zorder_lineitem" -> (3, 0),
+    "zorder_lineitem" -> (3, 0)
   )
 
   test("budget map covers exactly the declared surface") {

@@ -82,14 +82,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val cbs   = Array.tabulate(4, 16, 16)((m, c, j) => (m * 256 + c * 16 + j + 1).toDouble / 100.0)
     val p = plan(graft.similarity.Pq.ivfPqTopK(emb, cents, cbs))
     assert(!p.contains("CartesianProduct"), s"ivfpq plans a cartesian product:\n$p")
-    // the only nested-loop joins allowed are broadcasts of the k-row centroid
-    // LITERAL relation (the `scored` assignment subtree is re-planned for
-    // cells, probes, and the rerank query slice → ≤3 of them, each a
-    // LocalTableScan build side); every other join is an equi-join
-    // (centroid_id / vec_id / (m, code)) that prunes before it scans
-    val bnljs = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
-    assert(bnljs <= 3, s"ivfpq has $bnljs nested-loop joins:\n$p")
-    assert(p.contains("LocalTableScan"), s"centroid literals should be local relations:\n$p")
+    // r19 in-row shape: cell argmax, PQ codes, and the per-query ADC lookup
+    // are all literal-centroid expressions inside projections, so the plan
+    // has NO nested-loop join, NO literal centroid relation, and NO
+    // aggregate anywhere — every join is a broadcast equi-join
+    // (centroid_id / vec_id / qid) and the only wide operators left are the
+    // two narrow per-query ranking windows
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ivfpq plans a nested-loop join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"ivfpq shuffles a join side (the r19 shape broadcasts probes/shortlist/q):\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"ivfpq plans an aggregate (the r19 shape is aggregate-free):\n$p")
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans <= 4, s"ivfpq scans the table $scans times (r19 shape: ≤4):\n$p")
     // both ranking windows partition the narrow per-query candidate rows;
     // a vec_id-partitioned window is the r4 wide-shuffle shape
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList

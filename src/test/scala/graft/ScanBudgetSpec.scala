@@ -23,6 +23,7 @@ class ScanBudgetSpec extends AnyFunSuite {
 
   /** name -> (max file scans, max total read-schema fields). */
   private val budgets: Map[String, (Int, Int)] = Map(
+
     "ann_embeddings" -> (2, 4),
     "anomalies_events" -> (1, 2),
     "asof_orders_events" -> (2, 7),
@@ -87,7 +88,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "ivf_centroids_embeddings" -> (0, 0),
     "ivf_recall_embeddings" -> (4, 8),
     "ivf_topk_embeddings" -> (2, 4),
-    "ivfpq_topk_embeddings" -> (6, 12),
+    "ivfpq_topk_embeddings" -> (4, 8),
     "jaccard_capped_documents" -> (3, 6),
     "jaccard_pairs_documents" -> (3, 6),
     "join_size_lineitem" -> (8, 6),
@@ -106,7 +107,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "merged_stats_documents" -> (0, 0),
     "mg_vocab_documents" -> (1, 1),
     "minhash_pairs_documents" -> (1, 2),
-    "minhash_recall_documents" -> (8, 16),
+    "minhash_recall_documents" -> (4, 8),
     "mix_plan_documents" -> (2, 4),
     "mixture_documents" -> (1, 3),
     "mixture_rollup_documents" -> (1, 3),
@@ -191,7 +192,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "vocab_coverage_documents" -> (0, 0),
     "vocab_overlap_documents" -> (2, 4),
     "winsorized_lineitem" -> (1, 2),
-    "zorder_lineitem" -> (1, 2),
+    "zorder_lineitem" -> (1, 2)
   )
 
   test("scan budget map covers exactly the declared surface") {

@@ -60,6 +60,11 @@ class SurfacePlanHygieneSpec extends AnyFunSuite {
     "knn_embeddings" ->
       ("base.crossJoin(broadcast(q)): q is base filtered to a literal " +
         "IN-list of 3 query ids (SimilarityOps.cosineTopK)"),
+    "pq_topk_embeddings" ->
+      ("codes.crossJoin(broadcast(table)): table is the embeddings scan " +
+        "filtered to the literal 3-id query IN-list, each row carrying its " +
+        "M×K nested ADC lookup array (Pq.adcTopK, r19 — the former " +
+        "(m, code) equi-join re-keyed as one in-row lookup per candidate)"),
     "ivf_recall_embeddings" ->
       ("inherits cosineTopK's and ivfTopKTrained's broadcast of the ≤3-row " +
         "literal query relation; its own recall join is equi on (qid, vec_id)"),

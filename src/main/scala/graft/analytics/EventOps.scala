@@ -497,12 +497,17 @@ object EventOps {
   def interArrival(events: DataFrame, qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("us")
+    // checkpoint the gap relation (narrow: type + one double) before the
+    // rank-select kernel: the kernel scans its input once per refinement
+    // round, and re-executing the lag window per round would triple the
+    // window's shuffle cost (r19 — the kernel's own doc names this contract)
     val gaps = timed(events)
       .select(col("event_type"), expr("unix_micros(ts)").as("us"))
       .withColumn("gap_s",
         (col("us") - lag(col("us"), 1).over(w)).cast("double") / 1e6)
       .where(col("gap_s").isNotNull)
       .select(col("event_type"), col("gap_s"))
+      .localCheckpoint()
     graft.stats.NumericStats.groupQuantiles(gaps, "event_type", Seq("gap_s"), qs)
       .select(col("grp").as("event_type"), col("q_r"), col("value_r"))
       .orderBy("event_type", "q_r")

@@ -66,7 +66,14 @@ object Basket {
     * degree-oriented form).
     */
   def triangleCount(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
-    val edges = copurchaseEdges(lineitem, minSupport).select("part_a", "part_b")
+    // materialize the (bounded) thresholded edge list once (r19): the plan
+    // references it three times (degree rollup + both join sides), and each
+    // reference re-executes the whole collect_set + pair-explosion pipeline
+    // upstream — the scan/exchange budget measured 24 FileScans in the
+    // un-checkpointed plan. |E| is the thresholded pair list (two longs per
+    // row), safely materializable at any scale that can hold the wedge join.
+    val edges = copurchaseEdges(lineitem, minSupport)
+      .select("part_a", "part_b").localCheckpoint()
 
     val deg = edges
       .select(explode(array(col("part_a"), col("part_b"))).as("node"))
@@ -76,6 +83,8 @@ object Basket {
     // orient each edge (lower degree, tie by key) -> (higher degree)
     val da = deg.select(col("node").as("part_a"), col("deg").as("deg_a"))
     val db = deg.select(col("node").as("part_b"), col("deg").as("deg_b"))
+    // the oriented list is likewise read three ways (both wedge legs + the
+    // closing lookup) — checkpoint it too, so the degree joins run once
     val oriented = edges
       .join(da, "part_a")
       .join(db, "part_b")
@@ -87,6 +96,7 @@ object Basket {
         ).otherwise(struct(col("part_b").as("src"), col("part_a").as("dst"))).as("e")
       )
       .select(col("e.src"), col("e.dst"))
+      .localCheckpoint()
 
     val e1 = oriented.select(col("src"), col("dst").as("u"))
     val e2 = oriented.select(col("src"), col("dst").as("v"))

@@ -91,44 +91,177 @@ object NumericStats {
        |FROM $table WHERE $c IS NOT NULL
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  /** The distributed-sort relation [[quantiles]] ranks over: narrow
-    * (col_idx, v) rows stacked from one scan, range-partitioned on
-    * (col_idx, v) and partition-sorted — the standard distributed sort.
-    * Exposed for the plan-shape regression test (no buffering aggregate,
-    * rangepartitioning exchange only).
+  /** Radix-refinement bits per round and the resolve-by-collect bound of the
+    * rank-select kernel (see [[quantiles]]): each round buckets the
+    * order-preserving 64-bit key ([[DoubleOrderKey]]) by its next
+    * [[RefineBits]] bits, so ≤ ⌈64/[[RefineBits]]⌉ = 4 rounds isolate an
+    * exact key for ANY value distribution; a target bucket at or under
+    * [[CollectCap]] rows resolves by collecting just that bucket's keys
+    * (64 KiB of longs per target bucket at the cap — with ≤ 2·|qs| target
+    * ranks per (group, column), driver transfer stays MBs-bounded while
+    * most real distributions resolve in hist + collect = two jobs).
     */
-  private[graft] def sortedLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private[graft] val RefineBits = 16
+  private[graft] val CollectCap = 65536
+
+  /** The narrow keyed relation the rank-select kernel aggregates over:
+    * (g, col_idx, k) — g the (string) group, "" for ungrouped callers;
+    * k the order-preserving long key of the double value — one stacked
+    * scan, null values dropped, NO shuffle of data rows anywhere. Exposed
+    * for the plan-shape regression test.
+    */
+  private[graft] def stackedKeys(
+      df: DataFrame, cols: Seq[String], groupCol: Option[String]): DataFrame = {
     val stackArgs = cols.zipWithIndex
       .map { case (c, i) => s"$i, CAST(${bq(c)} AS DOUBLE)" }
       .mkString(", ")
-    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
-      .where("v IS NOT NULL")
-      .repartitionByRange(col("col_idx"), col("v"))
-      .sortWithinPartitions("col_idx", "v")
+    val g = groupCol
+      .map(gc => s"CAST(${bq(gc)} AS STRING)")
+      .getOrElse("''")
+    df.selectExpr(s"$g AS g", s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
+      .where(s"v IS NOT NULL${if (groupCol.isDefined) " AND g IS NOT NULL" else ""}")
+      .select(col("g"), col("col_idx"), DoubleOrderKey(col("v")).as("k"))
   }
 
+  /** The histogram pass of the kernel: per-(g, col_idx, key >> shift)
+    * counts — a map-side-combinable aggregate whose exchange carries only
+    * occupied BUCKET rows (≤ 2^[[RefineBits]] per group × column), never
+    * data rows. Exposed for the plan-shape regression test.
+    */
+  private[graft] def bucketHist(stacked: DataFrame, shift: Int): DataFrame =
+    stacked
+      .groupBy(col("g"), col("col_idx"), shiftright(col("k"), shift).as("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact distributed selection of the values at a set of global ranks per
+    * (group, column), by radix-histogram refinement over the
+    * order-preserving key ([[DoubleOrderKey]]) — ZERO data shuffle (r19;
+    * the former kernel range-sorted the whole stacked relation, i.e. one
+    * full shuffle + a two-pass persisted scan, and before that Spark's
+    * `percentile` buffered whole columns in one aggregate):
+    *
+    *  1. one map-combined histogram of the top [[RefineBits]] key bits per
+    *     (group, column) — the exchange carries occupied-bucket COUNT rows
+    *     only; totals, target ranks floor/ceil((n−1)·q), and each rank's
+    *     bucket + rank-within-bucket fall out at the driver;
+    *  2. targets in buckets over [[CollectCap]] rows refine: one filtered
+    *     histogram per round over the next [[RefineBits]] bits — ≤ 6
+    *     rounds total by construction (64-bit keys), and a shift-0 bucket
+    *     IS an exact key (decoded driver-side, any multiplicity);
+    *  3. targets in ≤ [[CollectCap]]-row buckets resolve by one combined
+    *     filtered collect of just those buckets' keys, ranked driver-side.
+    *
+    * Driver state is bounded by occupied buckets per round plus
+    * ≤ CollectCap keys per target bucket. Returns:
+    * (totals per (g, ci), (g, ci, rank) → value) — callers derive their
+    * target ranks from the totals via `ranksFor`, so the first histogram
+    * doubles as the count pass (no separate counting job).
+    */
+  private def selectRanks(
+      stacked: DataFrame,
+      ranksFor: Map[(String, Int), Long] => Map[(String, Int), Set[Long]]
+  ): (Map[(String, Int), Long], Map[(String, Int, Long), Double]) = {
+    // The kernel re-reads `stacked` once per round (≤ 6 rounds, typically
+    // 2–3 jobs). It does NOT cache the frame itself: for the dominant
+    // callers the upstream is a raw columnar scan + stack projection, and
+    // re-scanning that is measurably cheaper than materializing a cache
+    // (A/B'd at sf0.1, r19). A caller whose input subtree is expensive
+    // (e.g. a window pipeline) should hand the kernel a checkpointed frame
+    // — [[graft.analytics.EventOps.interArrival]] does.
+    val topShift = 64 - RefineBits
+    def collectHist(df: DataFrame): Map[(String, Int, Long), Long] =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val h0 = collectHist(bucketHist(stacked, topShift))
+    val totals: Map[(String, Int), Long] =
+      h0.groupMapReduce { case ((g, ci, _), _) => (g, ci) }(_._2)(_ + _)
+
+    // target state: (g, ci, globalRank) -> (bucket, rankInBucket, bucketCount)
+    final case class T(bucket: Long, rib: Long, cnt: Long)
+    def locate(hist: Map[(String, Int, Long), Long], g: String, ci: Int, rib0: Long,
+        within: Option[Long => Boolean]): T = {
+      val buckets = hist.keysIterator
+        .filter { case (hg, hc, b) => hg == g && hc == ci && within.forall(f => f(b)) }
+        .map(_._3).toArray.sorted
+      var acc = 0L
+      var res: T = null
+      var bi = 0
+      while (res == null && bi < buckets.length) {
+        val b   = buckets(bi)
+        val cnt = hist((g, ci, b))
+        if (rib0 < acc + cnt) res = T(b, rib0 - acc, cnt)
+        acc += cnt
+        bi += 1
+      }
+      require(res != null, s"rank $rib0 not found in histogram of ($g, $ci)")
+      res
+    }
+    var shift = topShift
+    var active: Map[(String, Int, Long), T] =
+      ranksFor(totals).toSeq.flatMap { case ((g, ci), rs) =>
+        rs.map(r => (g, ci, r) -> locate(h0, g, ci, r, None))
+      }.toMap
+    val resolved = scala.collection.mutable.Map.empty[(String, Int, Long), Double]
+    def bucketCond(wanted: Iterable[(String, Int, Long)], atShift: Int) =
+      wanted.toSeq.distinct.map { case (g, ci, b) =>
+        col("g") === g && col("col_idx") === ci && shiftright(col("k"), atShift) === b
+      }.reduce(_ || _)
+
+    while (active.nonEmpty) {
+      // shift-0 buckets are exact keys: decode, done (any multiplicity)
+      val (exact, rest) = active.partition { case _ => shift == 0 }
+      exact.foreach { case (key, t) => resolved(key) = DoubleOrderKey.fromKey(t.bucket) }
+      // small buckets resolve by one combined collect of their keys
+      val (small, big) = rest.partition { case (_, t) => t.cnt <= CollectCap }
+      if (small.nonEmpty) {
+        val wanted = small.map { case ((g, ci, _), t) => (g, ci, t.bucket) }
+        val keys: Map[(String, Int, Long), Array[Long]] = stacked
+          .where(bucketCond(wanted, shift))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getInt(1), r.getLong(2) >> shift))
+          .map { case (grp, rows) => grp -> rows.map(_.getLong(2)).sorted }
+        small.foreach { case (key @ (g, ci, _), t) =>
+          resolved(key) = DoubleOrderKey.fromKey(keys((g, ci, t.bucket))(t.rib.toInt))
+        }
+      }
+      // the rest refine one radix level (≤ 6 rounds total by construction)
+      if (big.nonEmpty) {
+        val nextShift = math.max(0, shift - RefineBits)
+        val wanted = big.map { case ((g, ci, _), t) => (g, ci, t.bucket) }
+        val h = collectHist(bucketHist(stacked.where(bucketCond(wanted, shift)), nextShift))
+        val prevShift = shift
+        active = big.map { case (key @ (g, ci, _), t) =>
+          // rank-in-bucket carries over: search sub-buckets of t.bucket only
+          key -> locate(h, g, ci, t.rib, Some(b => (b >> (prevShift - nextShift)) == t.bucket))
+        }
+        shift = nextShift
+      } else {
+        active = Map.empty
+      }
+    }
+    (totals, resolved.toMap)
+  }
+
+  /** floor/ceil((n−1)·q) target ranks for every (group, column) with data. */
+  private def interpRanks(
+      totals: Map[(String, Int), Long], qs: Seq[Double]): Map[(String, Int), Set[Long]] =
+    totals.collect { case (key, nn) if nn > 0 =>
+      key -> qs.flatMap { q =>
+        val x = (nn - 1) * q
+        Seq(math.floor(x).toLong, math.ceil(x).toLong)
+      }.toSet
+    }
+
   /** Exact linear-interpolation quantiles for several columns:
-    * (column_name, q_r, value_r), computed by a DISTRIBUTED range sort
-    * instead of a buffering aggregate. Spark's `percentile` is a
-    * TypedImperativeAggregate that collects every value of the column into a
-    * single aggregation buffer — a guaranteed executor OOM at 100 TB. Here
-    * nothing ever holds a column in memory:
-    *
-    *  1. one scan stacks the columns into narrow (col_idx, v) rows;
-    *  2. range-repartition + partition-local sort (spill-safe, every
-    *     partition a bounded slice of one column's value range);
-    *  3. a counts pass brings P×|cols| longs to the driver — enough to know
-    *     each column's n, each partition's global rank offset, and hence the
-    *     exact global ranks floor/ceil((n−1)·q) each quantile needs;
-    *  4. a second pass over the SAME cached partitions emits only those
-    *     ≤ 2·|cols|·|qs| ranked values; interpolation is driver arithmetic
-    *     on that bounded set.
-    *
-    * Same answer and same DuckDB oracle as the aggregate form: `percentile`
-    * and `quantile_cont` share the (n−1)·q interpolation convention
-    * (result = lo + (hi − lo)·frac), and the final value goes through
-    * Spark's own `round(_, 6)` exactly as before. O(1) aggregate state, no
-    * single-partition window, two bounded-output jobs over one cached sort.
+    * (column_name, q_r, value_r) — the values at ranks floor/ceil((n−1)·q)
+    * come from [[selectRanks]]' zero-shuffle radix selection (Spark's
+    * `percentile` is a TypedImperativeAggregate that buffers whole columns —
+    * a guaranteed executor OOM at 100 TB; the r5–r18 kernel here
+    * range-sorted the stacked relation, a full shuffle of every data row,
+    * which the histogram refinement removes outright: counts shuffle,
+    * values don't). Same answer and same DuckDB oracle as both former
+    * forms: `percentile` and `quantile_cont` share the (n−1)·q
+    * interpolation convention (result = lo + (hi − lo)·frac), and the final
+    * value goes through Spark's own `round(_, 6)` exactly as before.
     */
   def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "quantiles needs columns and probabilities")
@@ -136,74 +269,21 @@ object NumericStats {
       s"quantile probabilities must lie in [0, 1] (got ${qs.filterNot(q => q >= 0.0 && q <= 1.0).mkString(", ")})")
     val spark = df.sparkSession
     import spark.implicits._
-    val nCols = cols.size
-    // Persist the DATAFRAME (Tungsten columnar cache: compressed primitive
-    // batches, ~a tenth of the bytes) and let each pass re-derive its row
-    // view from it, instead of persisting the post-conversion RDD of boxed
-    // tuples. The boxed form measured super-linear at the x50 tile (r19
-    // scale attribution: ~50-80 B/row × rows×|cols| blows the executor
-    // storage pool, so the cache half-spills through Java serialization
-    // and the two passes thrash GC; BASELINE.md "x50 octave" section).
-    // Pass-to-pass determinism is unchanged: both passes scan the SAME
-    // materialized cache partitions in stored order, so the pid-keyed
-    // offsets from pass 1 address pass 2's iteration exactly as before.
-    val sortedDf = sortedLong(df, cols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sorted = sortedDf.as[(Int, Double)].rdd
-    val rows =
-      try {
-        // pass 1: per-(partition, column) value counts — P×|cols| longs
-        val partCounts: Array[((Int, Int), Long)] = sorted
-          .mapPartitionsWithIndex { (pid, it) =>
-            val counts = new Array[Long](nCols)
-            it.foreach { case (ci, _) => counts(ci) += 1L }
-            counts.iterator.zipWithIndex.collect { case (cnt, ci) if cnt > 0 => ((pid, ci), cnt) }
-          }
-          .collect()
-        val n: Map[Int, Long] =
-          partCounts.groupMapReduce(_._1._2)(_._2)(_ + _).withDefaultValue(0L)
-        // each (partition, column) slice's starting global rank
-        val offsets: Map[(Int, Int), Long] = partCounts
-          .groupBy(_._1._2)
-          .flatMap { case (_, slice) =>
-            var acc = 0L
-            slice.sortBy(_._1._1).map { case ((pid, ci), cnt) =>
-              val off = acc; acc += cnt; ((pid, ci), off)
-            }
-          }
-        // the global 0-based ranks the quantiles need, per column
-        val ranks: Map[Int, Set[Long]] = cols.indices.map { ci =>
-          val nn = n(ci)
-          ci -> qs.flatMap { q =>
-            val x = (nn - 1) * q
-            Seq(math.floor(x).toLong, math.ceil(x).toLong)
-          }.toSet
-        }.toMap
-        // pass 2: emit only the ranked values (≤ 2·|cols|·|qs| rows total)
-        val hits: Map[(Int, Long), Double] = sorted
-          .mapPartitionsWithIndex { (pid, it) =>
-            val idx = Array.tabulate(nCols)(ci => offsets.getOrElse((pid, ci), 0L))
-            it.flatMap { case (ci, v) =>
-              val r = idx(ci)
-              idx(ci) += 1
-              if (ranks(ci)(r)) Iterator(((ci, r), v)) else Iterator.empty
-            }
-          }
-          .collect()
-          .toMap
-        for { (c, ci) <- cols.zipWithIndex; q <- qs } yield {
-          val nn = n(ci)
-          val value: Option[Double] =
-            if (nn == 0L) None
-            else {
-              val x    = (nn - 1) * q
-              val lo   = hits((ci, math.floor(x).toLong))
-              val hi   = hits((ci, math.ceil(x).toLong))
-              Some(lo + (hi - lo) * (x - math.floor(x)))
-            }
-          (c, q, value)
+    val stacked = stackedKeys(df, cols, groupCol = None)
+    val (totals, hits) = selectRanks(stacked, interpRanks(_, qs))
+    val n = totals.withDefaultValue(0L)
+    val rows = for { (c, ci) <- cols.zipWithIndex; q <- qs } yield {
+      val nn = n(("", ci))
+      val value: Option[Double] =
+        if (nn == 0L) None
+        else {
+          val x  = (nn - 1) * q
+          val lo = hits(("", ci, math.floor(x).toLong))
+          val hi = hits(("", ci, math.ceil(x).toLong))
+          Some(lo + (hi - lo) * (x - math.floor(x)))
         }
-      } finally sortedDf.unpersist(blocking = false)
+      (c, q, value)
+    }
     rows
       .toDF("column_name", "q_r", "value_raw")
       .selectExpr("column_name", "q_r", "round(value_raw, 6) AS value_r")
@@ -212,31 +292,15 @@ object NumericStats {
 
   /** Per-group exact interpolated quantiles — [[quantiles]] generalized to a
     * grouping dimension (the per-segment envelope a profiler reports next to
-    * the global one). Same scale-safe shape: a distributed range sort over
-    * narrow (grp, col_idx, v) rows, then two bounded-output passes — never a
-    * per-group buffering aggregate and never a one-partition-per-group
-    * window sort (3 groups at 100 TB ⇒ 3 partitions would each hold a third
-    * of the table; the range sort spreads every group across the cluster).
+    * the global one). Same zero-shuffle radix-selection kernel
+    * ([[selectRanks]]) keyed by (group, column) — never a per-group
+    * buffering aggregate and never a one-partition-per-group window sort.
     *
-    * Driver state is P×|groups|×|cols| longs — built for profiling-grade
-    * group cardinality (segments, flags, languages), not for group-by-key
-    * explosions; values and sums never reach the driver.
+    * Driver state is occupied-bucket counts per (group, column) — built for
+    * profiling-grade group cardinality (segments, flags, languages), not
+    * for group-by-key explosions; values never reach the driver beyond the
+    * ≤ [[CollectCap]]-row target buckets.
     */
-  /** The distributed-sort relation [[groupQuantiles]] ranks over — the
-    * grouped twin of [[sortedLong]], exposed for the plan-shape regression
-    * test (range-partitioning exchange only, no buffering aggregate, no
-    * per-group window).
-    */
-  private[graft] def groupSorted(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"$i, CAST(${bq(c)} AS DOUBLE)" }
-      .mkString(", ")
-    df.selectExpr(s"CAST(${bq(groupCol)} AS STRING) AS grp", s"stack(${cols.size}, $stackArgs) AS (col_idx, v)")
-      .where("grp IS NOT NULL AND v IS NOT NULL")
-      .repartitionByRange(col("grp"), col("col_idx"), col("v"))
-      .sortWithinPartitions("grp", "col_idx", "v")
-  }
-
   def groupQuantiles(df: DataFrame, groupCol: String, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty && qs.nonEmpty, "groupQuantiles needs columns and probabilities")
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
@@ -254,68 +318,21 @@ object NumericStats {
       .collect()
       .sorted
       .toSeq
-    // columnar-cache-the-DataFrame, row-view per pass — same rationale and
-    // same pass-to-pass partition identity as [[quantiles]] (r19)
-    val sortedDf = groupSorted(df, groupCol, cols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sorted = sortedDf.as[(String, Int, Double)].rdd
-    val rows =
-      try {
-        // pass 1: per-(partition, group, column) value counts
-        val partCounts: Array[((Int, String, Int), Long)] = sorted
-          .mapPartitionsWithIndex { (pid, it) =>
-            val counts = scala.collection.mutable.HashMap.empty[(String, Int), Long]
-            it.foreach { case (g, ci, _) =>
-              val k = (g, ci)
-              counts.update(k, counts.getOrElse(k, 0L) + 1L)
-            }
-            counts.iterator.map { case ((g, ci), cnt) => ((pid, g, ci), cnt) }
-          }
-          .collect()
-        val n: Map[(String, Int), Long] =
-          partCounts.groupMapReduce(x => (x._1._2, x._1._3))(_._2)(_ + _).withDefaultValue(0L)
-        // each (partition, group, column) slice's starting global rank
-        val offsets: Map[(Int, String, Int), Long] = partCounts
-          .groupBy(x => (x._1._2, x._1._3))
-          .flatMap { case (_, slice) =>
-            var acc = 0L
-            slice.sortBy(_._1._1).map { case ((pid, g, ci), cnt) =>
-              val off = acc; acc += cnt; ((pid, g, ci), off)
-            }
-          }
-        // the global 0-based ranks each (group, column)'s quantiles need
-        val ranks: Map[(String, Int), Set[Long]] = n.map { case (k, nn) =>
-          k -> qs.flatMap { q =>
-            val x = (nn - 1) * q
-            Seq(math.floor(x).toLong, math.ceil(x).toLong)
-          }.toSet
+    val stacked = stackedKeys(df, cols, groupCol = Some(groupCol))
+    val (totals, hits) = selectRanks(stacked, interpRanks(_, qs))
+    val n = totals.withDefaultValue(0L)
+    val rows = for { g <- groups; (c, ci) <- cols.zipWithIndex; q <- qs } yield {
+      val nn = n((g, ci))
+      val value: Option[Double] =
+        if (nn == 0L) None
+        else {
+          val x  = (nn - 1) * q
+          val lo = hits((g, ci, math.floor(x).toLong))
+          val hi = hits((g, ci, math.ceil(x).toLong))
+          Some(lo + (hi - lo) * (x - math.floor(x)))
         }
-        // pass 2: emit only the ranked values
-        val hits: Map[(String, Int, Long), Double] = sorted
-          .mapPartitionsWithIndex { (pid, it) =>
-            val idx = scala.collection.mutable.HashMap.empty[(String, Int), Long]
-            it.flatMap { case (g, ci, v) =>
-              val k = (g, ci)
-              val r = idx.getOrElse(k, offsets.getOrElse((pid, g, ci), 0L))
-              idx.update(k, r + 1L)
-              if (ranks.getOrElse(k, Set.empty[Long])(r)) Iterator(((g, ci, r), v)) else Iterator.empty
-            }
-          }
-          .collect()
-          .toMap
-        for { g <- groups; (c, ci) <- cols.zipWithIndex; q <- qs } yield {
-          val nn = n((g, ci))
-          val value: Option[Double] =
-            if (nn == 0L) None
-            else {
-              val x  = (nn - 1) * q
-              val lo = hits((g, ci, math.floor(x).toLong))
-              val hi = hits((g, ci, math.ceil(x).toLong))
-              Some(lo + (hi - lo) * (x - math.floor(x)))
-            }
-          (g, c, q, value)
-        }
-      } finally sortedDf.unpersist(blocking = false)
+      (g, c, q, value)
+    }
     rows
       .toDF("grp", "column_name", "q_r", "value_raw")
       .selectExpr("grp", "column_name", "q_r", "round(value_raw, 6) AS value_r")
@@ -542,9 +559,10 @@ object NumericStats {
     * arbitrarily, but moves a median and MAD not at all — which is exactly
     * when you need the gate.
     *
-    * Scale shape: two rank-select [[quantiles]] passes (distributed range
-    * sort, bounded driver state — never a buffering percentile aggregate)
-    * and ONE map-combined counting scan; nothing holds a column in memory.
+    * Scale shape: two rank-select [[quantiles]] invocations (zero-shuffle
+    * radix-histogram selection, bounded driver state — never a buffering
+    * percentile aggregate) and ONE map-combined counting scan; nothing
+    * holds a column in memory and no data row ever shuffles.
     *
     * Cross-engine determinism: the threshold is computed from the ROUNDED
     * declared median/MAD — the same round-6 rendering both engines already

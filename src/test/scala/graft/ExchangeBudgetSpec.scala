@@ -186,7 +186,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "toptokens_documents" -> (2, 0),
     "transitions_events" -> (4, 0),
     "trend_events" -> (4, 0),
-    "triangles_lineitem" -> (45, 10),
+    "triangles_lineitem" -> (1, 2),
     "trigrams_events" -> (3, 0),
     "unigram_scores_documents" -> (9, 3),
     "unpivot_lineitem" -> (3, 0),

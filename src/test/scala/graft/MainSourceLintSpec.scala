@@ -52,7 +52,8 @@ class MainSourceLintSpec extends AnyFunSuite {
     "stats/BottomKSketch.scala" ->
       (1, "bottom-k sample is k-bounded by construction"),
     "stats/NumericStats.scala" ->
-      (9, "1-row aggregates and quantile-boundary row sets (≤ |qs|)"),
+      (7, "1-row aggregates, radix-histogram bucket counts (occupied buckets " +
+        "only), and ≤ CollectCap-row target-bucket key fetches (r19 kernel)"),
     "stats/MergeableStats.scala" ->
       (1, "single merged-partials row"),
     "stats/StatsPass.scala" ->
@@ -70,11 +71,12 @@ class MainSourceLintSpec extends AnyFunSuite {
   )
 
   /** Every `.rdd` in main: reserved for the one partition-count probe plus
-    * the rank-select quantile kernel's zipWithIndex path.
+    * the global-ranks zipWithIndex path.
     */
   private val rddInventory: Map[String, (Int, String)] = Map(
     "stats/NumericStats.scala" ->
-      (3, "rank-select quantiles ride zipWithIndex over the range-sorted relation"),
+      (1, "globalRanks rides zipWithIndex over its ordered relation (the " +
+        "quantile kernel is radix histograms since r19 — no RDD view)"),
     "Tables.scala" ->
       (1, "df.rdd.getNumPartitions width probe, cached per input")
   )

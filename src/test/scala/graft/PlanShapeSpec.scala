@@ -106,19 +106,24 @@ class PlanShapeSpec extends AnyFunSuite {
     )
   }
 
-  test("quantiles ranks over a distributed range sort — no buffering aggregate") {
+  test("quantiles select ranks via zero-shuffle radix histograms — no buffering aggregate, no data shuffle") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
-    val p = plan(graft.stats.NumericStats.sortedLong(li, Seq("l_quantity", "l_extendedprice")))
+    val cols = Seq("l_quantity", "l_extendedprice")
     // the r5 scale-killer was `percentile`, a TypedImperativeAggregate whose
-    // buffer holds the whole column; the sort relation must not aggregate
-    // at all — its only exchange is the distributed range partitioning
+    // buffer holds the whole column; the r5–r18 kernel replaced it with a
+    // distributed range SORT (one full shuffle of every stacked data row);
+    // the r19 kernel removes even that: the histogram pass is a plain
+    // map-combined count aggregate whose exchange carries occupied-BUCKET
+    // rows only — data rows never shuffle at all
+    val stacked = graft.stats.NumericStats.stackedKeys(li, cols, groupCol = None)
+    val p = plan(graft.stats.NumericStats.bucketHist(stacked, 48))
     assert(!p.contains("percentile"), s"buffering percentile aggregate back in the plan:\n$p")
-    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the sort plan:\n$p")
-    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
-    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("rangepartitioning")),
-      s"expected exactly the range-sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the histogram plan:\n$p")
+    assert(!p.contains("rangepartitioning"), s"the radix kernel must not sort the data:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("graft_double_order_key"),
+      s"expected the map-combined bucket histogram over order keys:\n$p")
     // and the public result plan carries no percentile either (it is driver
-    // arithmetic over ≤ 2·|cols|·|qs| ranked values)
+    // arithmetic over the ≤ 2·|cols|·|qs| selected rank values)
     val pq = plan(graft.stats.NumericStats.quantiles(li, Seq("l_quantity"), Seq(0.5)))
     assert(!pq.contains("percentile") && !pq.contains("ObjectHashAggregate"),
       s"quantiles result plan buffers:\n$pq")
@@ -199,15 +204,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pr.contains("Generate"), s"json profiling must not explode:\n$pr")
   }
 
-  test("group quantiles rank over a distributed range sort — no buffering aggregate, no per-group window") {
+  test("group quantiles select ranks via the same zero-shuffle radix kernel — no buffering aggregate, no per-group window") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
-    val p = plan(graft.stats.NumericStats.groupSorted(li, "l_returnflag", Seq("l_quantity", "l_extendedprice")))
-    assert(!p.contains("percentile"), s"buffering percentile aggregate in the grouped sort plan:\n$p")
-    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the grouped sort plan:\n$p")
+    val stacked = graft.stats.NumericStats.stackedKeys(
+      li, Seq("l_quantity", "l_extendedprice"), groupCol = Some("l_returnflag"))
+    val p = plan(graft.stats.NumericStats.bucketHist(stacked, 48))
+    assert(!p.contains("percentile"), s"buffering percentile aggregate in the grouped histogram plan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), s"object-buffering aggregate in the grouped histogram plan:\n$p")
     assert(!p.contains("windowspecdefinition"), s"per-group window sort in the grouped plan:\n$p")
-    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
-    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("rangepartitioning")),
-      s"expected exactly the range-sort exchange, got $exchanges:\n$p")
+    assert(!p.contains("rangepartitioning"), s"the radix kernel must not sort the data:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("graft_double_order_key"),
+      s"expected the map-combined (group, column, bucket) histogram:\n$p")
   }
 
   test("distributed pagerank round reuses the persisted graph relations — ranks never become a driver-side relation") {

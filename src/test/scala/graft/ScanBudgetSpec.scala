@@ -185,7 +185,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "toptokens_documents" -> (1, 1),
     "transitions_events" -> (1, 4),
     "trend_events" -> (1, 2),
-    "triangles_lineitem" -> (12, 24),
+    "triangles_lineitem" -> (0, 0),
     "trigrams_events" -> (1, 4),
     "unigram_scores_documents" -> (4, 5),
     "unpivot_lineitem" -> (1, 5),

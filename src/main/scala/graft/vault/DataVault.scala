@@ -201,38 +201,72 @@ object DataVault {
     import spark.implicits._
     val dfs = relationalTables.map(t => t -> Tables.load(spark, dir, t)).toMap
 
-    val orphanPlan = candidatePairs.map { case (ct, cc, pt, pc) =>
-      // pre-aggregate the child side to (key, multiplicity) BEFORE the
-      // anti-join (r19, guide §2.3 "aggregate before you shuffle"): the
-      // anti-join then shuffles one row per DISTINCT child key instead of
-      // one per child ROW (fact-table key columns here are ~30× duplicated),
-      // and the orphan count is the exact sum of surviving multiplicities —
-      // identical to counting surviving raw rows (NULL child keys survive
-      // the anti-join as one group whose multiplicity still counts, exactly
-      // as every raw NULL-key row survived before)
-      val child = dfs(ct).select(col(cc)).groupBy(col(cc)).agg(count(lit(1)).as("__n"))
-      val parent = dfs(pt).select(col(pc)).distinct()
-      child
-        .join(parent, child(cc) === parent(pc), "left_anti")
-        .agg(coalesce(sum(col("__n")), lit(0L)).as("orphan_count"))
-        .select(
-          lit(ct).as("child_table"), lit(cc).as("child_column"),
-          lit(pt).as("parent_table"), lit(pc).as("parent_column"),
-          col("orphan_count"))
-    }.reduce(_ unionAll _)
+    // One pivoted value-count relation per SUFFIX CLASS replaces all the
+    // per-pair anti-joins (r19, guide §2.4/§1.2 step 1 — the former shape
+    // planned one anti-join + one distinct per candidate pair, ~16 joins
+    // and twice that many exchanges, plus a second uniqueness job): union
+    // the class members' key columns tagged by member index (every column
+    // is integral — the bigint cast is exact and mirrors the former join's
+    // int/bigint coercion), group by value into per-member multiplicities,
+    // then derive EVERY directed pair's orphan count AND every member's
+    // uniqueness from the same relation in one final 1-row aggregate:
+    //   orphan(c→p)  = Σ n_c over rows where v IS NULL or n_p = 0
+    //     (a NULL child key never equi-matches any parent row — including a
+    //     NULL parent key — exactly the former anti-join's semantics);
+    //   unique(p)    = Σ_{v≠NULL} n_p == |{v≠NULL : n_p > 0}|
+    //     (count == count_distinct, both ignoring NULLs like the originals).
+    // All class aggregates union into ONE collect of |classes| rows.
+    val byClass: Seq[(String, Seq[(String, String)])] = {
+      def suffix(c: String): String = c.substring(c.indexOf('_') + 1)
+      val members = candidatePairs
+        .flatMap { case (ct, cc, pt, pc) => Seq((ct, cc), (pt, pc)) }
+        .distinct
+      members.groupBy { case (_, c) => suffix(c) }.toSeq.sortBy(_._1)
+        .map { case (s, ms) => s -> ms.sorted }
+    }
+    val classAggs = byClass.map { case (sfx, members) =>
+      val tagged = members.zipWithIndex.map { case ((t, c), ti) =>
+        dfs(t).select(col(c).cast("bigint").as("v"), lit(ti).as("ti"))
+      }.reduce(_ unionAll _)
+      val memberCounts = members.indices.map(ti =>
+        sum(when(col("ti") === ti, 1L).otherwise(0L)).as(s"n$ti"))
+      val counts = tagged
+        .groupBy(col("v"))
+        .agg(memberCounts.head, memberCounts.tail: _*)
+      val pairAggs = candidatePairs.zipWithIndex.flatMap { case ((ct, cc, pt, pc), pi) =>
+        val ci = members.indexOf((ct, cc))
+        val piIdx = members.indexOf((pt, pc))
+        if (ci < 0 || piIdx < 0) None // pair belongs to another class
+        else Some(
+          coalesce(sum(when(col("v").isNull || col(s"n$piIdx") === 0L, col(s"n$ci"))
+            .otherwise(0L)), lit(0L)).as(s"orphan_$pi"))
+      }
+      val uniqAggs = members.indices.flatMap { ti =>
+        Seq(
+          coalesce(sum(when(col("v").isNotNull, col(s"n$ti")).otherwise(0L)), lit(0L))
+            .as(s"tot_$ti"),
+          count(when(col("v").isNotNull && col(s"n$ti") > 0L, lit(1))).as(s"dst_$ti"))
+      }
+      val aggs = pairAggs ++ uniqAggs
+      // classes have different aggregate arities — normalize each 1-row
+      // aggregate to (sfx, name→value map) so the per-class plans union
+      // into ONE collected job
+      val agged = counts.agg(aggs.head, aggs.tail: _*)
+      val kvs = agged.columns.flatMap(n => Seq(lit(n), col(n).cast("long")))
+      agged.select(lit(sfx).as("sfx"), map(kvs.toIndexedSeq: _*).as("m"))
+    }
+    val classRows: Map[String, Map[String, Long]] = classAggs.reduce(_ unionAll _)
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap)
+      .toMap
 
-    val uniqPlan = candidatePairs.map { case (_, _, pt, pc) => (pt, pc) }.distinct.map {
-      case (pt, pc) =>
-        dfs(pt)
-          .agg((count_distinct(col(pc)) === count(col(pc))).as("parent_is_unique"))
-          .select(lit(pt).as("parent_table"), lit(pc).as("parent_column"), col("parent_is_unique"))
-    }.reduce(_ unionAll _)
-
-    val uniq = uniqPlan.collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
-    val rows = orphanPlan.collect().toSeq.map { r =>
-      val (ct, cc, pt, pc, orphans) =
-        (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
-      val u = uniq((pt, pc))
+    def suffix(c: String): String = c.substring(c.indexOf('_') + 1)
+    val rows = candidatePairs.zipWithIndex.map { case ((ct, cc, pt, pc), pi) =>
+      val cls     = classRows(suffix(cc))
+      val members = byClass.find(_._1 == suffix(cc)).get._2
+      val piIdx   = members.indexOf((pt, pc))
+      val orphans = cls(s"orphan_$pi")
+      val u       = cls(s"tot_$piIdx") == cls(s"dst_$piIdx")
       (ct, cc, pt, pc, orphans, u, orphans == 0L && u)
     }
     rows

@@ -59,7 +59,7 @@ class MainSourceLintSpec extends AnyFunSuite {
     "stats/StatsPass.scala" ->
       (6, "1-row profiling aggregates (one per pass/refinement)"),
     "vault/DataVault.scala" ->
-      (2, "per-keyset 1-row uniqueness aggregates and the bounded orphan-sample rows"),
+      (1, "fkCandidates: ONE |suffix-classes|-row collect of per-class 1-row pivot aggregates (orphan counts + uniqueness, r19)"),
     "similarity/KMeans.scala" ->
       (3, "k×dim centroid rows from the capped-sample trainer"),
     "similarity/Pq.scala" ->

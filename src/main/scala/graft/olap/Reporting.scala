@@ -161,7 +161,7 @@ object Reporting {
     * appears, so the hash can't drift.
     *
     * Scale shape: one fact-join tree (the [[revenueByNation]] plan), a
-    * |nations|-row aggregate, and a broadcast 1-row total.
+    * |nations|-row aggregate, and a global-window total over those ≤25 rows.
     */
   def revenueShareByNation(
       lineitem: DataFrame,
@@ -179,8 +179,17 @@ object Reporting {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(termE4).cast("decimal(38,0)").as("rev_e4"))
-    val total = rev.agg(sum(col("rev_e4")).cast("decimal(38,0)").as("total_e4"))
-    rev.crossJoin(broadcast(total))
+    // bounded-global-window: the total rides a partition-less window over
+    // the ALREADY-AGGREGATED |nations| rows (≤25 — a fixed dimension, not
+    // corpus-sized). The former `rev.crossJoin(broadcast(rev.agg(...)))`
+    // planned the whole fact-join tree TWICE (no subtree reuse across the
+    // agg/broadcast boundary); the window keeps one tree (r19, guide §2.4).
+    // Window SUM over DECIMAL(38,0) is the same exact integer sum the
+    // aggregate form computed — value-identical total, `div` unchanged.
+    import org.apache.spark.sql.expressions.Window
+    rev
+      .withColumn("total_e4",
+        sum(col("rev_e4")).over(Window.partitionBy()).cast("decimal(38,0)"))
       .select(
         col("n_name"),
         col("rev_e4").cast("string").as("rev_e4_str"),

@@ -229,18 +229,21 @@ object Partitioning {
     val ca = left.groupBy(col(keyL).as("k")).agg(count(lit(1)).as("ca"))
     val cb = right.groupBy(col(keyR).as("k")).agg(count(lit(1)).as("cb"))
     val joined = ca.join(cb, "k")
+    // the all-keys estimate AND the gated histogram arm (what the estimator
+    // CLAIMS for the subset) fold into ONE conditional aggregate over the
+    // joined histogram (r19, guide §2.4): the former separate
+    // `joined.where(gate)` arm re-planned the entire ca⋈cb subtree — two
+    // extra full scans, two aggregate exchanges and a join.
+    // count/sum-over-filter ≡ count/sum(when(gate, …)) — identical rows
+    // enter each accumulator, and the sums are exact integer arithmetic.
+    val gated = Sampling.gate(col("k"), ValidateSalt) < thr
     val predicted = joined.agg(
       count(lit(1)).as("n_join_keys"),
       sum(col("ca") * col("cb")).as("predicted_rows"),
-      max(col("ca") * col("cb")).as("max_key_pairs")
+      max(col("ca") * col("cb")).as("max_key_pairs"),
+      count(when(gated, lit(1))).as("val_keys"),
+      coalesce(sum(when(gated, col("ca") * col("cb"))), lit(0L)).as("val_predicted_rows")
     )
-    // the gated histogram arm: what the estimator CLAIMS for the subset
-    val valPredicted = joined
-      .where(Sampling.gate(col("k"), ValidateSalt) < thr)
-      .agg(
-        count(lit(1)).as("val_keys"),
-        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("val_predicted_rows")
-      )
     val nL = left.agg(count(lit(1)).as("n_left"))
     val nR = right.agg(count(lit(1)).as("n_right"))
     // the gated materialized join: what actually happens on the subset —
@@ -257,7 +260,6 @@ object Partitioning {
     predicted
       .crossJoin(broadcast(nL))
       .crossJoin(broadcast(nR))
-      .crossJoin(broadcast(valPredicted))
       .crossJoin(broadcast(actual))
       .select(
         col("n_left"), col("n_right"), col("n_join_keys"),

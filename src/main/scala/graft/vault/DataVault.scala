@@ -340,6 +340,12 @@ object DataVault {
     * `count_distinct` Expand over the raw table, and aggregate state is O(1)
     * per group — the |cols|² pair budget is the caller's knob, as in every
     * published FD miner.
+    *
+    * A fused single-stack form (ALL ordered pairs in one relation, one
+    * distinct) measured SLOWER at sf0.1 (2.0–2.3 s vs 1.25–1.38 s, r19 A/B):
+    * the per-determinant union subtrees already run concurrently inside one
+    * job, and the fused map-side dedup hash (|cols|² keyspace per task)
+    * loses to |cols| smaller concurrent ones. Kept per-determinant.
     */
   def fdCandidates(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "fdCandidates needs at least two columns")

@@ -92,7 +92,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ivfpq_topk_embeddings" -> (7, 3),
     "jaccard_capped_documents" -> (10, 2),
     "jaccard_pairs_documents" -> (10, 2),
-    "join_size_lineitem" -> (9, 7),
+    "join_size_lineitem" -> (6, 5),
     "jsonl_roundtrip_documents" -> (1, 0),
     "knn_embeddings" -> (4, 1),
     "kwic_documents" -> (2, 0),
@@ -145,7 +145,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "repetition_documents" -> (2, 0),
     "retention_events" -> (7, 1),
     "revenue_nation" -> (2, 3),
-    "revenue_share_nation" -> (4, 7),
+    "revenue_share_nation" -> (2, 3),
     "rolling_events" -> (5, 0),
     "rrf_hybrid_documents" -> (14, 3),
     "salt_overlap_documents" -> (2, 1),

@@ -91,7 +91,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "ivfpq_topk_embeddings" -> (4, 8),
     "jaccard_capped_documents" -> (3, 6),
     "jaccard_pairs_documents" -> (3, 6),
-    "join_size_lineitem" -> (8, 6),
+    "join_size_lineitem" -> (6, 4),
     "jsonl_roundtrip_documents" -> (1, 5),
     "knn_embeddings" -> (2, 4),
     "kwic_documents" -> (1, 2),
@@ -144,7 +144,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "repetition_documents" -> (1, 2),
     "retention_events" -> (2, 4),
     "revenue_nation" -> (4, 9),
-    "revenue_share_nation" -> (8, 18),
+    "revenue_share_nation" -> (4, 9),
     "rolling_events" -> (1, 3),
     "rrf_hybrid_documents" -> (5, 9),
     "salt_overlap_documents" -> (2, 10),

@@ -128,6 +128,12 @@ class SurfacePlanHygieneSpec extends AnyFunSuite {
       ("share denominator over the ALREADY-AGGREGATED |lang × source| " +
         "strata rows (hundreds at most); the doc scan is aggregated before " +
         "the window (TextOps.mixture, bounded-global-window comment)"),
+    "revenue_share_nation" ->
+      ("corpus-total denominator over the ALREADY-AGGREGATED per-nation " +
+        "revenue rows (≤25 — nation is a fixed dimension); the fact joins " +
+        "are aggregated before the window, and the former broadcast-total " +
+        "crossJoin planned the fact tree twice (Reporting.revenueShareByNation, " +
+        "bounded-global-window comment, r19)"),
     "skyline_part" ->
       ("running-max over the distinct + per-partition-pruned frontier " +
         "candidates — each partition emits only its local monotone " +

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *    user_id — each step is one hash-shuffle on the SAME key, so Spark
   *    reuses the partitioning across steps; no windows over unbounded
   *    partitions, no per-user state beyond one timestamp per step.
-  *  - [[retention]] is two aggregations on user/day grain — both map-side
-  *    combinable; the cohort join keys on user_id.
+  *  - [[retention]] is one distinct on user/day grain plus a per-user
+  *    window min (calendar-bounded partitions) — a single tree, no
+  *    self-join (r19).
   */
 object EventOps {
 
@@ -118,11 +119,21 @@ object EventOps {
     * and of the testdata.
     */
   def retention(events: DataFrame): DataFrame = {
+    // Single-tree form (r19, guide §2.4): cohort_day rides a per-user window
+    // min over the SAME distinct activity relation instead of a self-join —
+    // the join form planned the scan→distinct subtree twice (the legs
+    // optimize differently, so not even AQE stage reuse can dedup them; see
+    // plans/r19/retention_events_before.txt: 2 scans). The window's
+    // partitions are one user's active DAYS (calendar-bounded), never raw
+    // events. NULL user_id rows are dropped explicitly — the former inner
+    // join dropped them implicitly (null never equi-joins), and the window
+    // would otherwise invent n_users=0 groups the oracle does not have.
     val ev = timed(events)
+      .where(col("user_id").isNotNull)
       .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("day"))
       .distinct()
-    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    ev.join(cohorts, Seq("user_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev.withColumn("cohort_day", min(col("day")).over(w))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort_day", "day_offset")
@@ -793,28 +804,55 @@ object EventOps {
     *
     * Scale shape: the raw scan collapses to the DISTINCT (user, month)
     * activity relation first — the one corpus-sized shuffle. The cohort
-    * assignment is a map-combined min per user; joining it back to the
-    * activity relation hashes on user_id (both relations are
-    * post-aggregate, ≤ |users|·|months| rows); the matrix itself is a
-    * |cohorts|·|months| rollup. No window ever sees raw events, and no
-    * state holds a user set — the same first-seen doctrine as
-    * [[cumulativeUsers]].
+    * assignment is a per-user window min over that same relation (each
+    * partition is one user's active months, calendar-bounded), the matrix
+    * is a |cohorts|·|months| rollup, and the cohort size rides a
+    * per-cohort window over the rollup. ONE tree — the former join form
+    * planned the scan→distinct subtree three times (r19). No window ever
+    * sees raw events, and no state holds a user set — the same first-seen
+    * doctrine as [[cumulativeUsers]].
     *
     * Determinism: month index = UTC year·12 + month − 1 (integer calendar
     * arithmetic, both engines); retention is EXACT integer per-mille
     * (1000·n_active div n_cohort), never a float ratio.
     */
   def cohorts(events: DataFrame): DataFrame = {
+    // Single-tree form (r19, guide §2.4): the former three-relation build
+    // (activity ⋈ per-user-min cohort, plus a cohort-size aggregate) planned
+    // the scan→distinct subtree THREE times — the legs optimize into
+    // non-canonically-equal exchanges (the size leg's distinct folds into
+    // its min-aggregate), so AQE stage reuse cannot dedup them
+    // (plans/r19/cohorts_events_before.txt: 3 scans). Now: cohort rides a
+    // per-user window min over the one distinct relation (partitions are one
+    // user's active MONTHS — calendar-bounded), and n_cohort rides a
+    // per-cohort window over the ALREADY-AGGREGATED matrix — n_cohort(c) ≡
+    // n_active(c, 0), because each user's min month is attained, so the
+    // months_since=0 cell counts exactly the users whose cohort is c (the
+    // former count of the per-user min relation). NULL user_id rows are
+    // dropped explicitly — the former inner join dropped them implicitly.
+    import org.apache.spark.sql.expressions.Window
     val activity = timed(events)
       .select(col("user_id"),
         (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("midx"))
       .distinct()
-    val cohort = activity.groupBy(col("user_id")).agg(min(col("midx")).as("cohort"))
-    val sizes = cohort.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
-    activity.join(cohort, "user_id")
+    // NULL-user exactness (mirrors the former relational form bit for bit):
+    // groupBy and window partitioning agree that all NULL user_ids are ONE
+    // group, so the window min is the old cohort relation's min. The old
+    // `sizes` counted that NULL group in its cohort's n_cohort, while the
+    // old inner join dropped NULL rows from the matrix — so each cell counts
+    // rows twice: n_active over non-NULL users only (`count(user_id)`), and
+    // n_rows over all. n_cohort(c) = n_rows at months_since 0 (every user's
+    // min is attained, contributing exactly one month-0 row), and NULL-only
+    // cells (n_active = 0) are filtered — they never existed in the join.
+    val matrix = activity
+      .withColumn("cohort", min(col("midx")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort"), (col("midx") - col("cohort")).as("months_since"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort")
+      .agg(count(col("user_id")).as("n_active"), count(lit(1)).as("n_rows"))
+    matrix
+      .withColumn("n_cohort",
+        max(when(col("months_since") === 0, col("n_rows")))
+          .over(Window.partitionBy(col("cohort"))))
+      .where(col("n_active") > 0)
       .select(col("cohort"), col("months_since"), col("n_active"), col("n_cohort"),
         expr("1000 * n_active div n_cohort").as("retention_millis"))
       .orderBy("cohort", "months_since")

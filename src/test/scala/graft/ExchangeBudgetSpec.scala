@@ -39,7 +39,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "checks_orders" -> (3, 1),
     "chunks_documents" -> (2, 0),
     "cluster_sizes_documents" -> (4, 1),
-    "cohorts_events" -> (9, 2),
+    "cohorts_events" -> (6, 0),
     "composite_keys_lineitem" -> (12, 4),
     "consistency_orders" -> (3, 1),
     "contamination_bloom_documents" -> (4, 2),
@@ -143,7 +143,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "range_bands_lineitem" -> (3, 1),
     "redacted_documents" -> (2, 0),
     "repetition_documents" -> (2, 0),
-    "retention_events" -> (7, 1),
+    "retention_events" -> (5, 0),
     "revenue_nation" -> (2, 3),
     "revenue_share_nation" -> (2, 3),
     "rolling_events" -> (5, 0),

@@ -38,7 +38,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "checks_orders" -> (2, 15),
     "chunks_documents" -> (1, 2),
     "cluster_sizes_documents" -> (1, 1),
-    "cohorts_events" -> (3, 6),
+    "cohorts_events" -> (1, 2),
     "composite_keys_lineitem" -> (8, 11),
     "consistency_orders" -> (2, 6),
     "contamination_bloom_documents" -> (2, 3),
@@ -142,7 +142,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "range_bands_lineitem" -> (1, 1),
     "redacted_documents" -> (1, 5),
     "repetition_documents" -> (1, 2),
-    "retention_events" -> (2, 4),
+    "retention_events" -> (1, 2),
     "revenue_nation" -> (4, 9),
     "revenue_share_nation" -> (4, 9),
     "rolling_events" -> (1, 3),

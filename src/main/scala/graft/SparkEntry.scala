@@ -133,8 +133,17 @@ object SparkEntry {
     * when timing (train → assign, the order a real pipeline uses): the ONE
     * shared ordering for [[Bench]] and [[ScaleBench]], so the two harnesses
     * cannot drift on which consumer times training cost (ADVICE r10).
+    *
+    * `pq_codebooks_embeddings` joined in r19: it IS the declared PQ-training
+    * query, but alphabetical order ran `ivfpq_topk_embeddings` first, so the
+    * search query carried the one-time [[pqCache]] populate (~half its
+    * booked time — the r19 ScaleAttr attribution measured search-only ~2.0 s
+    * of a 4.6 s booking) while the training query booked a cache hit. Same
+    * attribution honesty as ivf_centroids carrying k-means (VERDICT r12 #3);
+    * total is unchanged, the cost just books on the query that computes it.
     */
-  private[graft] val ProducerFirst: Set[String] = Set("ivf_centroids_embeddings")
+  private[graft] val ProducerFirst: Set[String] =
+    Set("ivf_centroids_embeddings", "pq_codebooks_embeddings")
 
   /** Queries whose FIRST execution per JVM materializes a reusable storage
     * artifact (the bucketed tables in `scale/Bucketing.ensureBucketedTables`

@@ -31,8 +31,15 @@ object EventOps {
     * [[propsStats]] alone stays on the raw table: it profiles payloads, not
     * the timeline.
     */
+  // deliberately NOT widen()ed (r19): every consumer's first operator is an
+  // exchange (groupBy/distinct/window) over a cheap projection — a
+  // round-robin pre-shuffle would move every row twice to parallelize
+  // near-zero map work (guide §2.4; the copurchase A/B measured the same
+  // pattern at −20%). widen() is for narrow inputs feeding heavy PER-ROW
+  // work (regex/tokenize/hash) before any exchange — in this file only
+  // [[propsStats]] qualifies, and it widens its raw input itself.
   private def timed(events: DataFrame): DataFrame =
-    graft.Tables.widen(events).where(col("ts").isNotNull)
+    events.where(col("ts").isNotNull)
 
   /** Ordered-step conversion funnel: a user converts step k iff they have
     * an event of step k's type STRICTLY after their step-(k-1) conversion

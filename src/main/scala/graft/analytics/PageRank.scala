@@ -66,7 +66,9 @@ object PageRank {
     // 4097 strings while proving |V| ≤ cap, with no separate counting scan.
     // A NULL event_type is not a node (it would NPE the driver-side string
     // sort, and the oracle's v CTE excludes it identically)
-    val nodeRows = graft.Tables.widen(events).select(col("event_type"), col("ts"))
+    // no widen() (r19): pruned two-column scan straight into the distinct
+    // exchange — nothing per-row to parallelize before it
+    val nodeRows = events.select(col("event_type"), col("ts"))
       .where(col("event_type").isNotNull && col("ts").isNotNull)
       .select(col("event_type")).distinct()
       .limit(MaxBoundedVertices.toInt + 1).as[String].collect().toSeq.sorted
@@ -242,7 +244,12 @@ object PageRank {
     // timed-event doctrine (EventOps.timed): an untimed event cannot
     // transition and is not graph evidence; NULL window-order placement
     // also differs across engines
-    val widened = graft.Tables.widen(events).where(col("ts").isNotNull)
+    // no widen() (r19): both branches lead with an exchange (user-key lag
+    // window / node distinct) over cheap projections. The former shared RR
+    // exchange did get AQE-reused across the two branches, but re-scanning
+    // the pruned parquet twice is cheaper than round-robin-shuffling every
+    // row once (both branches' A/B in OPTIMIZATION_r19.md batch 5).
+    val widened = events.where(col("ts").isNotNull)
     val edges = widened
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("t"))

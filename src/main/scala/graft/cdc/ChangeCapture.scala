@@ -32,7 +32,9 @@ object ChangeCapture {
     */
   def applyChangelog(changes: DataFrame, keyCol: String, seqCol: String, opCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    graft.Tables.widen(changes)
+    // no widen() (r19): row_number's key-window exchange is the first
+    // operator — nothing per-row to parallelize before it
+    changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn")

@@ -131,7 +131,9 @@ object DedupClusters {
     * corpus is `WHERE doc_id = cluster_id`.
     */
   def dedupClusters(docs: DataFrame): DataFrame = {
-    val nodes = graft.Tables.widen(docs).select(col("doc_id").as("id"))
+    // no widen() (r19): the node list is a pruned one-column scan feeding
+    // the CC join exchanges — nothing per-row to parallelize
+    val nodes = docs.select(col("doc_id").as("id"))
     val edges = DedupOps.minhashCandidatePairs(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // the O(log n)-round star variant is the DECLARED route since r5: real

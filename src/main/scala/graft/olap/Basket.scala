@@ -116,7 +116,12 @@ object Basket {
 
   /** Thresholded co-purchase edge list (internal + spec surface). */
   def copurchaseEdges(lineitem: DataFrame, minSupport: Int): DataFrame = {
-    val sets = graft.Tables.widen(lineitem)
+    // no widen() here (r19): the first operator is a key exchange, so a
+    // round-robin pre-shuffle would move every row TWICE to parallelize a
+    // trivial map-side partial (hash inserts); the heavy pair expansion
+    // runs AFTER the order-key exchange, already cluster-wide. widen() is
+    // for narrow inputs feeding heavy PER-ROW work before any exchange.
+    val sets = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .where(size(col("parts")) >= 2)

@@ -34,7 +34,10 @@ object Reshape {
     */
   def unpivotStats(df: DataFrame, groupCol: String, measures: Seq[String]): DataFrame = {
     require(measures.nonEmpty, "unpivotStats needs at least one measure")
-    graft.Tables.widen(df)
+    // no widen() (r19): unpivot is a zero-compute row expansion whose
+    // partial aggregate collapses to |measures × groups| rows before the
+    // exchange — cheaper than round-robin-shuffling every input row first
+    df
       .unpivot(
         ids = Array(col(groupCol)),
         values = measures.map(col).toArray,

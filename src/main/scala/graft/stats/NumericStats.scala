@@ -79,7 +79,10 @@ object NumericStats {
     */
   def histogram(df: DataFrame, c: String, width: Double): DataFrame = {
     require(width > 0, s"width must be positive (got $width)")
-    graft.Tables.widen(df)
+    // no widen() (r19): one floor-division per row collapses map-side into
+    // |buckets| partial rows before the exchange — the round-robin
+    // pre-shuffle moved every row to parallelize near-zero work
+    df
       .where(col(c).isNotNull)
       .groupBy(floor(col(c).cast("double") / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -37,7 +37,10 @@ object Sessionize {
     val t = unix_micros(col("ts"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val gapUs = gapSeconds * 1000000L
-    graft.Tables.widen(events)
+    // no widen() (r19): first operator is the user-key window exchange over
+    // a cheap projection — a round-robin pre-shuffle would move every row
+    // twice (guide §2.4; the EventOps.timed A/B measured the family −40%)
+    events
       // the EventOps timed-event doctrine: an untimed event cannot be
       // sessionized, and NULL window-order placement differs across engines
       .where(col("ts").isNotNull)

@@ -44,7 +44,9 @@ object StreamJoin {
     // exclude NULL-ts rows (NULL comparisons), so this changes no output —
     // it keeps the frame aligned with the streaming twin, whose watermark
     // cannot carry a NULL event time
-    val e = graft.Tables.widen(events).where(col("ts").isNotNull)
+    // no widen() (r19): both tiers are filter+project straight into the
+    // user-key join exchange — no heavy per-row work to parallelize
+    val e = events.where(col("ts").isNotNull)
     val p = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), unix_micros(col("ts")).as("p_t"))
     val v = e.where(col("event_type") === "view")

@@ -50,7 +50,9 @@ object Scd2 {
         !(lag(col(trackedCol), 1).over(byTime) <=> col(trackedCol)),
       1L
     ).otherwise(0L)
-    val withEp = graft.Tables.widen(df)
+    // no widen() (r19): first operator is the (key, time) window exchange
+    // over a plain projection — the round-robin pre-shuffle was pure cost
+    val withEp = df
       // timed-event doctrine (EventOps.timed): a change record without an
       // event time has no position in the validity history, and NULL
       // window-order placement differs across engines — excluded on both

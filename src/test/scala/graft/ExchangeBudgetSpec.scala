@@ -26,37 +26,37 @@ class ExchangeBudgetSpec extends AnyFunSuite {
   private val budgets: Map[String, (Int, Int)] = Map(
 
     "ann_embeddings" -> (5, 1),
-    "anomalies_events" -> (4, 0),
+    "anomalies_events" -> (3, 0),
     "asof_orders_events" -> (2, 0),
     "benford_lineitem" -> (6, 1),
-    "best_survivors_documents" -> (4, 2),
+    "best_survivors_documents" -> (3, 2),
     "bigram_scores_documents" -> (9, 3),
     "blocklist_documents" -> (2, 0),
     "bm25_documents" -> (8, 2),
     "boilerplate_documents" -> (2, 0),
     "bucketed_join_orders" -> (2, 1),
-    "cdc_snapshot_orders" -> (3, 0),
+    "cdc_snapshot_orders" -> (2, 0),
     "checks_orders" -> (3, 1),
     "chunks_documents" -> (2, 0),
-    "cluster_sizes_documents" -> (4, 1),
-    "cohorts_events" -> (6, 0),
+    "cluster_sizes_documents" -> (3, 1),
+    "cohorts_events" -> (5, 0),
     "composite_keys_lineitem" -> (12, 4),
     "consistency_orders" -> (3, 1),
     "contamination_bloom_documents" -> (4, 2),
     "contamination_capped_documents" -> (4, 5),
     "contamination_documents" -> (2, 3),
-    "copurchase_lineitem" -> (3, 0),
+    "copurchase_lineitem" -> (2, 0),
     "corr_lineitem" -> (2, 0),
     "cosine_dups_embeddings" -> (4, 1),
-    "cross_source_dups_documents" -> (8, 4),
+    "cross_source_dups_documents" -> (6, 4),
     "csv_roundtrip_documents" -> (1, 0),
     "cube_documents" -> (3, 0),
-    "cumulative_users_events" -> (4, 0),
-    "curated_documents" -> (6, 2),
+    "cumulative_users_events" -> (3, 0),
+    "curated_documents" -> (5, 2),
     "datasheet_documents" -> (14, 0),
     "deciles_customer" -> (3, 0),
-    "decontaminated_documents" -> (9, 6),
-    "dedup_clusters_documents" -> (2, 1),
+    "decontaminated_documents" -> (8, 6),
+    "dedup_clusters_documents" -> (1, 1),
     "dedup_exact_documents" -> (3, 0),
     "diff_documents" -> (3, 0),
     "dim_stats_embeddings" -> (4, 0),
@@ -68,20 +68,20 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "dv_hub_customer" -> (2, 0),
     "dv_link_lineitem" -> (2, 0),
     "dv_link_order_customer" -> (2, 0),
-    "dv_pit_orders" -> (3, 1),
+    "dv_pit_orders" -> (2, 1),
     "dv_sat_customer" -> (1, 0),
     "editdist_pairs_documents" -> (6, 2),
     "encoding_advice_customer" -> (3, 0),
-    "ewma_events" -> (5, 1),
+    "ewma_events" -> (3, 1),
     "fd_candidates_orders" -> (19, 0),
     "fingerprint_documents" -> (2, 0),
     "fk_candidates" -> (1, 0),
-    "freshness_events" -> (6, 1),
+    "freshness_events" -> (4, 1),
     "funnel_events" -> (1, 0),
-    "gapfill_events" -> (7, 2),
+    "gapfill_events" -> (4, 2),
     "gopher_quality_documents" -> (2, 0),
     "group_quantiles_lineitem" -> (1, 0),
-    "hist_lineitem_price" -> (3, 0),
+    "hist_lineitem_price" -> (2, 0),
     "holdout_documents" -> (2, 0),
     "incremental_pairs_documents" -> (5, 1),
     "interarrival_events" -> (1, 0),
@@ -120,7 +120,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "packing_documents" -> (1, 0),
     "padding_documents" -> (3, 0),
     "pagerank_events" -> (9, 7),
-    "pagerank_users" -> (44, 7),
+    "pagerank_users" -> (30, 7),
     "partitioned_roundtrip_documents" -> (1, 0),
     "pq_codebooks_embeddings" -> (1, 0),
     "pq_codes_embeddings" -> (2, 0),
@@ -143,19 +143,19 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "range_bands_lineitem" -> (3, 1),
     "redacted_documents" -> (2, 0),
     "repetition_documents" -> (2, 0),
-    "retention_events" -> (5, 0),
+    "retention_events" -> (4, 0),
     "revenue_nation" -> (2, 3),
     "revenue_share_nation" -> (2, 3),
-    "rolling_events" -> (5, 0),
+    "rolling_events" -> (4, 0),
     "rrf_hybrid_documents" -> (14, 3),
     "salt_overlap_documents" -> (2, 1),
     "sample_documents" -> (1, 0),
-    "scd2_orders" -> (3, 0),
+    "scd2_orders" -> (2, 0),
     "schema_merge_documents" -> (1, 0),
     "semantic_clusters_embeddings" -> (4, 0),
     "semantic_dups_embeddings" -> (3, 1),
     "semantic_survivors_embeddings" -> (5, 0),
-    "sessions_events" -> (3, 0),
+    "sessions_events" -> (2, 0),
     "simhash_documents" -> (2, 0),
     "simhash_pairs_documents" -> (5, 0),
     "sketch_quantiles_lineitem" -> (1, 0),
@@ -178,18 +178,18 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "summary_pii_lineitem" -> (0, 0),
     "textstats_documents" -> (3, 0),
     "tfidf_keywords_documents" -> (9, 2),
-    "theilsen_events" -> (6, 1),
+    "theilsen_events" -> (4, 1),
     "tokencount_documents" -> (2, 0),
     "top_customers" -> (1, 2),
     "top_customers_nation" -> (3, 3),
     "topbigrams_documents" -> (2, 0),
     "toptokens_documents" -> (2, 0),
-    "transitions_events" -> (4, 0),
-    "trend_events" -> (4, 0),
+    "transitions_events" -> (3, 0),
+    "trend_events" -> (3, 0),
     "triangles_lineitem" -> (1, 2),
-    "trigrams_events" -> (3, 0),
+    "trigrams_events" -> (2, 0),
     "unigram_scores_documents" -> (9, 3),
-    "unpivot_lineitem" -> (3, 0),
+    "unpivot_lineitem" -> (2, 0),
     "vocab_coverage_documents" -> (1, 0),
     "vocab_overlap_documents" -> (7, 1),
     "winsorized_lineitem" -> (2, 0),

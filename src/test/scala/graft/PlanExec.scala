@@ -22,8 +22,11 @@ object PlanExec {
     for (name <- args) {
       val q = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
       val df = q(spark, SurfacePlans.dir)
-      df.write.format("noop").mode("overwrite").save()
-      println(s"==== $name (post-execution) ====")
+      // collect() executes THIS df's QueryExecution (a noop write would plan
+      // its own, leaving this one at isFinalPlan=false); declared outputs
+      // are bounded, so the driver pull is fine at sf0.001
+      val n = df.collect().length
+      println(s"==== $name (post-execution, $n rows) ====")
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

@@ -80,12 +80,74 @@ object DedupClusters {
     * component minimum. Same output contract as [[connectedComponents]]
     * (spec-asserted equal on random graphs and chains).
     */
-  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Edge cap for the driver-side union-find fast path of
+    * [[connectedComponentsStar]] — the [[graft.analytics.PageRank]]
+    * bounded-collect discipline (its `MaxBoundedEdges`): the gate COUNTS by
+    * collecting cap+1 canonical edges, so the driver provably holds ≤ cap
+    * rows (16 B each — ≤4 MiB) before anything is pulled, and a
+    * corpus-scale pair graph falls back to the distributed star loop
+    * untouched. At sf0.1 the near-dup and semantic pair graphs are a few
+    * thousand edges while the star loop pays ~3 jobs per round — the gate
+    * turns O(log n) rounds of job floor into one collect + driver
+    * union-find with the IDENTICAL min-label fixpoint (spec-asserted
+    * against the loop on random graphs and chains).
+    */
+  private[graft] val MaxDriverEdges = 262144
+
+  def connectedComponentsStar(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      maxDriverEdges: Int = MaxDriverEdges
+  ): DataFrame = {
     // canonical form throughout: oriented (src > dst), no self-loops, distinct
     def canon(df: DataFrame): DataFrame =
       df.select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
+
+    // bounded fast path: only for long ids (every declared graph), only
+    // when the canonical edge set provably fits the cap
+    val longIds = {
+      import org.apache.spark.sql.types.LongType
+      edges.schema.fields.take(2).forall(_.dataType == LongType)
+    }
+    if (longIds && maxDriverEdges > 0) {
+      val rows = canon(edges).limit(maxDriverEdges + 1).collect()
+      if (rows.length <= maxDriverEdges) {
+        // union-find, smaller root wins ⇒ every root is its component's
+        // minimum — the same fixpoint the star forest converges to
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        val labeled = parent.keys.toSeq.sorted
+          .map(id => (id, find(id)))
+          .filter { case (id, root) => id != root }
+        val labelsDf =
+          if (labeled.isEmpty) spark.emptyDataset[(Long, Long)].toDF("id", "label")
+          else labeled.toDF("id", "label")
+        return nodes
+          .join(labelsDf, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      }
+      // > cap: fall through to the distributed loop (the one extra
+      // cap+1-limited edge pass is the gate's documented price, as in
+      // PageRank's bounded twin)
+    }
+
     var e         = canon(edges).localCheckpoint()
     var converged = false
     var i         = 0

@@ -52,10 +52,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "csv_roundtrip_documents" -> (1, 0),
     "cube_documents" -> (3, 0),
     "cumulative_users_events" -> (3, 0),
-    "curated_documents" -> (5, 2),
+    "curated_documents" -> (3, 3),
     "datasheet_documents" -> (14, 0),
     "deciles_customer" -> (3, 0),
-    "decontaminated_documents" -> (8, 6),
+    "decontaminated_documents" -> (6, 7),
     "dedup_clusters_documents" -> (1, 1),
     "dedup_exact_documents" -> (3, 0),
     "diff_documents" -> (3, 0),
@@ -152,9 +152,9 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "sample_documents" -> (1, 0),
     "scd2_orders" -> (2, 0),
     "schema_merge_documents" -> (1, 0),
-    "semantic_clusters_embeddings" -> (4, 0),
+    "semantic_clusters_embeddings" -> (2, 1),
     "semantic_dups_embeddings" -> (3, 1),
-    "semantic_survivors_embeddings" -> (5, 0),
+    "semantic_survivors_embeddings" -> (3, 1),
     "sessions_events" -> (2, 0),
     "simhash_documents" -> (2, 0),
     "simhash_pairs_documents" -> (5, 0),

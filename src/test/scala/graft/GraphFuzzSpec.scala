@@ -76,10 +76,17 @@ class GraphFuzzSpec extends AnyFunSuite {
       val edgesDf  = es.toDF("src", "dst")
       val simple = DedupClusters.connectedComponents(nodesDf, edgesDf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // default path: these graphs sit under MaxDriverEdges, so this
+      // exercises the r19 bounded driver union-find fast path
       val star = DedupClusters.connectedComponentsStar(nodesDf, edgesDf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // maxDriverEdges = 0 forces the distributed star loop — both paths
+      // must produce the identical min-label fixpoint
+      val starLoop = DedupClusters.connectedComponentsStar(nodesDf, edgesDf, maxDriverEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(simple == expected, s"case $i: min-label CC diverged from union-find")
-      assert(star == expected, s"case $i: star CC diverged from union-find")
+      assert(star == expected, s"case $i: star CC (bounded path) diverged from union-find")
+      assert(starLoop == expected, s"case $i: star CC (distributed loop) diverged from union-find")
     }
   }
 

@@ -67,7 +67,10 @@ class MainSourceLintSpec extends AnyFunSuite {
     "analytics/EventOps.scala" ->
       (1, "funnel step counts: union of |steps| 1-row aggregates"),
     "analytics/PageRank.scala" ->
-      (2, "require-gated limit(MaxBounded*+1) probes for the bounded variant")
+      (2, "require-gated limit(MaxBounded*+1) probes for the bounded variant"),
+    "dedup/DedupClusters.scala" ->
+      (1, "gated limit(MaxDriverEdges+1) edge probe for the CC union-find " +
+        "fast path (r19) — ≤4 MiB on the driver, falls back to the star loop")
   )
 
   /** Every `.rdd` in main: reserved for the one partition-count probe plus
